@@ -1,0 +1,213 @@
+"""Deterministic synthetic fixture corpus (FIXTURES.md §1).
+
+Input-table shape fixed by BASELINE.json input_hint:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Two builders:
+
+* :func:`synth_rows` — pure-Python row list (seeded, no Spark) covering all
+  HTML/PDF payload variants, with a Zipf-skewed host pool and one
+  pathological heavy host (~30% of rows) so the salted-repartition logic is
+  exercised (SURVEY.md §4 "Skew handling").
+* :func:`corpus_from_documents` — Spark-side builder that wraps the driver's
+  ``documents.parquet`` text in the standard article template with pure JVM
+  ``concat`` (no Python in the hot path); extraction must recover
+  ``documents.text`` byte-identically, which gives the oracle-checkable
+  round-trip queries in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+
+from .kernels import pdf_write
+from .kernels.dispatch import extract_document
+
+# ~50 synthetic hosts; host[0] is the pathological heavy one (~30% of rows).
+HOSTS = ["heavy-portal.example.com"] + [f"site-{i:02d}.example.org" for i in range(1, 50)]
+LANGS = ("en", "ko", "de")
+
+_WORDS = (
+    "data spark table scan filter join merge sort window batch stream row "
+    "column key value hash group query order part line agg fast slow small "
+    "big vector customer dup the a"
+).split()
+
+_KO_WORDS = ("데이터 분석 추출 문서 표 그림 수식 제목 단락 목록").split()
+
+EPOCH = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _sentence(rng: random.Random, n: int, lang: str) -> str:
+    pool = _KO_WORDS if lang == "ko" else _WORDS
+    return " ".join(rng.choice(pool) for _ in range(n))
+
+
+# -- HTML templates (variants 1-6 of FIXTURES.md) -------------------------------
+
+_CHROME = (
+    "<header><div class='logo'>SiteName</div>"
+    "<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/contact'>Contact</a></nav>"
+    "</header>"
+)
+_FOOTER = "<footer><p>Copyright 2025 SiteName. All rights reserved.</p></footer>"
+_SIDEBAR = (
+    "<aside class='sidebar'><ul>"
+    + "".join(f"<li><a href='/l{i}'>link {i}</a></li>" for i in range(12))
+    + "</ul></aside>"
+)
+
+
+def render_article(title: str | None, paragraphs: list[str], variant: int = 1) -> str:
+    """Deterministic HTML page around the given content blocks."""
+    body = []
+    body.append(_CHROME)
+    if variant == 2:
+        body.append(_SIDEBAR)
+    main = []
+    if title:
+        main.append(f"<h1>{title}</h1>")
+    if variant == 3:
+        main.append("<h2>Section One</h2>")
+    for i, p in enumerate(paragraphs):
+        main.append(f"<p>{p}</p>")
+    if variant == 4:
+        main.append(
+            "<table><tr><td>alpha cell data</td><td>beta cell data</td></tr>"
+            "<tr><td>gamma cell data</td><td>delta cell data</td></tr></table>"
+            "<figure><img src='f.png'/><figcaption>Figure 1: synthetic caption</figcaption></figure>"
+        )
+    if variant == 5:
+        main.append("<script>var x=1;</script><!-- comment --><style>p{color:red}</style>")
+        main.append("<p>&amp; entity &lt;test&gt; multibyte 한국어 텍스트 블록</p>")
+    body.append("<main>" + "".join(main) + "</main>")
+    body.append(_FOOTER)
+    html = "<!DOCTYPE html><html><head><title>t</title></head><body>" + "".join(body) + "</body></html>"
+    if variant == 6:  # malformed: truncate mid-tag
+        html = html[: int(len(html) * 0.7)]
+    return html
+
+
+def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]:
+    """Generate n deterministic corpus rows (pure Python, no Spark)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # skewed host draw: 30% heavy host, rest Zipf-ish over the pool
+        if rng.random() < 0.30:
+            host = HOSTS[0]
+        else:
+            r = rng.random()
+            host = HOSTS[1 + min(int(r * r * (len(HOSTS) - 1)), len(HOSTS) - 2)]
+        url = f"https://{host}/page/{i}"
+        lang = LANGS[i % len(LANGS)]
+        warc_ts = EPOCH + datetime.timedelta(minutes=i)
+        title = _sentence(rng, 4, lang).title()
+        paras = [_sentence(rng, rng.randint(20, 60), lang) for _ in range(rng.randint(1, 5))]
+        is_pdf = rng.random() < pdf_fraction
+        if is_pdf:
+            body_text = " ".join(paras)
+            variant = i % 5
+            if variant == 0:
+                payload = pdf_write.build_pdf(body_text, title=title)
+            elif variant == 1:
+                payload = pdf_write.build_pdf(body_text, columns=2, title=title)
+            elif variant == 2:
+                payload = pdf_write.build_pdf(body_text, compress=True, xref_stream=True)
+            elif variant == 3:
+                payload = pdf_write.build_pdf(
+                    "", table_rows=[["name", "value"], ["alpha", "one"], ["beta", "two"]]
+                )
+            else:
+                payload = pdf_write.build_truncated_pdf(body_text)
+            raw_text = body_text
+        else:
+            variant = 1 + (i % 6)
+            html = render_article(title, paras, variant=variant)
+            payload = html.encode("utf-8")
+            raw_text = " ".join([title] + paras)
+        rows.append(
+            {"url": url, "warc_ts": warc_ts, "html": payload, "text": raw_text, "lang": lang}
+        )
+    return rows
+
+
+def compute_goldens(rows: list[dict]) -> list[dict]:
+    """Single-threaded ground truth: run the kernels directly (FIXTURES.md §2).
+
+    The Spark pipeline must reproduce these byte-identically at every
+    parallelism level.
+    """
+    out = []
+    for r in rows:
+        res = extract_document(r["html"])
+        out.append(
+            {
+                "url": r["url"],
+                "extracted_text": res["text"],
+                "spans": res["spans"],
+                "n_elements": res["n_elements"],
+                "method": res["method"],
+            }
+        )
+    return out
+
+
+# -- Spark-side corpus from the driver's documents table -------------------------
+
+ARTICLE_PREFIX = (
+    "<!DOCTYPE html><html><head><title>t</title></head><body>"
+    + _CHROME
+    + "<main><p>"
+)
+ARTICLE_SUFFIX = "</p></main>" + _FOOTER + "</body></html>"
+
+
+def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
+    """Build the corpus table from ``{sf_dir}/documents.parquet``.
+
+    HTML payloads are built with JVM-side ``concat`` (zero Python); PDF
+    payloads via an Arrow-batched pandas UDF around the deterministic writer.
+    ``url = 'https://' || source || '.example.com/doc/' || doc_id`` so the
+    DuckDB oracle can reconstruct it with string concatenation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    base = docs.select(
+        url,
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+    if payload == "html":
+        html = F.encode(
+            F.concat(F.lit(ARTICLE_PREFIX), F.col("text"), F.lit(ARTICLE_SUFFIX)), "utf-8"
+        ).alias("html")
+        return base.select("url", "warc_ts", html, "text", "lang")
+
+    if payload == "pdf":
+
+        @F.pandas_udf(T.BinaryType())
+        def make_pdf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
+            out = []
+            for t, i in zip(text, doc_id):
+                cols = 2 if int(i) % 3 == 0 else 1
+                compress = int(i) % 2 == 0
+                out.append(
+                    pdf_write.build_pdf(t, columns=cols, compress=compress,
+                                        xref_stream=(int(i) % 5 == 0))
+                )
+            return pd.Series(out)
+
+        return base.select(
+            "url", "warc_ts", make_pdf("text", "doc_id").alias("html"), "text", "lang"
+        )
+    raise ValueError(f"unknown payload kind: {payload}")

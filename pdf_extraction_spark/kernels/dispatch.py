@@ -1,0 +1,40 @@
+"""Payload dispatch: sniff the binary payload and route to the right kernel.
+
+The reference selects its pipeline by file extension / CLI flag
+(hybrid_docling_gpt4_processor.py:664-675); at corpus scale we sniff the
+``html`` binary column instead (SURVEY.md S1): ``%PDF-`` magic → PDF kernel,
+else HTML kernel. Total — never raises.
+"""
+
+from __future__ import annotations
+
+from .html_extract import extract_html
+from .pdf_extract import extract_pdf
+
+PDF_MAGIC = b"%PDF-"
+
+# Bytes that mark non-textual payloads; a high ratio ⇒ binary junk, not HTML.
+_NONTEXT = bytes(b for b in range(0x20) if b not in (0x09, 0x0A, 0x0D))
+
+
+def _binary_ratio(sample: bytes) -> float:
+    if not sample:
+        return 0.0
+    junk = sum(sample.count(b) for b in _NONTEXT)
+    return junk / len(sample)
+
+
+def extract_document(payload: bytes | None) -> dict:
+    """Extract one document; returns the common record shape
+    ``{text, spans, n_elements, method, error}``."""
+    if payload is None:
+        return {"text": "", "spans": [], "n_elements": 0, "method": "empty", "error": "null payload"}
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8", errors="replace")
+    head = payload.lstrip()[:8]
+    if head.startswith(PDF_MAGIC):
+        return extract_pdf(payload)
+    if _binary_ratio(payload[:4096]) > 0.10:
+        return {"text": "", "spans": [], "n_elements": 0, "method": "binary",
+                "error": "non-text payload (binary-ratio gate)"}
+    return extract_html(payload)

@@ -1,0 +1,332 @@
+"""HTML main-content extraction: boilerplate stripping with text-density +
+link-density heuristics (Boilerpipe / trafilatura family of algorithms).
+
+Pure Python, stdlib only, deterministic, total (never raises on malformed
+input). This is the single-threaded ground-truth kernel; the Spark pipeline
+calls :func:`extract_html` from inside an Arrow-batched ``mapInPandas`` stage
+and golden tests require byte-identical output from both paths.
+
+Semantics carried over from the reference pipeline (see SURVEY.md §2, all
+citations into /root/reference):
+
+* block model with typed elements — the 10-class ElementType enum of
+  ``advanced_layout_extractor.py:52-63`` (TITLE, PARAGRAPH, LIST, TABLE,
+  FIGURE, EQUATION, HEADER, FOOTER, CAPTION, REFERENCE);
+* TITLE heuristic "max font ≥ 1.2 × page median" of
+  ``advanced_layout_extractor.py:343-349`` re-expressed structurally as
+  heading tags h1–h6 (HTML already declares the font hierarchy);
+* link-density / text-density boilerplate gates replacing the reference's
+  OCR keyword + confidence gates (``advanced_layout_extractor.py:807-910``,
+  ``hybrid_docling_gpt4_processor.py:397-423``);
+* swallow-and-degrade totality posture of
+  ``advanced_layout_extractor.py:690-691`` — but errors are *reported* in the
+  result record, never silenced.
+
+Output contract (FIXTURES.md §2): ``extracted_text`` is the kept blocks'
+whitespace-normalized text joined with "\\n\\n"; ``spans[i]`` is
+``(elem_type, page, char_start, char_end, bbox)`` with the invariant
+``extracted_text[char_start:char_end] == block_text``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# The reference's 10-class element taxonomy (advanced_layout_extractor.py:52-63).
+ELEMENT_TYPES = (
+    "title",
+    "paragraph",
+    "list",
+    "table",
+    "figure",
+    "equation",
+    "header",
+    "footer",
+    "caption",
+    "reference",
+)
+
+# Tags that open a new text block.
+_BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li td th dt dd pre blockquote figcaption
+    caption article section main aside nav header footer table tr ul ol dl
+    figure form fieldset address summary details""".split()
+)
+
+# Subtrees dropped entirely (no text contribution).
+_DROP_TAGS = frozenset(
+    "script style noscript template svg iframe head title object embed".split()
+)
+
+# Structural boilerplate containers: blocks inside these are navigation chrome
+# unless the page has no other content at all.
+_CHROME_TAGS = frozenset("nav header footer aside".split())
+
+# Void elements never get close tags; <br> acts as a soft line break.
+_VOID_TAGS = frozenset(
+    "br hr img input meta link area base col source track wbr".split()
+)
+
+# class/id substrings that mark boilerplate (deterministic, lowercase match).
+_CHROME_HINTS = (
+    "nav",
+    "menu",
+    "sidebar",
+    "footer",
+    "header",
+    "banner",
+    "breadcrumb",
+    "comment",
+    "share",
+    "social",
+    "advert",
+    "promo",
+    "related",
+    "cookie",
+)
+
+_WS_RE = re.compile(r"\s+")
+
+# Boilerplate gates (deterministic constants; tuned on FIXTURES.md variants).
+MIN_CONTENT_CHARS = 10          # shorter non-heading blocks need context to stay
+LINK_DENSITY_MAX = 0.40         # blocks above this are link farms
+LINK_DENSITY_MAX_SHORT = 0.20   # stricter gate for short blocks
+SHORT_BLOCK_WORDS = 8
+
+
+def _norm(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip (HTML semantics)."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+@dataclass
+class Block:
+    """One candidate text block with boilerplate-scoring features."""
+
+    tag: str
+    depth: int
+    in_chrome: bool            # inside nav/header/footer/aside or hinted class
+    in_main: bool              # inside <main>/<article>
+    heading: int = 0           # 1..6 for h1..h6, else 0
+    kind: str = "paragraph"    # provisional element type
+    parts: list = field(default_factory=list)        # text fragments
+    link_parts: list = field(default_factory=list)   # fragments inside <a>
+
+    def text(self) -> str:
+        return _norm("".join(self.parts))
+
+    def link_chars(self) -> int:
+        return len(_norm("".join(self.link_parts)))
+
+
+def _kind_for_tag(tag: str) -> str:
+    if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        return "title"
+    if tag in ("li", "dt", "dd"):
+        return "list"
+    if tag in ("td", "th"):
+        return "table"
+    if tag in ("figcaption", "caption"):
+        return "caption"
+    return "paragraph"
+
+
+class _BlockParser(HTMLParser):
+    """Streaming parser producing a flat, document-ordered block list."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[str] = []
+        self._drop_depth = 0
+        self._chrome_depth = 0
+        self._main_depth = 0
+        self._link_depth = 0
+        self._figure_depth = 0
+        self._cur: Block | None = None
+        self.saw_main = False
+
+    # -- block lifecycle ---------------------------------------------------
+
+    def _open_block(self, tag: str) -> None:
+        self._close_block()
+        kind = _kind_for_tag(tag)
+        if self._figure_depth > 0 and kind == "paragraph":
+            kind = "figure"
+        blk = Block(
+            tag=tag,
+            depth=len(self._stack),
+            in_chrome=self._chrome_depth > 0,
+            in_main=self._main_depth > 0,
+            heading=int(tag[1]) if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit() else 0,
+            kind=kind,
+        )
+        self._cur = blk
+
+    def _close_block(self) -> None:
+        if self._cur is not None and self._cur.text():
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    # -- HTMLParser hooks ----------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            if tag == "br" and self._cur is not None:
+                self._cur.parts.append(" ")
+            return
+        if tag in _DROP_TAGS or self._drop_depth > 0:
+            self._stack.append(tag)
+            self._drop_depth += 1
+            return
+        hinted = False
+        if tag in ("div", "section", "ul", "ol", "table"):
+            attr_blob = " ".join(
+                str(v).lower() for k, v in attrs if k in ("class", "id", "role") and v
+            )
+            hinted = any(h in attr_blob for h in _CHROME_HINTS)
+        self._stack.append(tag)
+        if tag in _CHROME_TAGS or hinted:
+            self._chrome_depth += 1
+            self._stack[-1] = "!chrome:" + tag
+        if tag in ("main", "article"):
+            self._main_depth += 1
+            self.saw_main = True
+        if tag == "figure":
+            self._figure_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._open_block(tag)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            return
+        # Unwind the stack leniently (malformed HTML: unbalanced tags).
+        if tag not in self._stack and ("!chrome:" + tag) not in self._stack:
+            return
+        while self._stack:
+            top = self._stack.pop()
+            bare = top.split(":", 1)[1] if top.startswith("!chrome:") else top
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            else:
+                if top.startswith("!chrome:") or bare in _CHROME_TAGS:
+                    self._chrome_depth = max(0, self._chrome_depth - 1)
+                if bare in ("main", "article"):
+                    self._main_depth = max(0, self._main_depth - 1)
+                if bare == "figure":
+                    self._figure_depth = max(0, self._figure_depth - 1)
+                if bare == "a":
+                    self._link_depth = max(0, self._link_depth - 1)
+                if bare in _BLOCK_TAGS:
+                    self._close_block()
+            if bare == tag:
+                break
+
+    def handle_data(self, data):
+        if self._drop_depth > 0 or not data:
+            return
+        if self._cur is None:
+            if not data.strip():
+                return
+            # Bare text outside any block tag (e.g. directly under <body>).
+            self._open_block("p")
+        self._cur.parts.append(data)
+        if self._link_depth > 0:
+            self._cur.link_parts.append(data)
+
+    def close(self):
+        try:
+            super().close()
+        finally:
+            self._close_block()
+
+
+def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str]]:
+    """Select content blocks; return [(elem_type, text)] in document order.
+
+    Density cascade mirrors the reference's cheap-predicate-first ordering
+    (advanced_layout_extractor.py:636-691): structural gates first, then
+    link-density, then length.
+    """
+    kept: list[tuple[str, str]] = []
+    for blk in blocks:
+        text = blk.text()
+        if not text:
+            continue
+        if blk.in_chrome:
+            # chrome blocks are dropped outright when a main region exists;
+            # otherwise they survive only as typed header/footer candidates —
+            # still excluded from main content.
+            continue
+        if saw_main and not blk.in_main:
+            continue
+        n = len(text)
+        words = text.count(" ") + 1
+        ld = blk.link_chars() / n if n else 1.0
+        if blk.heading:
+            if ld <= LINK_DENSITY_MAX_SHORT:
+                kept.append(("title", text))
+            continue
+        if blk.kind == "caption":
+            kept.append(("caption", text))
+            continue
+        if ld > LINK_DENSITY_MAX:
+            continue
+        if words <= SHORT_BLOCK_WORDS and ld > LINK_DENSITY_MAX_SHORT:
+            continue
+        if n < MIN_CONTENT_CHARS and blk.kind == "paragraph":
+            continue
+        kept.append((blk.kind, text))
+    return kept
+
+
+def extract_html(payload: bytes | str) -> dict:
+    """Extract main content from one HTML payload.
+
+    Returns ``{"text": str, "spans": [(elem_type, page, start, end, bbox)],
+    "n_elements": int, "method": "html", "error": str|None}``.
+    Never raises; on catastrophic failure returns empty text with the error
+    recorded (posture of advanced_layout_extractor.py:690-691, logged not
+    silenced).
+    """
+    try:
+        if isinstance(payload, bytes):
+            html = payload.decode("utf-8", errors="replace")
+        else:
+            html = payload
+        parser = _BlockParser()
+        parser.feed(html)
+        parser.close()
+        kept = _classify(parser.blocks, parser.saw_main)
+        texts: list[str] = []
+        spans: list[tuple] = []
+        pos = 0
+        for elem_type, text in kept:
+            if texts:
+                pos += 2  # "\n\n" separator
+            start = pos
+            end = start + len(text)
+            spans.append((elem_type, 0, start, end, [0.0, 0.0, 0.0, 0.0]))
+            texts.append(text)
+            pos = end
+        return {
+            "text": "\n\n".join(texts),
+            "spans": spans,
+            "n_elements": len(spans),
+            "method": "html",
+            "error": None,
+        }
+    except Exception as exc:  # totality: malformed input must degrade
+        return {
+            "text": "",
+            "spans": [],
+            "n_elements": 0,
+            "method": "html",
+            "error": f"{type(exc).__name__}: {exc}",
+        }

@@ -1,0 +1,214 @@
+"""Deterministic minimal PDF writer for fixture corpora.
+
+Generates small, valid PDF payloads (FIXTURES.md "PDF payload variants")
+entirely from stdlib: classic xref tables or cross-reference streams,
+uncompressed or FlateDecode content streams, single- or two-column layouts,
+optional oversized title line and ruled table grids. The companion parser
+(:mod:`pdf_extract`) must reconstruct the original text byte-identically in
+reading order.
+
+This replaces the reference pipeline's dependence on ad-hoc local PDFs
+(advanced_layout_extractor.py:1165) with seeded synthetic documents.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+MARGIN = 72.0
+BODY_SIZE = 10.0
+TITLE_SIZE = 18.0
+LEADING = 12.0
+LINE_CHARS = 60          # max chars per wrapped line (single column)
+COL_LINE_CHARS = 34      # max chars per wrapped line (two-column)
+COL2_X = 320.0
+LINES_PER_COL = 54
+
+
+def _esc(s: str) -> str:
+    """Escape a literal PDF string; non-ASCII bytes as octal escapes."""
+    out = []
+    for ch in s:
+        if ch in "\\()":
+            out.append("\\" + ch)
+        elif ord(ch) < 32 or ord(ch) > 126:
+            for b in ch.encode("utf-8"):
+                out.append("\\%03o" % b)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wrap_words(text: str, width: int) -> list[str]:
+    """Greedy word wrap; deterministic; splits only on single spaces so that
+    joining the lines back with " " reproduces the input byte-identically."""
+    words = text.split(" ")
+    lines: list[str] = []
+    cur: list[str] = []
+    n = 0
+    for w in words:
+        add = len(w) + (1 if cur else 0)
+        if cur and n + add > width:
+            lines.append(" ".join(cur))
+            cur, n = [w], len(w)
+        else:
+            cur.append(w)
+            n += add
+    if cur:
+        lines.append(" ".join(cur))
+    return lines
+
+
+def _content_single(lines: list[str], title: str | None) -> list[str]:
+    """One content stream per page, single column top-down."""
+    pages: list[str] = []
+    ops: list[str] = []
+    y = PAGE_H - MARGIN
+    if title is not None:
+        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (TITLE_SIZE, MARGIN, y, _esc(title)))
+        y -= 2 * LEADING
+    for ln in lines:
+        if y < MARGIN:
+            pages.append("\n".join(ops))
+            ops = []
+            y = PAGE_H - MARGIN
+        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, MARGIN, y, _esc(ln)))
+        y -= LEADING
+    if ops:
+        pages.append("\n".join(ops))
+    return pages
+
+
+def _content_two_col(lines: list[str], title: str | None) -> list[str]:
+    """Two columns per page: fill left column top-down, then right."""
+    pages: list[str] = []
+    i = 0
+    first = True
+    while i < len(lines) or (first and title is not None):
+        ops: list[str] = []
+        top = PAGE_H - MARGIN
+        if first and title is not None:
+            ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (TITLE_SIZE, MARGIN, top, _esc(title)))
+            top -= 2 * LEADING
+        first = False
+        for x in (MARGIN, COL2_X):
+            y = top
+            while i < len(lines) and y >= MARGIN:
+                ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, x, y, _esc(lines[i])))
+                y -= LEADING
+                i += 1
+        pages.append("\n".join(ops))
+    return pages
+
+
+def _content_table(rows: list[list[str]]) -> str:
+    """A ruled grid (lines + rects, as in pdf_vector_utils.py:38-90) with
+    cell text — exercises the parser's grid detection."""
+    nrows, ncols = len(rows), max(len(r) for r in rows)
+    x0, y1 = MARGIN, PAGE_H - MARGIN
+    cw, rh = 120.0, 24.0
+    x1, y0 = x0 + ncols * cw, y1 - nrows * rh
+    ops = ["0.5 w"]
+    for r in range(nrows + 1):
+        y = y1 - r * rh
+        ops.append("%g %g m %g %g l S" % (x0, y, x1, y))
+    for c in range(ncols + 1):
+        x = x0 + c * cw
+        ops.append("%g %g m %g %g l S" % (x, y0, x, y1))
+    for r, row in enumerate(rows):
+        for c, cell in enumerate(row):
+            tx = x0 + c * cw + 4
+            ty = y1 - r * rh - 16
+            ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, tx, ty, _esc(cell)))
+    return "\n".join(ops)
+
+
+def _assemble(page_streams: list[str], compress: bool, xref_stream: bool) -> bytes:
+    """Assemble objects + xref. Classic xref table or a cross-reference
+    stream (PDF 1.5) depending on ``xref_stream``."""
+    npages = len(page_streams)
+    # object numbering: 1 Catalog, 2 Pages, 3 Font, then per page (Page, Contents)
+    objs: dict[int, bytes] = {}
+    kids = " ".join("%d 0 R" % (4 + 2 * i) for i in range(npages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, npages)).encode()
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, stream in enumerate(page_streams):
+        pg, ct = 4 + 2 * i, 5 + 2 * i
+        objs[pg] = (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %g %g] "
+            "/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % (PAGE_W, PAGE_H, ct)
+        ).encode()
+        data = stream.encode("latin-1")
+        if compress:
+            data = zlib.compress(data, 6)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        objs[ct] = head + b"\nstream\n" + data + b"\nendstream"
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num
+        buf += objs[num]
+        buf += b"\nendobj\n"
+
+    maxnum = max(objs)
+    if not xref_stream:
+        xref_off = len(buf)
+        buf += b"xref\n0 %d\n" % (maxnum + 1)
+        buf += b"0000000000 65535 f \n"
+        for num in range(1, maxnum + 1):
+            buf += b"%010d 00000 n \n" % offsets.get(num, 0)
+        buf += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (maxnum + 1)
+        buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    else:
+        xnum = maxnum + 1
+        xref_off = len(buf)
+        # W = [1 4 1]: type, offset, gen
+        rows = [b"\x00" + (0).to_bytes(4, "big") + b"\xff"]
+        for num in range(1, maxnum + 1):
+            rows.append(b"\x01" + offsets.get(num, 0).to_bytes(4, "big") + b"\x00")
+        rows.append(b"\x01" + xref_off.to_bytes(4, "big") + b"\x00")
+        data = zlib.compress(b"".join(rows), 6)
+        head = (
+            "<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R /Filter /FlateDecode /Length %d >>"
+            % (xnum + 1, len(data))
+        ).encode()
+        buf += b"%d 0 obj\n" % xnum
+        buf += head + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+        buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(buf)
+
+
+def build_pdf(
+    text: str,
+    columns: int = 1,
+    title: str | None = None,
+    compress: bool = False,
+    xref_stream: bool = False,
+    table_rows: list[list[str]] | None = None,
+) -> bytes:
+    """Build one deterministic PDF.
+
+    ``text`` is wrapped on single spaces; the parser's reading-order
+    reconstruction must return it byte-identically (title, if given, becomes
+    a separate leading TITLE block).
+    """
+    if table_rows is not None:
+        pages = [_content_table(table_rows)]
+    elif columns == 2:
+        pages = _content_two_col(wrap_words(text, COL_LINE_CHARS), title)
+    else:
+        pages = _content_single(wrap_words(text, LINE_CHARS), title)
+    return _assemble(pages, compress=compress, xref_stream=xref_stream)
+
+
+def build_truncated_pdf(text: str) -> bytes:
+    """Malformed variant: valid prefix, hard-truncated mid-file."""
+    full = build_pdf(text)
+    return full[: max(40, len(full) // 2)]

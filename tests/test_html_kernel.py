@@ -1,0 +1,108 @@
+"""Unit + property tests for the pure HTML extraction kernel."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX, render_article
+from pdf_extraction_spark.kernels.html_extract import extract_html
+
+ARTICLE = """<!DOCTYPE html><html><body>
+<header><nav><a href='/'>Home</a> <a href='/a'>About</a></nav></header>
+<main>
+<h1>The Article Title</h1>
+<p>First paragraph with enough characters to count as content here.</p>
+<p>Second paragraph also long enough to be considered main content.</p>
+<ul><li>item one is listed</li><li>item two is listed</li></ul>
+<table><tr><td>cell alpha data</td><td>cell beta data</td></tr></table>
+<figure><img src='x.png'><figcaption>Figure 1: a caption</figcaption></figure>
+</main>
+<aside><a href='/1'>rel one</a><a href='/2'>rel two</a></aside>
+<footer>Copyright 2026 SiteName</footer>
+</body></html>"""
+
+
+def test_main_content_and_types():
+    r = extract_html(ARTICLE)
+    types = [s[0] for s in r["spans"]]
+    assert types == [
+        "title", "paragraph", "paragraph", "list", "list", "table", "table", "caption",
+    ]
+    assert r["text"].startswith("The Article Title\n\nFirst paragraph")
+    assert "Home" not in r["text"]          # nav stripped
+    assert "Copyright" not in r["text"]     # footer stripped
+    assert "rel one" not in r["text"]       # aside stripped
+
+
+def test_span_offsets_roundtrip():
+    r = extract_html(ARTICLE)
+    blocks = r["text"].split("\n\n")
+    assert len(blocks) == len(r["spans"])
+    for (elem, page, s, e, bbox), blk in zip(r["spans"], blocks):
+        assert r["text"][s:e] == blk
+        assert page == 0
+
+
+def test_template_roundtrip_exact():
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    html = ARTICLE_PREFIX + body + ARTICLE_SUFFIX
+    assert extract_html(html.encode())["text"] == body
+
+
+def test_link_farm_stripped():
+    html = (
+        "<body><main><p>"
+        + "real content paragraph with plenty of words to keep around here"
+        + "</p></main>"
+        + "<div class='related'><a href='/x'>x</a><a href='/y'>y</a></div></body>"
+    )
+    r = extract_html(html)
+    assert "real content" in r["text"]
+    assert "x" not in r["text"].split()
+
+
+def test_entities_and_multibyte():
+    html = "<main><p>&amp; entity &lt;test&gt; multibyte 한국어 텍스트 블록</p></main>"
+    r = extract_html(html)
+    assert r["text"] == "& entity <test> multibyte 한국어 텍스트 블록"
+
+
+def test_scripts_styles_comments_dropped():
+    html = ("<main><script>var boilerplate_script_content = 1;</script>"
+            "<!-- hidden comment text --><style>p{color:red}</style>"
+            "<p>visible paragraph content stays in the output here</p></main>")
+    r = extract_html(html)
+    assert r["text"] == "visible paragraph content stays in the output here"
+
+
+def test_variants_nonempty():
+    for v in range(1, 6):
+        html = render_article("A Title Here", ["one two three four five six seven eight nine ten"], v)
+        r = extract_html(html)
+        assert r["error"] is None
+        assert "one two three" in r["text"]
+
+
+def test_malformed_total():
+    assert extract_html(b"")["text"] == ""
+    assert extract_html(b"\x00\xff\xfegarbage<<<")["n_elements"] >= 0
+    r = extract_html("<div><p>abc def ghi jkl mno pqr")
+    assert r["text"] == "abc def ghi jkl mno pqr"
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=150, deadline=None)
+def test_totality_random_bytes(payload):
+    r = extract_html(payload)
+    assert isinstance(r["text"], str)
+    for (_, _, s, e, _) in r["spans"]:
+        assert 0 <= s <= e <= len(r["text"])
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=2000))
+@settings(max_examples=150, deadline=None)
+def test_totality_random_text(payload):
+    r = extract_html(payload)
+    assert isinstance(r["text"], str)
+    # spans tile the text with "\n\n" separators
+    blocks = r["text"].split("\n\n") if r["text"] else []
+    assert len(blocks) == len(r["spans"])
