@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over a corpus built
+from sf0.001 documents; ``queries()``/``oracle_sql()`` cover the operator
+inventory of SURVEY.md §2 plus the training-data-pipeline operators (dedup /
+similarity / text analysis / multimodal). Every SQL-expressible operator has
+a DuckDB oracle; column names are aligned on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,151 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.corpus import corpus_from_documents
+from pdf_extraction_spark.operators import dedup, multimodal, relational, similarity, textops
+from pdf_extraction_spark.pipeline import extract_corpus
+
+
+# -- flagship extraction queries -------------------------------------------------
+
+
+def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: wrap documents.text in the article template (JVM concat),
+    run the HTML extraction kernel via mapInPandas, return the extracted
+    text — must equal documents.text byte-identically (north rule)."""
+    corpus = corpus_from_documents(spark, sf_dir, payload="html")
+    out = extract_corpus(corpus, repartition=False)
+    return out.select("url", "extracted_text", "n_elements")
+
+
+SQL_EXTRACT_HTML_ROUNDTRIP = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       text AS extracted_text,
+       1 AS n_elements
+FROM documents
+"""
+
+
+def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF path: render documents.text as deterministic PDFs (mixed single/
+    two-column, Flate, xref-stream variants), parse with the pure-Python PDF
+    kernel, reconstruct reading order — byte-identical text back."""
+    corpus = corpus_from_documents(spark, sf_dir, payload="pdf")
+    out = extract_corpus(corpus, repartition=False)
+    return out.select("url", "extracted_text", "method")
+
+
+SQL_EXTRACT_PDF_ROUNDTRIP = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       text AS extracted_text,
+       'pdf' AS method
+FROM documents
+"""
+
+
+def q_extract_spans_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-offset invariant as a query: spans tile extracted_text exactly
+    (char_end - char_start sums to length minus separators)."""
+    corpus = corpus_from_documents(spark, sf_dir, payload="html")
+    out = extract_corpus(corpus, repartition=False)
+    return out.select(
+        "url",
+        F.length("extracted_text").alias("n_chars"),
+        F.aggregate(
+            "spans", F.lit(0).cast("long"),
+            lambda acc, s: acc + s["char_end"] - s["char_start"],
+        ).alias("span_chars"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+SQL_EXTRACT_SPANS_TILE = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       length(text) AS n_chars,
+       CAST(length(text) AS BIGINT) AS span_chars,
+       1 AS n_spans
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001", payload="html")
+    out = extract_corpus(corpus, repartition=False)
+    return out.select("url", "extracted_text", "n_elements", "method", "error")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (north rule)
+        "extract_html_roundtrip": q_extract_html_roundtrip,
+        "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+        "extract_spans_tile": q_extract_spans_tile,
+        # dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+        "embedding_cosine_pairs": similarity.q_embedding_cosine_pairs,
+        # similarity search
+        "ann_topk_cosine": similarity.q_ann_topk_cosine,
+        "ann_lsh_bucketed": similarity.q_ann_lsh_bucketed,
+        # text analysis
+        "lang_id_stopwords": textops.q_lang_id_stopwords,
+        "quality_score": textops.q_quality_score,
+        "token_count": textops.q_token_count,
+        "fingerprint_winnow": textops.q_fingerprint_winnow,
+        "chunk_split": textops.q_chunk_split,
+        "regex_counts": textops.q_regex_counts,
+        # multimodal plumbing
+        "multimodal_meta": multimodal.q_multimodal_meta,
+        # relational operator inventory (SURVEY.md §2)
+        "pricing_summary": relational.q_pricing_summary,
+        "group_median": relational.q_group_median,
+        "sessionize_events": relational.q_sessionize_events,
+        "theta_selfjoin": relational.q_theta_selfjoin,
+        "semi_join_validation": relational.q_semi_join_validation,
+        "band_join": relational.q_band_join,
+        "asof_nearest_prior": relational.q_asof_nearest_prior,
+        "interval_overlap_dedup": relational.q_interval_overlap_dedup,
+        "grid_cluster_1d": relational.q_grid_cluster_1d,
+        "top_orders": relational.q_top_orders,
+        "rollup_counts": relational.q_rollup_counts,
+        "broadcast_dim_join": relational.q_broadcast_dim_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_html_roundtrip": SQL_EXTRACT_HTML_ROUNDTRIP,
+        "extract_pdf_roundtrip": SQL_EXTRACT_PDF_ROUNDTRIP,
+        "extract_spans_tile": SQL_EXTRACT_SPANS_TILE,
+        "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": dedup.SQL_DEDUP_MINHASH_LSH,
+        "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
+        "dedup_ngram_jaccard": dedup.SQL_DEDUP_NGRAM_JACCARD,
+        "embedding_cosine_pairs": similarity.SQL_EMBEDDING_COSINE_PAIRS,
+        "ann_topk_cosine": similarity.SQL_ANN_TOPK_COSINE,
+        "ann_lsh_bucketed": similarity.SQL_ANN_LSH_BUCKETED,
+        "lang_id_stopwords": textops.SQL_LANG_ID_STOPWORDS,
+        "quality_score": textops.SQL_QUALITY_SCORE,
+        "token_count": textops.SQL_TOKEN_COUNT,
+        "fingerprint_winnow": textops.SQL_FINGERPRINT_WINNOW,
+        "chunk_split": textops.SQL_CHUNK_SPLIT,
+        "regex_counts": textops.SQL_REGEX_COUNTS,
+        "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
+        "pricing_summary": relational.SQL_PRICING_SUMMARY,
+        "group_median": relational.SQL_GROUP_MEDIAN,
+        "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,
+        "theta_selfjoin": relational.SQL_THETA_SELFJOIN,
+        "semi_join_validation": relational.SQL_SEMI_JOIN_VALIDATION,
+        "band_join": relational.SQL_BAND_JOIN,
+        "asof_nearest_prior": relational.SQL_ASOF_NEAREST_PRIOR,
+        "interval_overlap_dedup": relational.SQL_INTERVAL_OVERLAP_DEDUP,
+        "grid_cluster_1d": relational.SQL_GRID_CLUSTER_1D,
+        "top_orders": relational.SQL_TOP_ORDERS,
+        "rollup_counts": relational.SQL_ROLLUP_COUNTS,
+        "broadcast_dim_join": relational.SQL_BROADCAST_DIM_JOIN,
+    }

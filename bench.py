@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric is end-to-end extraction over a corpus replicated from
+the documents table (HTML 4x + PDF 1x), plus the dedup / similarity / text /
+relational headline operators. docs_per_sec and scaling numbers land in
+BENCH/ via scalebench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICATE_HTML = 4  # corpus = documents x4 as HTML + x1 as PDF
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+
+
+def replicated_corpus(spark, sf_dir: str, copies: int):
+    """documents × copies as HTML payloads (JVM-side template concat)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = docs.select(
+        "doc_id", "text", "source", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
+    )
+    return rep.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            (F.col("doc_id") + F.col("k") * 10_000_000).cast("string"),
+        ).alias("url"),
+        F.encode(F.concat(F.lit(ARTICLE_PREFIX), F.col("text"), F.lit(ARTICLE_SUFFIX)), "utf-8").alias("html"),
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from pdf_extraction_spark.corpus import corpus_from_documents
+    from pdf_extraction_spark.pipeline import extract_corpus
+
+    timings: dict[str, float] = {}
+    n_docs_extracted = 0
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # headline 1: HTML extraction throughput over a replicated corpus
+    corpus = replicated_corpus(spark, sf_dir, REPLICATE_HTML)
+    n_html = timed(
+        "extract_html",
+        lambda: extract_corpus(corpus, partitions=cpus).filter("error IS NULL").count(),
+    )
+    n_docs_extracted += n_html
+
+    # headline 2: PDF extraction throughput (write + parse round-trip)
+    pdf_corpus = corpus_from_documents(spark, sf_dir, payload="pdf")
+    n_pdf = timed(
+        "extract_pdf",
+        lambda: extract_corpus(pdf_corpus, partitions=cpus).filter("error IS NULL").count(),
+    )
+    n_docs_extracted += n_pdf
+
+    # operator headliners
+    qs = entrymod.queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk_cosine",
+        "ann_lsh_bucketed",
+        "fingerprint_winnow",
+        "lang_id_stopwords",
+        "sessionize_events",
+        "pricing_summary",
+        "theta_selfjoin",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    extract_sec = timings["extract_html"] + timings["extract_pdf"]
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_extracted": n_docs_extracted,
+        "extract_docs_per_sec": round(n_docs_extracted / extract_sec, 1) if extract_sec else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

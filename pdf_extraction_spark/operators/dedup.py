@@ -1,0 +1,346 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join →
+exact-Jaccard verify), SimHash, and n-gram Jaccard. All are pure relational
+column algebra (portable md5-based hashing, no Python UDFs) so the same
+semantics run on a 1000-executor cluster with ordinary shuffle tuning, and a
+DuckDB oracle can verify every value.
+
+Scale notes (the 100 TB story):
+
+* exact dedup is one map-side-combinable groupBy on ``md5(text)``;
+* MinHash-LSH is the standard scale path: candidate generation shuffles on
+  ``(band_id, band_key)`` — O(n·bands) rows — never the O(n²) pair space;
+* the only O(pairs) work (exact-Jaccard verification) runs on LSH survivors;
+* SimHash emits one 16-bit signature per doc (bucket-join dedupe follows the
+  same band pattern).
+
+To guarantee the small test corpus actually contains near-duplicates, each
+operator unions in deterministic mutated copies (id + 1_000_000, text
+truncated to 80%) — the oracle does the same, so values must match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import tbl
+
+MUTANT_OFFSET = 1_000_000
+
+# SQL fragment + DataFrame builder for documents ∪ mutated near-dup copies.
+_DUPED_SQL = f"""
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {MUTANT_OFFSET} AS doc_id,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text,
+         source
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _duped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mutants = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+            F.expr("substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))").alias("text"),
+            "source",
+        )
+    )
+    return docs.unionAll(mutants)
+
+
+# -- exact dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id. With exact copies
+    (id+2_000_000 clones of doc_id%10==0) unioned in so groups exist."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2 * MUTANT_OFFSET).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionAll(clones)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * MUTANT_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM all_docs GROUP BY 1
+"""
+
+
+# -- shingles (shared by MinHash-LSH and n-gram Jaccard) ------------------------------
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word 3-gram shingles per doc (1-indexed, portable)."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1)))).alias("i"), "w")
+        .select(
+            "doc_id",
+            # try_element_at: NULL (skipped by concat_ws) instead of an ANSI
+            # out-of-bounds error for sub-3-word docs; the oracle coalesces.
+            F.concat_ws(
+                " ",
+                F.try_element_at("w", F.col("i")),
+                F.try_element_at("w", F.col("i") + 1),
+                F.try_element_at("w", F.col("i") + 2),
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || coalesce(w[i+1], '') || ' ' || coalesce(w[i+2], '') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------------------
+
+MINHASH_K = 8   # number of hash functions
+LSH_BANDS = 4   # bands of r = K/BANDS rows
+JACCARD_THRESHOLD = 0.4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection:
+
+    shingle → K minhashes (min over md5(seed||shingle)) → band signatures →
+    candidate pairs from band-bucket self-join → exact Jaccard verify on
+    candidates only → pairs over threshold.
+    """
+    docs = _duped_docs(spark, sf_dir)
+    sh = _shingles(docs)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed")
+    hashed = sh.select("doc_id", "sh", seeds).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"),
+    )
+    # one row per doc with mh0..mh7 (deterministic pivot by seed)
+    mh = hashed.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("seed") == s, F.col("h"))).alias(f"mh{s}") for s in range(MINHASH_K)]
+    )
+    r = MINHASH_K // LSH_BANDS
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)])).alias("band_key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact Jaccard verify on candidates only
+    inter = (
+        cand.join(sh.alias("s1"), F.col("id_a") == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("id_b") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_cols_sql() -> str:
+    return ", ".join(
+        f"min(CASE WHEN seed = {s} THEN h END) AS mh{s}" for s in range(MINHASH_K)
+    )
+
+
+def _band_rows_sql() -> str:
+    r = MINHASH_K // LSH_BANDS
+    rows = []
+    for b in range(LSH_BANDS):
+        concat = " || ".join(f"mh{b * r + j}" for j in range(r))
+        rows.append(f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_key FROM mh")
+    return " UNION ALL ".join(rows)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH all_docs AS ({_DUPED_SQL}),
+sh AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || sh) AS h
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS seed)
+),
+mh AS (
+  SELECT doc_id, {_minhash_cols_sql()} FROM hashed GROUP BY doc_id
+),
+bands AS ({_band_rows_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON c.id_a = s1.doc_id
+  JOIN sh s2 ON c.id_b = s2.doc_id AND s1.sh = s2.sh
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# -- SimHash --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational SimHash: per token and bit, a ±1 vote derived from the
+    parity of md5(token||':'||bit); signature bit = sign of the vote sum.
+    Engine-portable (md5-only randomness) and fully JVM-side in Spark."""
+    docs = _duped_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "tok",
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            F.ascii(F.substring(F.md5(F.concat(F.col("tok"), F.lit(":"), F.col("b").cast("string"))), 1, 1)) % 2 == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("v"),
+    )
+    bits = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH all_docs AS ({_DUPED_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM all_docs
+),
+votes AS (
+  SELECT doc_id, b,
+         CASE WHEN ascii(substr(md5(tok || ':' || CAST(b AS VARCHAR)), 1, 1)) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b)
+),
+bits AS (SELECT doc_id, b, sum(v) AS s FROM votes GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# -- n-gram Jaccard within blocking groups ---------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over pairs blocked by ``source`` (classic
+    blocking dedup: the O(n²) pair space is bounded per block)."""
+    docs = _duped_docs(spark, sf_dir)
+    sh = _shingles(docs)
+    src = docs.select("doc_id", "source")
+    pairs = (
+        src.alias("a")
+        .join(src.alias("b"), F.col("a.source") == F.col("b.source"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    inter = (
+        pairs.join(sh.alias("s1"), F.col("id_a") == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("id_b") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH all_docs AS ({_DUPED_SQL}),
+sh AS ({_SHINGLES_SQL}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM all_docs a JOIN all_docs b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh s1 ON p.id_a = s1.doc_id
+  JOIN sh s2 ON p.id_b = s2.doc_id AND s1.sh = s2.sh
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= 0.2
+"""

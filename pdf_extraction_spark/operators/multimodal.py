@@ -1,0 +1,79 @@
+"""Multimodal (binary) column plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed metadata
+extracted by Arrow-batched ``mapInPandas`` stages (the Spark-side plumbing —
+schema, batching, partitioning — is real; the actual codec decode is STUBBED
+deterministically because no image/audio libraries exist in this container).
+
+The deterministic fake "decode" derives width/height from the payload's md5
+so the DuckDB oracle can verify the full pipeline end-to-end:
+``width = 64 + ascii(md5[0]) % 64``, ``height = 64 + ascii(md5[1]) % 64``.
+Replace :func:`_decode_stub` with a real decoder (PIL/ffmpeg) in production;
+the Spark plan does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import tbl
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, fmt string"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake decoder. A real implementation would parse the
+    container header (PNG IHDR / JPEG SOF / WAV fmt chunk) here.
+
+    Raises NotImplementedError for payloads claiming a real codec — the
+    synthetic corpus never produces them, and the error path is exercised in
+    tests.
+    """
+    if payload.startswith((b"\x89PNG", b"\xff\xd8\xff", b"RIFF")):
+        raise NotImplementedError("real codec decode not available in this container")
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + ord(digest[0]) % 64
+    height = 64 + ord(digest[1]) % 64
+    return width, height, "synthetic"
+
+
+def _meta_batches(batches):
+    for pdf in batches:
+        out = {"doc_id": [], "n_bytes": [], "width": [], "height": [], "fmt": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            try:
+                w, h, fmt = _decode_stub(payload)
+            except NotImplementedError:
+                w, h, fmt = -1, -1, "unsupported"
+            out["doc_id"].append(int(doc_id))
+            out["n_bytes"].append(len(payload))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["fmt"].append(fmt)
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: documents.text encoded as a fake
+    binary payload → mapInPandas batch decode → typed metadata."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(_meta_batches, schema=META_SCHEMA)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       length(text) AS n_bytes,
+       64 + ascii(substr(md5(text), 1, 1)) % 64 AS width,
+       64 + ascii(substr(md5(text), 2, 1)) % 64 AS height,
+       'synthetic' AS fmt
+FROM documents
+"""

@@ -1,0 +1,244 @@
+"""Similarity search over the ``embeddings`` table (J8/W5 rebuild: the
+reference's FAISS flat top-k retrieval, complete_multimodal_rag_evaluation
+.py:225-226, re-expressed relationally).
+
+Two paths:
+
+* :func:`q_ann_topk_cosine` — brute-force cosine top-k (the correctness
+  baseline; at scale this is the per-query broadcast-join path);
+* :func:`q_ann_lsh_bucketed` — signed-random-projection LSH: 8 md5-derived
+  ±1 hyperplanes bucket the vectors; candidates share the query's bucket and
+  are re-ranked exactly. This is the 100 TB path: bucketing shuffles on an
+  8-bit key instead of cross-joining the corpus.
+
+Cosine arithmetic runs in ``F.aggregate``/``zip_with`` (JVM, codegen) — no
+Python. Embedding near-dup pairs (:func:`q_embedding_cosine_pairs`) block on
+``label`` like a coarse IVF cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import tbl
+
+N_QUERIES = 10
+TOP_K = 5
+LSH_PLANES = 8
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    dot_self = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("norm", F.sqrt(dot_self))
+
+
+def _cosine(e1, e2, n1, n2):
+    dot = F.aggregate(
+        F.zip_with(e1, e2, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (n1 * n2)
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries;
+    deterministic tie-break on vec_id."""
+    emb = _with_norm(tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    pairs = q.crossJoin(emb).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.round(_cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+SQL_ANN_TOPK_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (q.norm * e.norm), 4) AS cos
+  FROM e q JOIN e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_expr_spark(emb_col: str):
+    """8-bit signed-random-projection bucket: plane p's component for dim d
+    is ±1 by parity of md5('p,d'); bit_p = [Σ_d sign·v_d > 0]."""
+    bits = []
+    for p in range(LSH_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.transform(
+                    F.sequence(F.lit(1), F.size(emb_col)),
+                    lambda d: F.when(
+                        F.ascii(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{p},"), d.cast("string"))), 1, 1
+                            )
+                        )
+                        % 2
+                        == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda v, s: v.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: bucket by 8 signed random projections, rerank the
+    query's own bucket exactly, top-3 per query. Scale path: the corpus-side
+    shuffle key is the 8-bit bucket, not a cross join."""
+    emb = _with_norm(tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = emb.withColumn("bucket", _bucket_expr_spark("embedding"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = q.join(emb, F.col("bucket") == F.col("q_bucket")).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(_cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+def _bucket_expr_sql(alias: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, len({alias}.embedding)), "
+            f"d -> CAST({alias}.embedding[d] AS DOUBLE) * "
+            f"(CASE WHEN ascii(substr(md5('{p},' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END))) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+         {_bucket_expr_sql('embeddings')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (q.norm * e.norm), 4) AS cos
+  FROM e q JOIN e ON e.bucket = q.bucket AND e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.95 among pairs blocked by
+    ``label`` (IVF-cell-style blocking bounds the pair space). Deterministic
+    scaled copies (vec_id+1e6, embedding×1.5 ⇒ cosine 1.0) are unioned in so
+    the small corpus actually contains near-duplicates."""
+    base = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    mutants = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: (x.cast("double") * 1.5).cast("float")).alias("embedding"),
+    )
+    emb = _with_norm(base.unionByName(mutants))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"), F.col("label").alias("label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"), F.col("label").alias("label"),
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "label",
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("e_a"), F.col("e_b"), F.col("n_a"), F.col("n_b")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+    )
+
+
+SQL_EMBEDDING_COSINE_PAIRS = """
+WITH all_emb AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+e AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+  FROM all_emb
+)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.norm * b.norm), 4) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.norm * b.norm), 4) >= 0.95
+"""

@@ -1,0 +1,291 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline primitives: language identification,
+quality scoring, token counting, document fingerprinting (winnowing), and
+chunk splitting (the RAG chunker of the reference,
+complete_multimodal_rag_evaluation.py:26-78, rebuilt relationally).
+
+All operators are pure ``pyspark.sql.functions`` column algebra — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so they scale to 10^12 rows with
+nothing but shuffle tuning. Each has a DuckDB oracle twin (SQL_*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import tbl
+
+# deterministic per-language stopword lists (literal dimension table; the
+# Spark side broadcasts it — SURVEY.md §4 "Broadcast: keyword tables (P7)").
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _stopword_df(spark: SparkSession):
+    rows = [(lang, w) for lang, words in STOPWORDS.items() for w in words]
+    return spark.createDataFrame(rows, "cand_lang string, tok string")
+
+
+def _stopword_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, words in STOPWORDS.items() for w in words
+    )
+    return f"(VALUES {rows}) AS sw(cand_lang, tok)"
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+
+# -- language ID -----------------------------------------------------------------
+
+
+def q_lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-hit language ID: argmax over per-language hit counts,
+    tie-broken by language code; 'und' when no list matches."""
+    docs = tbl(spark, sf_dir, "documents")
+    hits = (
+        _tokens(docs)
+        .join(F.broadcast(_stopword_df(spark)), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cand_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+
+
+SQL_LANG_ID_STOPWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hits AS (
+  SELECT t.doc_id, sw.cand_lang, count(*) AS hits
+  FROM toks t JOIN {_stopword_values_sql()} ON t.tok = sw.tok
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, cand_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.cand_lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+# -- quality scoring ---------------------------------------------------------------
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + linear score
+    (the evidence-weighted scoring pattern of table_figure_classifier.py:17-24
+    applied to text quality)."""
+    docs = tbl(spark, sf_dir, "documents")
+    en = STOPWORDS["en"]
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    avg_word = (n_chars - (n_words - F.lit(1))) / n_words
+    stop_ratio = stop_hits / n_words
+    punct_ratio = punct / n_chars
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 2.0
+        - punct_ratio * 1.0
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(avg_word, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
+       round(stop_hits / CAST(n_words AS DOUBLE), 4) AS stop_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.5
+             + (stop_hits / CAST(n_words AS DOUBLE)) * 2.0
+             - (punct / CAST(n_chars AS DOUBLE)) * 1.0, 4) AS quality
+FROM f
+"""
+
+
+# -- token counting -----------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (A5/A6 analog:
+    gpt4_comprehensive_visual_processor.py:210-336 counted regex matches)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)).alias("re_tokens"),
+        F.regexp_count(F.col("text"), F.lit("data")).alias("kw_data"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+       len(regexp_extract_all(text, 'data')) AS kw_data
+FROM documents
+"""
+
+
+# -- fingerprinting (winnowing) --------------------------------------------------------
+
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnow window (rows)
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    md5 over char 8-grams, per-window minimum, distinct selected hashes.
+    Pure window algebra — the rolling hash is a windowed min over position
+    order, no UDF."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1))).alias("i"),
+    ).select(
+        "doc_id", "i", F.expr(f"substr(md5(substr(text, i, {WINNOW_K})), 1, 8)").alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    sel = grams.select("doc_id", F.min("h").over(w).alias("fp"))
+    return sel.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fp"), F.min("fp").alias("min_fp")
+    )
+
+
+SQL_FINGERPRINT_WINNOW = f"""
+WITH grams AS (
+  SELECT doc_id, i, substr(md5(substr(text, i, {WINNOW_K})), 1, 8) AS h
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS i)
+), sel AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp FROM sel GROUP BY doc_id
+"""
+
+
+# -- chunk splitting ------------------------------------------------------------------
+
+
+CHUNK_WORDS = 40
+CHUNK_STRIDE = 30  # overlap 10
+
+
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker (UDTF-shaped op of SURVEY.md §2.9; reference
+    used RecursiveCharacterTextSplitter with overlap,
+    complete_multimodal_rag_evaluation.py:33-48). Word windows of
+    40 / stride 30, relational explode — no UDF."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("w") - F.lit(CHUNK_WORDS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        chunk_text.alias("chunk_text"),
+        F.size(F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS)).alias("n_tokens"),
+    )
+
+
+SQL_CHUNK_SPLIT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - {CHUNK_WORDS - CHUNK_STRIDE}) / {CHUNK_STRIDE}.0) AS INT)) AS n_chunks
+  FROM d
+)
+SELECT doc_id, chunk_id,
+       array_to_string(w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk_text,
+       len(w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_tokens
+FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id)
+"""
+
+
+# -- regex count rollup (A5/A6) ---------------------------------------------------------
+
+
+def q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of regex occurrence counts (rebuilds the reference's
+    element counting, gpt4_comprehensive_visual_processor.py:367-385:
+    per-page counts then per-doc sums → here per-doc then per-source)."""
+    docs = tbl(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit("data")).alias("c_data"),
+        F.regexp_count(F.col("text"), F.lit("join|merge")).alias("c_join"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("c_num"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("c_data").alias("sum_data"),
+            F.sum("c_join").alias("sum_join"),
+            F.sum("c_num").alias("sum_num"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+SQL_REGEX_COUNTS = """
+SELECT source,
+       sum(len(regexp_extract_all(text, 'data'))) AS sum_data,
+       sum(len(regexp_extract_all(text, 'join|merge'))) AS sum_join,
+       sum(len(regexp_extract_all(text, '[0-9]+'))) AS sum_num,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""

@@ -1,0 +1,121 @@
+"""Driver-mimic: run every queries() entry on Spark and its oracle_sql() on
+DuckDB at the given sf dir; compare row count, column names, and an
+order-insensitive value hash. Usage:
+
+    python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {exc}")
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        sh = frame_hash(scols, srows)
+        oh = frame_hash(ocols, orows)
+        ok_hash = sh == oh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_hash else f'{sh[:8]} vs {oh[:8]}'}"
+        )
+        if not ok_hash and ok_cols and ok_count:
+            # show first differing rows for debug
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            aset = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
+            bset = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in orows)
+            diffs = [(a, b) for a, b in zip(aset, bset) if a != b][:3]
+            for a, b in diffs:
+                print(f"    spark : {a[:160]}")
+                print(f"    duckdb: {b[:160]}")
+    print()
+    print("FAILURES:", failures if failures else "none")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
