@@ -1,0 +1,85 @@
+"""spark-submit entry point for the extraction pipeline (north rule:
+"launched via spark-submit --py-files on multi-executor clusters").
+
+    spark-submit --master local[32] --py-files pdf_extraction_spark.zip \
+        job.py --input /path/corpus_parquet --output /path/out \
+               --buckets 64 --salt 8 [--partitions 64] [--fresh]
+
+The input is a parquet table with the BASELINE.json input_hint shape
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+Prints ONE JSON summary line: docs, errors, extract wall seconds (excluding
+session startup), docs/sec, and an order-insensitive md5 over
+``url|extracted_text`` lines for cross-parallelism byte-equality checks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--fresh", action="store_true", help="delete any prior output first")
+    ap.add_argument("--skip-hash", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.lineage import run_resumable
+
+    if args.fresh:
+        shutil.rmtree(args.output, ignore_errors=True)
+
+    spark = (
+        SparkSession.builder.appName("pdf_extraction_spark_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    summary = run_resumable(
+        corpus, args.output, n_buckets=args.buckets,
+        partitions=args.partitions, salt=args.salt,
+    )
+    wall = time.monotonic() - t0
+
+    out_hash = None
+    if not args.skip_hash:
+        rows = (
+            spark.read.parquet(args.output.rstrip("/") + "/docs")
+            .select(F.concat_ws("|", "url", "extracted_text").alias("line"))
+            .collect()
+        )
+        h = hashlib.md5()
+        for line in sorted(r["line"] for r in rows):
+            h.update(line.encode())
+            h.update(b"\n")
+        out_hash = h.hexdigest()
+
+    phase = summary.get("extract_phase_s") or wall
+    print(json.dumps({
+        **summary,
+        "extract_wall_s": round(wall, 3),
+        "docs_per_sec": round(summary["n_docs"] / phase, 2) if phase > 0 else None,
+        "docs_per_sec_e2e": round(summary["n_docs"] / wall, 2) if wall > 0 else None,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "output_hash": out_hash,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

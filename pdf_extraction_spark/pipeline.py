@@ -62,34 +62,36 @@ def salted_repartition(df: DataFrame, partitions: int, salt: int = 8) -> DataFra
     )
 
 
-def _extract_batches(batches):
-    """mapInPandas worker: one kernel pass per Arrow batch."""
-    import pandas as pd
+def _make_extract_batches(keep_cols: tuple[str, ...] = ()):
+    """mapInPandas worker factory: one kernel pass per Arrow batch;
+    ``keep_cols`` are carried through untouched (e.g. the lineage bucket)."""
 
-    for pdf in batches:
-        urls = pdf["url"].tolist()
-        payloads = pdf["html"].tolist()
-        texts, spans_col, n_elems, methods, errors = [], [], [], [], []
-        for payload in payloads:
-            res = extract_document(payload)
-            texts.append(res["text"])
-            spans_col.append(
-                [
-                    {
-                        "elem_type": s[0],
-                        "page": s[1],
-                        "char_start": s[2],
-                        "char_end": s[3],
-                        "bbox": list(s[4]),
-                    }
-                    for s in res["spans"]
-                ]
-            )
-            n_elems.append(res["n_elements"])
-            methods.append(res["method"])
-            errors.append(res["error"])
-        yield pd.DataFrame(
-            {
+    def _extract_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            payloads = pdf["html"].tolist()
+            texts, spans_col, n_elems, methods, errors = [], [], [], [], []
+            for payload in payloads:
+                res = extract_document(payload)
+                texts.append(res["text"])
+                spans_col.append(
+                    [
+                        {
+                            "elem_type": s[0],
+                            "page": s[1],
+                            "char_start": s[2],
+                            "char_end": s[3],
+                            "bbox": list(s[4]),
+                        }
+                        for s in res["spans"]
+                    ]
+                )
+                n_elems.append(res["n_elements"])
+                methods.append(res["method"])
+                errors.append(res["error"])
+            out = {
                 "url": urls,
                 "extracted_text": texts,
                 "spans": spans_col,
@@ -97,24 +99,35 @@ def _extract_batches(batches):
                 "method": methods,
                 "error": errors,
             }
-        )
+            for c in keep_cols:
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
+
+    return _extract_batches
 
 
 def extract_corpus(
-    corpus: DataFrame, partitions: int | None = None, salt: int = 8, repartition: bool = True
+    corpus: DataFrame,
+    partitions: int | None = None,
+    salt: int = 8,
+    repartition: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run the extraction pipeline over a corpus DataFrame.
 
-    Prunes to ``(url, html)`` before the Python stage so the parquet scan
-    reads only the needed columns (ReadSchema check in tests), then salted
-    repartition, then the Arrow-batched kernel stage.
+    Prunes to ``(url, html)`` (+ ``keep_cols``) before the Python stage so
+    the parquet scan reads only the needed columns (ReadSchema check in
+    tests), then salted repartition, then the Arrow-batched kernel stage.
     """
-    pruned = corpus.select("url", "html")
+    pruned = corpus.select("url", "html", *keep_cols)
     if repartition:
         if partitions is None:
             partitions = corpus.sparkSession.sparkContext.defaultParallelism
         pruned = salted_repartition(pruned, partitions, salt)
-    return pruned.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
+    schema = T.StructType(
+        OUTPUT_SCHEMA.fields + [corpus.schema[c] for c in keep_cols]
+    )
+    return pruned.mapInPandas(_make_extract_batches(keep_cols), schema=schema)
 
 
 def write_sink(result: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -1,0 +1,185 @@
+"""Two-cluster-size scaling benchmark (BASELINE.md sandbox protocol).
+
+A real multi-executor cluster is unavailable in the sandbox, so the
+N → 4N-executor criterion (BASELINE.json: "scaling efficiency >= 0.8") is
+evidenced by running the IDENTICAL ``spark-submit --py-files`` job at two
+parallelism levels on the same machine and the same materialized input:
+
+    size N  -> --master local[8]
+    size 4N -> --master local[32]
+
+Steps:
+1. materialize a corpus parquet (documents.parquet replicated xHTML_COPIES
+   as HTML + x1 as deterministic PDFs) — distributed generation, written
+   once, read by both runs;
+2. zip the package for --py-files;
+3. spark-submit job.py at local[8] and local[32] (fresh output each);
+4. compute docs/sec from each job's internal extract wall (excludes JVM/
+   session startup, which is a per-driver constant, not a scaling term),
+   efficiency = (thr_4N / thr_N) / 4, and require byte-identical output
+   hashes across parallelism levels;
+5. write BENCH/scaling.json + BENCH/BASELINE.md.
+
+Usage: python scalebench.py [sf_dir] [html_copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+WORK = pathlib.Path(os.environ.get("SCALEBENCH_WORK", "/tmp/scalebench"))
+
+
+def materialize_corpus(sf_dir: str, html_copies: int, repeat: int = 8) -> tuple[str, int]:
+    corpus_path = WORK / "corpus.parquet"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]").appName("scalebench_gen")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX, corpus_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(html_copies - 1))).alias("k"),
+    )
+    # repeat the document text as `repeat` paragraphs so per-doc size is
+    # Common-Crawl-realistic (~5 KB) and kernel CPU dominates fixed overheads
+    body = F.array_join(F.array_repeat(F.col("text"), repeat), "</p><p>")
+    html = rep.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            (F.col("doc_id") + F.col("k") * 10_000_000).cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(ARTICLE_PREFIX), body, F.lit(ARTICLE_SUFFIX)), "utf-8"
+        ).alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    pdfs = corpus_from_documents(spark, sf_dir, payload="pdf").select(
+        F.concat(F.lit("https://pdf."), F.expr("substring(url, 9)")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    corpus = html.unionByName(pdfs)
+    corpus.repartition(64).write.mode("overwrite").parquet(str(corpus_path))
+    n = spark.read.parquet(str(corpus_path)).count()
+    spark.stop()
+    return str(corpus_path), n
+
+
+def run_at(cores: int, corpus_path: str, zip_path: str) -> dict:
+    out = WORK / f"out_{cores}"
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--py-files", zip_path,
+        "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
+        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.ui.enabled=false",
+        str(REPO / "job.py"),
+        "--input", corpus_path,
+        "--output", str(out),
+        "--buckets", "64",
+        "--partitions", str(cores * 3),
+        "--fresh",
+    ]
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+    wall_total = time.monotonic() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:])
+        raise SystemExit(f"job failed at local[{cores}]")
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    res["cores"] = cores
+    res["wall_total_s"] = round(wall_total, 3)
+    return res
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    html_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    WORK.mkdir(parents=True, exist_ok=True)
+
+    zip_path = str(WORK / "pdf_extraction_spark.zip")
+    subprocess.run(
+        ["zip", "-qr", zip_path, "pdf_extraction_spark", "-x", "*__pycache__*"],
+        cwd=str(REPO), check=True,
+    )
+
+    corpus_path, n_docs = materialize_corpus(sf_dir, html_copies, repeat)
+    print(f"corpus: {n_docs} docs at {corpus_path}", file=sys.stderr)
+
+    r8 = run_at(8, corpus_path, zip_path)
+    r32 = run_at(32, corpus_path, zip_path)
+
+    thr8 = r8["docs_per_sec"]
+    thr32 = r32["docs_per_sec"]
+    eff = round((thr32 / thr8) / 4, 3)
+    identical = r8["output_hash"] == r32["output_hash"]
+
+    result = {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "N_cores": 8,
+        "4N_cores": 32,
+        "throughput_N_docs_per_sec": thr8,
+        "throughput_4N_docs_per_sec": thr32,
+        "scaling_efficiency": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8 and identical,
+        "output_bytes_identical": identical,
+        "runs": {"local8": r8, "local32": r32},
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "scaling.json").write_text(json.dumps(result, indent=2))
+
+    md = f"""# BENCH/BASELINE.md — measured scaling numbers
+
+Protocol: BASELINE.md "Sandbox scaling protocol" — the identical
+`spark-submit --py-files pdf_extraction_spark.zip job.py` run at two
+parallelism levels over the same materialized corpus parquet
+({n_docs} docs from {sf_dir}: documents x{html_copies} as ~5 KB HTML pages
+(text repeated x{repeat} as paragraphs) + x1 as deterministic PDFs).
+Throughput uses the extraction-phase wall clock (salted repartition →
+mapInPandas kernels → bucket-clustered parquet write) — the part that scales
+with executors; session startup and per-run lineage bookkeeping are
+per-driver constants, amortized over a real run's corpus size, and are
+reported separately (`wall_s`, `wall_total_s`).
+
+| cluster size stand-in | docs | extract phase (s) | job wall (s) | total wall (s) | docs/sec | output hash |
+|---|---|---|---|---|---|---|
+| N  = local[8]  | {r8['n_docs']} | {r8['extract_phase_s']} | {r8['wall_s']} | {r8['wall_total_s']} | {thr8} | `{r8['output_hash'][:12]}` |
+| 4N = local[32] | {r32['n_docs']} | {r32['extract_phase_s']} | {r32['wall_s']} | {r32['wall_total_s']} | {thr32} | `{r32['output_hash'][:12]}` |
+
+- **scaling efficiency = (throughput_4N / throughput_N) / 4 = {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- **output bytes identical across parallelism levels: {identical}** (order-insensitive md5 over `url|extracted_text`)
+- resumability: the same job is bucket-checkpointed (`_lineage` table); see tests/test_lineage.py
+
+Regenerate: `python scalebench.py {sf_dir} {html_copies} {repeat}`
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
