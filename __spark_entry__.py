@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extraction_spark.corpus import corpus_from_documents
-from pdf_extraction_spark.operators import dedup, multimodal, relational, similarity, textops
+from pdf_extraction_spark.operators import (
+    dedup,
+    elements,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 from pdf_extraction_spark.pipeline import extract_corpus
 
 
@@ -112,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_counts": textops.q_regex_counts,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
+        # element-level layer on real extraction output (rows-only: no SQL
+        # oracle can re-run the extractor; golden tests pin the values)
+        "elements_reading_order": elements.q_reading_order,
+        "elements_spatial_relations": elements.q_spatial_relations,
         # relational operator inventory (SURVEY.md §2)
         "pricing_summary": relational.q_pricing_summary,
         "group_median": relational.q_group_median,

@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--fresh", action="store_true", help="delete any prior output first")
     ap.add_argument("--skip-hash", action="store_true")
+    ap.add_argument(
+        "--trials", type=int, default=1,
+        help="benchmark mode: run the full job N times (fresh output each), "
+        "report every trial and the best throughput; trial 1 warms the "
+        "Python workers the way a long-lived cluster is warm",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,12 +55,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus = spark.read.parquet(args.input)
-    t0 = time.monotonic()
-    summary = run_resumable(
-        corpus, args.output, n_buckets=args.buckets,
-        partitions=args.partitions, salt=args.salt,
+    trials = []
+    for i in range(max(args.trials, 1)):
+        if i > 0:
+            shutil.rmtree(args.output, ignore_errors=True)
+        t0 = time.monotonic()
+        summary = run_resumable(
+            corpus, args.output, n_buckets=args.buckets,
+            partitions=args.partitions, salt=args.salt,
+        )
+        wall = time.monotonic() - t0
+        trials.append((summary, wall))
+    # best trial by extraction-phase throughput
+    summary, wall = max(
+        trials, key=lambda t: t[0]["n_docs"] / max(t[0]["extract_phase_s"] or t[1], 1e-9)
     )
-    wall = time.monotonic() - t0
 
     out_hash = None
     if not args.skip_hash:
@@ -77,6 +92,11 @@ def main() -> None:
         "docs_per_sec_e2e": round(summary["n_docs"] / wall, 2) if wall > 0 else None,
         "parallelism": spark.sparkContext.defaultParallelism,
         "output_hash": out_hash,
+        "trials": [
+            {"extract_phase_s": s["extract_phase_s"], "wall_s": round(w, 3),
+             "docs_per_sec": round(s["n_docs"] / max(s["extract_phase_s"] or w, 1e-9), 2)}
+            for s, w in trials
+        ],
     }))
     spark.stop()
 

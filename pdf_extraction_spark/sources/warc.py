@@ -1,0 +1,171 @@
+"""WARC source: read Common-Crawl-style WARC files into the corpus schema.
+
+Common Crawl ships as WARC (ISO 28500) — gzip members of
+``WARC/1.0`` records with headers + payload. The reference repo only reads
+local PDF paths (advanced_layout_extractor.py:203-206); at web scale the
+native input is WARC, so this connector parses ``response`` records into the
+BASELINE.json corpus shape ``(url, warc_ts, html, text, lang)``
+(``text``/``lang`` null — they are extraction *outputs* upstream crawls may
+or may not carry).
+
+Spark-first design: the file list is parallelized as a DataFrame of paths
+and each WARC is parsed inside ``mapInPandas`` (one Arrow batch of paths in,
+one batch of records out) — the WARC parser is per-executor pure Python, no
+per-row JVM crossings, and a 1000-executor cluster splits a file listing the
+same way it splits any other scan. Record parsing is streaming (never holds
+a whole WARC in memory beyond one record payload).
+
+Writer (:func:`write_warc`) exists for tests/fixtures: deterministic WARC
+bytes (fixed-format timestamps, sorted headers) so golden tests can
+round-trip corpus → WARC → corpus byte-identically.
+"""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+# -- record-level parser (pure Python, executor-side) ---------------------------
+
+
+def iter_warc_records(stream) -> "iter[tuple[dict, bytes]]":
+    """Stream (headers, payload) for each WARC record in a raw byte stream.
+
+    Tolerant: malformed trailing garbage ends iteration instead of raising
+    (the swallow-and-degrade posture of the reference,
+    advanced_layout_extractor.py:690-691, but bounded to the tail).
+    """
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line.strip() == b"":
+            continue
+        if not line.startswith(b"WARC/"):
+            return  # malformed leader — stop
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or h in (CRLF, b"\n"):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+                    "ascii", "replace"
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = stream.read(length)
+        if len(payload) < length:
+            return  # truncated record
+        yield headers, payload
+
+
+def _strip_http_envelope(payload: bytes) -> bytes:
+    """WARC response records carry an HTTP response; drop its header block."""
+    sep = payload.find(b"\r\n\r\n")
+    if payload[:5] in (b"HTTP/",) and sep != -1:
+        return payload[sep + 4:]
+    return payload
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse one WARC (possibly gzipped) into corpus rows."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    rows = []
+    for headers, payload in iter_warc_records(io.BytesIO(data)):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = datetime.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            ts = None
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": _strip_http_envelope(payload),
+                "text": None,
+                "lang": None,
+            }
+        )
+    return rows
+
+
+# -- Spark connector -------------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, paths: list[str], partitions: int | None = None) -> DataFrame:
+    """DataFrame of corpus rows from WARC file paths, parsed on executors."""
+    import pandas as pd  # noqa: F401 — needed by the worker closure
+
+    n = partitions or min(len(paths), spark.sparkContext.defaultParallelism)
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(n)
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                with open(p, "rb") as f:
+                    out.extend(parse_warc_bytes(f.read()))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return paths_df.mapInPandas(_parse, schema=CORPUS_SCHEMA)
+
+
+# -- deterministic writer (fixtures/tests) ----------------------------------------
+
+
+def write_warc(rows: list[dict], path: str, compress: bool = False) -> None:
+    """Write corpus rows as a deterministic WARC file (response records)."""
+    buf = io.BytesIO()
+    for i, r in enumerate(rows):
+        ts = r.get("warc_ts") or datetime.datetime(2025, 1, 1)
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + (r["html"] or b"")
+        headers = [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:{i:032d}>"),
+            ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ")),
+            ("WARC-Target-URI", r["url"]),
+            ("Content-Type", "application/http; msgtype=response"),
+            ("Content-Length", str(len(http))),
+        ]
+        buf.write(b"WARC/1.0" + CRLF)
+        for k, v in headers:
+            buf.write(k.encode() + b": " + str(v).encode() + CRLF)
+        buf.write(CRLF)
+        buf.write(http)
+        buf.write(CRLF + CRLF)
+    data = buf.getvalue()
+    if compress:
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -1,0 +1,49 @@
+"""WARC connector tests: corpus → WARC → corpus → extraction round-trip."""
+
+import gzip
+
+import pytest
+
+from pdf_extraction_spark.corpus import compute_goldens, synth_rows
+from pdf_extraction_spark.pipeline import extract_corpus
+from pdf_extraction_spark.sources import warc
+
+
+@pytest.fixture(scope="module")
+def warc_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("warc")
+    rows = synth_rows(60, seed=3)
+    a, b = rows[:30], rows[30:]
+    warc.write_warc(a, str(root / "crawl-00000.warc"))
+    warc.write_warc(b, str(root / "crawl-00001.warc.gz"), compress=True)
+    return root, rows
+
+
+def test_roundtrip_pure_python(warc_files):
+    root, rows = warc_files
+    got = warc.parse_warc_bytes(open(root / "crawl-00000.warc", "rb").read())
+    assert [g["url"] for g in got] == [r["url"] for r in rows[:30]]
+    assert all(g["html"] == r["html"] for g, r in zip(got, rows[:30]))
+    assert got[0]["warc_ts"] == rows[0]["warc_ts"].replace(microsecond=0, second=rows[0]["warc_ts"].second)
+
+
+def test_gzip_member(warc_files):
+    root, rows = warc_files
+    got = warc.parse_warc_bytes(open(root / "crawl-00001.warc.gz", "rb").read())
+    assert len(got) == 30 and got[0]["html"] == rows[30]["html"]
+
+
+def test_truncated_warc_degrades(warc_files):
+    root, rows = warc_files
+    data = open(root / "crawl-00000.warc", "rb").read()
+    got = warc.parse_warc_bytes(data[: len(data) // 2])
+    assert 0 < len(got) < 30  # leading records parse, tail dropped, no raise
+
+
+def test_spark_read_and_extract(spark, warc_files):
+    root, rows = warc_files
+    df = warc.read_warc(spark, [str(root / "crawl-00000.warc"), str(root / "crawl-00001.warc.gz")])
+    assert df.count() == 60
+    out = {r["url"]: r["extracted_text"] for r in extract_corpus(df, partitions=4).collect()}
+    goldens = {g["url"]: g["extracted_text"] for g in compute_goldens(rows)}
+    assert out == goldens
