@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": textops.q_fingerprint_winnow,
         "chunk_split": textops.q_chunk_split,
         "regex_counts": textops.q_regex_counts,
+        "rag_retrieval": textops.q_rag_retrieval,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
         # element-level layer on real extraction output (rows-only: no SQL
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": relational.q_top_orders,
         "rollup_counts": relational.q_rollup_counts,
         "broadcast_dim_join": relational.q_broadcast_dim_join,
+        "evidence_classifier": relational.q_evidence_classifier,
     }
 
 
@@ -157,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_winnow": textops.SQL_FINGERPRINT_WINNOW,
         "chunk_split": textops.SQL_CHUNK_SPLIT,
         "regex_counts": textops.SQL_REGEX_COUNTS,
+        "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "group_median": relational.SQL_GROUP_MEDIAN,
@@ -170,4 +173,5 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.SQL_TOP_ORDERS,
         "rollup_counts": relational.SQL_ROLLUP_COUNTS,
         "broadcast_dim_join": relational.SQL_BROADCAST_DIM_JOIN,
+        "evidence_classifier": relational.SQL_EVIDENCE_CLASSIFIER,
     }

@@ -424,3 +424,59 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# -- A12: weighted-evidence classifier -----------------------------------------------------------------------------
+
+
+# the reference's evidence weights (table_figure_classifier.py:17-24)
+EVIDENCE_WEIGHTS = {
+    "cross_pts": 1.0,
+    "orth_line_density": 0.8,
+    "gridy_text": 0.6,
+    "caption": 1.2,
+    "texture": -0.7,
+}
+EVIDENCE_THRESHOLD = 0.8
+
+
+def q_evidence_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-evidence linear classifier (A12,
+    table_figure_classifier.py:17-24, 244-251: score = sum(w_i * f_i),
+    'table' iff score >= 0.8). Features are per-user event aggregates
+    normalized to [0,1]-ish ranges; the exact weights and threshold are the
+    reference's. Pure column arithmetic over one groupBy."""
+    ev = tbl(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.least(F.count(F.when(F.col("event_type") == "click", 1)) / 10.0, F.lit(1.0)).alias("cross_pts"),
+        F.least(F.count(F.when(F.col("event_type") == "view", 1)) / 20.0, F.lit(1.0)).alias("orth_line_density"),
+        F.least(F.count(F.when(F.col("event_type") == "purchase", 1)) / 5.0, F.lit(1.0)).alias("gridy_text"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).cast("double").alias("caption"),
+        F.least(F.stddev_pop("value") / 100.0, F.lit(1.0)).alias("texture"),
+    )
+    score = sum(F.col(k) * w for k, w in EVIDENCE_WEIGHTS.items())
+    return feats.select(
+        "user_id",
+        F.round(score, 4).alias("evidence_score"),
+        F.when(F.round(score, 4) >= EVIDENCE_THRESHOLD, F.lit("table")).otherwise(F.lit("figure")).alias("label"),
+    )
+
+
+SQL_EVIDENCE_CLASSIFIER = f"""
+WITH feats AS (
+  SELECT user_id,
+         least(count(CASE WHEN event_type = 'click' THEN 1 END) / 10.0, 1.0) AS cross_pts,
+         least(count(CASE WHEN event_type = 'view' THEN 1 END) / 20.0, 1.0) AS orth_line_density,
+         least(count(CASE WHEN event_type = 'purchase' THEN 1 END) / 5.0, 1.0) AS gridy_text,
+         CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS caption,
+         least(coalesce(stddev_pop(value), 0) / 100.0, 1.0) AS texture
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       round(1.0 * cross_pts + 0.8 * orth_line_density + 0.6 * gridy_text
+             + 1.2 * caption - 0.7 * texture, 4) AS evidence_score,
+       CASE WHEN round(1.0 * cross_pts + 0.8 * orth_line_density + 0.6 * gridy_text
+                       + 1.2 * caption - 0.7 * texture, 4) >= {EVIDENCE_THRESHOLD}
+            THEN 'table' ELSE 'figure' END AS label
+FROM feats
+"""

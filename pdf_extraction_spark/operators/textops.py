@@ -289,3 +289,84 @@ SELECT source,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """
+
+
+# -- RAG retrieval (J8/W5 composite: chunk → match → top-k) ------------------------------
+
+
+RAG_TOP_K = 3
+RAG_N_QUERIES = 3
+RAG_QUERY_WORDS = 5
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked retrieval (the reference's RAG loop,
+    complete_multimodal_rag_evaluation.py:225-233: search_text k → top-3
+    context): queries are the first 5 words of the first 3 docs; score is
+    distinct-shared-token count against every other doc's chunks; top-3 per
+    query with deterministic tie-breaks. Token-join + window top-k — the
+    same shape as embedding retrieval with the dot product replaced by a
+    lexical overlap kernel."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("w") - F.lit(CHUNK_WORDS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+    )
+    chunk_toks = (
+        docs.select("doc_id", "w", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+        .select(
+            "doc_id", "chunk_id",
+            F.explode(F.array_distinct(F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS))).alias("tok"),
+        )
+    )
+    q_toks = (
+        docs.filter(F.col("doc_id") < RAG_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"),
+                F.explode(F.array_distinct(F.slice(F.col("w"), 1, RAG_QUERY_WORDS))).alias("tok"))
+    )
+    scored = (
+        q_toks.join(chunk_toks, "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id", "chunk_id")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RAG_TOP_K)
+        .select("qid", "rank", "doc_id", "chunk_id", "score")
+    )
+
+
+SQL_RAG_RETRIEVAL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - {CHUNK_WORDS - CHUNK_STRIDE}) / {CHUNK_STRIDE}.0) AS INT)) AS n_chunks
+  FROM d
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}] AS cw
+  FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id)
+), chunk_toks AS (
+  SELECT DISTINCT doc_id, chunk_id, unnest(cw) AS tok FROM chunks
+), q_toks AS (
+  SELECT DISTINCT doc_id AS qid, tok
+  FROM d, LATERAL (SELECT unnest(w[1:{RAG_QUERY_WORDS}]) AS tok)
+  WHERE doc_id < {RAG_N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.doc_id, c.chunk_id, count(*) AS score
+  FROM q_toks q JOIN chunk_toks c ON q.tok = c.tok
+  WHERE c.doc_id <> q.qid
+  GROUP BY 1, 2, 3
+)
+SELECT qid, rank, doc_id, chunk_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC, chunk_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {RAG_TOP_K}
+"""

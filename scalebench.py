@@ -86,7 +86,7 @@ def materialize_corpus(sf_dir: str, html_copies: int, repeat: int = 8) -> tuple[
     return str(corpus_path), n
 
 
-def run_at(cores: int, corpus_path: str, zip_path: str, trials: int = 5) -> dict:
+def run_at(cores: int, corpus_path: str, zip_path: str, trials: int = 3) -> dict:
     out = WORK / f"out_{cores}"
     cmd = [
         "spark-submit",
@@ -132,13 +132,31 @@ def main() -> None:
         cwd=str(REPO), check=True,
     )
 
-    corpus_path, n_docs = materialize_corpus(sf_dir, html_copies, repeat)
+    if os.environ.get("SCALEBENCH_REUSE") and (WORK / "corpus.parquet").exists():
+        corpus_path = str(WORK / "corpus.parquet")
+        n_docs = None
+    else:
+        corpus_path, n_docs = materialize_corpus(sf_dir, html_copies, repeat)
     print(f"corpus: {n_docs} docs at {corpus_path}", file=sys.stderr)
 
     n_cores = int(os.environ.get("SCALEBENCH_N", "4"))
-    r8 = run_at(n_cores, corpus_path, zip_path)
-    r32 = run_at(n_cores * 4, corpus_path, zip_path)
+    # Interleave the two sizes across rounds so both sample comparable host
+    # conditions (the shared sandbox host is bursty); best-of-all-trials per
+    # size is the capability number.
+    rounds = int(os.environ.get("SCALEBENCH_ROUNDS", "2"))
+    runs_n, runs_4n = [], []
+    for _ in range(rounds):
+        runs_n.append(run_at(n_cores, corpus_path, zip_path))
+        runs_4n.append(run_at(n_cores * 4, corpus_path, zip_path))
 
+    def merge(runs: list[dict]) -> dict:
+        best = max(runs, key=lambda r: r["docs_per_sec"])
+        merged = dict(best)
+        merged["trials"] = [t for r in runs for t in r["trials"]]
+        return merged
+
+    r8, r32 = merge(runs_n), merge(runs_4n)
+    n_docs = n_docs or r8["n_docs"]
     thr8 = r8["docs_per_sec"]
     thr32 = r32["docs_per_sec"]
     eff = round((thr32 / thr8) / 4, 3)
@@ -172,10 +190,11 @@ Throughput uses the extraction-phase wall clock (salted repartition →
 mapInPandas kernels → bucket-clustered parquet write) — the part that scales
 with executors; session startup and per-run lineage bookkeeping are
 per-driver constants, amortized over a real run's corpus size, and are
-reported separately (`wall_s`, `wall_total_s`). Each size runs
-best-of-5 trials in one session (trial 1 warms the Python workers, the way
-a long-lived cluster is warm; the sandbox host is shared, so single trials
-carry up to 2.5x scheduling noise — per-trial numbers are in scaling.json).
+reported separately (`wall_s`, `wall_total_s`). The two sizes run in
+interleaved session rounds (3 warm trials per session, 2 sessions per size)
+so both sample comparable host conditions; the reported number is the best
+trial per size. The sandbox host is shared and bursty — single trials carry
+up to 2.5x scheduling noise; every trial is listed in scaling.json.
 
 | cluster size stand-in | docs | extract phase (s) | job wall (s) | total wall (s) | docs/sec | output hash |
 |---|---|---|---|---|---|---|
