@@ -86,7 +86,8 @@ def materialize_corpus(sf_dir: str, html_copies: int, repeat: int = 8) -> tuple[
     return str(corpus_path), n
 
 
-def run_at(cores: int, corpus_path: str, zip_path: str, trials: int = 3) -> dict:
+def run_at(cores: int, corpus_path: str, zip_path: str, trials: int | None = None) -> dict:
+    trials = trials or int(os.environ.get("SCALEBENCH_TRIALS", "3"))
     out = WORK / f"out_{cores}"
     cmd = [
         "spark-submit",
