@@ -91,7 +91,10 @@ def _strip_http_envelope(payload: bytes) -> bytes:
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """Parse one WARC (possibly gzipped) into corpus rows."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError):
+            return []  # corrupt gzip member — degrade, don't crash the task
     rows = []
     for headers, payload in iter_warc_records(io.BytesIO(data)):
         if headers.get("warc-type") != "response":

@@ -72,3 +72,75 @@ def stream_extract(
         .outputMode("append")
         .start()
     )
+
+
+# -- custom stateful operator -----------------------------------------------------
+
+
+HOST_STATS_OUTPUT = (
+    "host string, total_docs long, total_bytes long, batch_docs long"
+)
+HOST_STATS_STATE = "total_docs long, total_bytes long"
+
+
+def _update_host_stats(key, pdfs, state):
+    """applyInPandasWithState update: accumulate per-host doc/byte totals
+    across micro-batches AND across restarts (state store checkpointing).
+    This is the streaming analog of the lineage metrics table (A13,
+    complete_multimodal_rag_evaluation.py:217-245) as a continuous operator."""
+    import pandas as pd
+
+    docs = 0
+    nbytes = 0
+    for pdf in pdfs:
+        docs += len(pdf)
+        nbytes += int(pdf["n_bytes"].sum())
+    prev_docs, prev_bytes = state.get if state.exists else (0, 0)
+    state.update((prev_docs + docs, prev_bytes + nbytes))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]],
+            "total_docs": [prev_docs + docs],
+            "total_bytes": [prev_bytes + nbytes],
+            "batch_docs": [docs],
+        }
+    )
+
+
+def stream_host_stats(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Start an AvailableNow stateful stream of per-host corpus statistics.
+
+    Keyed state lives in the stream's state store: a later drain (new files
+    in ``input_dir``) resumes from the checkpoint and emits updated running
+    totals — custom stateful semantics no built-in windowed agg expresses
+    (the running total must survive the query stopping between drains).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .pipeline import host_col
+
+    corpus = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
+    per_doc = corpus.select(
+        host_col().alias("host"), F.length("html").alias("n_bytes")
+    )
+    stats = per_doc.groupBy("host").applyInPandasWithState(
+        _update_host_stats,
+        outputStructType=HOST_STATS_OUTPUT,
+        stateStructType=HOST_STATS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        stats.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

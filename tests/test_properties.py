@@ -1,0 +1,79 @@
+"""Property-based tests (SURVEY.md §5 item 3): extraction is total (never
+raises), offsets are in-bounds, and spans exactly tile the text — for
+arbitrary, including hostile, inputs. Pure-kernel tests, no Spark session."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_spark.kernels.dispatch import extract_document
+from pdf_extraction_spark.kernels.html_extract import extract_html
+from pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+from pdf_extraction_spark.sources.warc import parse_warc_bytes
+
+RESULT_KEYS = {"text", "spans", "n_elements", "method", "error"}
+
+
+def check_result_shape(res):
+    assert set(res.keys()) == RESULT_KEYS
+    assert isinstance(res["text"], str)
+    assert res["n_elements"] == len(res["spans"])
+    blocks = res["text"].split("\n\n") if res["text"] else []
+    assert len(blocks) == len(res["spans"])
+    for (etype, page, start, end, bbox), blk in zip(res["spans"], blocks):
+        assert 0 <= start <= end <= len(res["text"])
+        assert res["text"][start:end] == blk
+        assert isinstance(page, int) and len(bbox) == 4
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_dispatch_total_on_random_bytes(payload):
+    check_result_shape(extract_document(payload))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=4096))
+def test_html_total_on_random_text(text):
+    check_result_shape(extract_html(text))
+
+
+# tag-soup generator: random nestings of real tags, unbalanced on purpose
+_tags = st.sampled_from(
+    ["p", "div", "main", "nav", "h1", "h2", "li", "td", "a", "table",
+     "figure", "script", "style", "aside", "footer", "span", "br"]
+)
+_frag = st.one_of(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+    _tags.map(lambda t: f"<{t}>"),
+    _tags.map(lambda t: f"</{t}>"),
+    _tags.map(lambda t: f"<{t} class='x'"),  # unterminated tag
+    st.sampled_from(["<!--", "-->", "&amp;", "&bogus;", "<!DOCTYPE html>", "<![CDATA[x]]>"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_frag, max_size=60).map("".join))
+def test_html_total_on_tag_soup(soup):
+    check_result_shape(extract_html(soup))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_pdf_total_on_garbage_after_magic(tail):
+    res = extract_pdf(b"%PDF-1.7\n" + tail)
+    check_result_shape(res)
+    assert res["method"] == "pdf"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_warc_parser_total(data):
+    rows = parse_warc_bytes(b"WARC/1.0\r\n" + data)
+    assert isinstance(rows, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_warc_parser_total_on_corrupt_gzip(data):
+    rows = parse_warc_bytes(b"\x1f\x8b" + data)
+    assert isinstance(rows, list)

@@ -59,3 +59,34 @@ def test_stream_matches_goldens_then_increments(spark, dirs):
     assert got2 == want2
     # no duplicates: row count equals distinct url count
     assert spark.read.parquet(out).count() == len(want2)
+
+
+def test_stateful_host_stats_accumulate_across_drains(spark, tmp_path):
+    """applyInPandasWithState: running per-host totals survive query
+    restarts via the state store checkpoint."""
+    from pdf_extraction_spark.streaming import stream_host_stats
+
+    indir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+    rows1 = synth_rows(50, seed=21)
+    _write_rows(rows1, indir + "/f1.parquet")
+
+    q = stream_host_stats(spark, indir, out, ckpt)
+    q.awaitTermination(120)
+    first = {r["host"]: r for r in spark.read.parquet(out).collect()}
+    assert sum(r["batch_docs"] for r in first.values()) == 50
+
+    rows2 = synth_rows(30, seed=22)
+    for r in rows2:
+        r["url"] += "?crawl=2"
+    _write_rows(rows2, indir + "/f2.parquet")
+    q2 = stream_host_stats(spark, indir, out, ckpt)
+    q2.awaitTermination(120)
+
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        cur = latest.get(r["host"])
+        if cur is None or r["total_docs"] > cur["total_docs"]:
+            latest[r["host"]] = r
+    # totals accumulate: all 80 docs accounted for in the running totals
+    assert sum(r["total_docs"] for r in latest.values()) == 80
