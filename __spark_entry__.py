@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_cosine": similarity.q_ann_topk_cosine,
         "ann_lsh_bucketed": similarity.q_ann_lsh_bucketed,
+        "ann_ivf": similarity.q_ann_ivf,
         # text analysis
         "lang_id_stopwords": textops.q_lang_id_stopwords,
         "quality_score": textops.q_quality_score,
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_retrieval": textops.q_rag_retrieval,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
+        "multimodal_framesample": multimodal.q_multimodal_framesample,
         # element-level layer on real extraction output (rows-only: no SQL
         # oracle can re-run the extractor; golden tests pin the values)
         "elements_reading_order": elements.q_reading_order,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_pairs": similarity.SQL_EMBEDDING_COSINE_PAIRS,
         "ann_topk_cosine": similarity.SQL_ANN_TOPK_COSINE,
         "ann_lsh_bucketed": similarity.SQL_ANN_LSH_BUCKETED,
+        "ann_ivf": similarity.SQL_ANN_IVF,
         "lang_id_stopwords": textops.SQL_LANG_ID_STOPWORDS,
         "quality_score": textops.SQL_QUALITY_SCORE,
         "token_count": textops.SQL_TOKEN_COUNT,
@@ -161,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_counts": textops.SQL_REGEX_COUNTS,
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
+        "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "group_median": relational.SQL_GROUP_MEDIAN,
         "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,

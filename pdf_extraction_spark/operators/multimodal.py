@@ -77,3 +77,58 @@ SELECT doc_id,
        'synthetic' AS fmt
 FROM documents
 """
+
+
+# -- frame sampling ---------------------------------------------------------------
+
+FRAME_STRIDE = 1000  # bytes per synthetic "frame"
+MAX_FRAMES = 4
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_off long, frame_sig string"
+)
+
+
+def _frame_batches(batches):
+    """Frame-sampling plumbing: one input payload → N frame rows (video
+    frame-sampling shape). The 'frame' is a byte-stride slice and its
+    signature an md5 prefix — a real decoder would emit decoded frame
+    tensors here; the Spark-side fan-out schema, batching, and ordering are
+    exactly what that decoder would need."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_sig": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            n_frames = min(max(len(payload) // FRAME_STRIDE, 1), MAX_FRAMES)
+            for i in range(n_frames):
+                off = i * FRAME_STRIDE
+                sig = hashlib.md5(payload[off : off + FRAME_STRIDE]).hexdigest()[:8]
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(i)
+                out["frame_off"].append(off)
+                out["frame_sig"].append(sig)
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: mapInPandas fan-out (1 → N rows)
+    with deterministic per-frame signatures the oracle reproduces with
+    substring+md5 arithmetic."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(_frame_batches, schema=FRAMES_SCHEMA)
+
+
+SQL_MULTIMODAL_FRAMESAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         least(greatest(length(text) // {FRAME_STRIDE}, 1), {MAX_FRAMES}) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * {FRAME_STRIDE} AS BIGINT) AS frame_off,
+       substr(md5(substr(text, i * {FRAME_STRIDE} + 1, {FRAME_STRIDE})), 1, 8) AS frame_sig
+FROM d, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i)
+"""

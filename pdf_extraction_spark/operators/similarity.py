@@ -242,3 +242,92 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
             / (a.norm * b.norm), 4) >= 0.95
 """
+
+
+# -- IVF (inverted-file) ANN ------------------------------------------------------
+
+IVF_K = 8               # number of coarse cells
+IVF_CENTROID_BASE = 100  # centroids = vec_id in [100, 100+K): fixed, deterministic
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: K fixed coarse centroids (the vectors with vec_id in
+    [100, 108) — a deterministic stand-in for a trained codebook), every
+    vector assigned to its nearest centroid cell (argmax cosine, rounded to
+    6dp for engine-portable ties, tie-break on centroid id), queries probe
+    ONLY their own cell and rerank exactly. The corpus-side shuffle key is
+    the cell id — at 10^12 vectors each query touches ~1/K of the corpus,
+    and nprobe>1 is the standard recall knob (nprobe=1 here)."""
+    emb = _with_norm(tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    cents = emb.filter(
+        (F.col("vec_id") >= IVF_CENTROID_BASE) & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    assigned_scores = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "norm", "cent_id",
+        F.round(_cosine(F.col("embedding"), F.col("c_emb"), F.col("norm"), F.col("c_norm")), 6).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    cells = (
+        assigned_scores.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", F.col("cent_id").alias("cell"))
+    )
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"), F.col("cell").alias("q_cell"),
+    )
+    cand = q.join(cells, F.col("cell") == F.col("q_cell")).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cand.select(
+        "qid", "vec_id",
+        F.round(_cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("norm")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm FROM e
+  WHERE vec_id >= {IVF_CENTROID_BASE} AND vec_id < {IVF_CENTROID_BASE + IVF_K}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+               / (e.norm * c.c_norm), 6) AS c_cos
+  FROM e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, embedding, norm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.norm * c.norm), 4) AS cos
+  FROM cells q JOIN cells c ON c.cell = q.cell AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
