@@ -89,6 +89,37 @@ _CHROME_HINTS = (
 
 _WS_RE = re.compile(r"\s+")
 
+# charset detection: BOM first, then <meta charset=...> / http-equiv content
+# within the first 2 KB (the WHATWG prescan region), else UTF-8. Rule-based
+# and deterministic (north rule: no seeded/statistical detection).
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def detect_charset(payload: bytes) -> str:
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return enc
+    m = _META_CHARSET_RE.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        try:
+            import codecs
+
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            pass
+    return "utf-8"
+
 # Boilerplate gates (deterministic constants; tuned on FIXTURES.md variants).
 MIN_CONTENT_CHARS = 10          # shorter non-heading blocks need context to stay
 LINK_DENSITY_MAX = 0.40         # blocks above this are link farms
@@ -297,7 +328,7 @@ def extract_html(payload: bytes | str) -> dict:
     """
     try:
         if isinstance(payload, bytes):
-            html = payload.decode("utf-8", errors="replace")
+            html = payload.decode(detect_charset(payload), errors="replace")
         else:
             html = payload
         parser = _BlockParser()

@@ -106,3 +106,31 @@ def test_totality_random_text(payload):
     # spans tile the text with "\n\n" separators
     blocks = r["text"].split("\n\n") if r["text"] else []
     assert len(blocks) == len(r["spans"])
+
+
+def test_charset_meta_euc_kr():
+    from pdf_extraction_spark.kernels.html_extract import detect_charset, extract_html
+
+    body = "<html><head><meta charset='euc-kr'></head><body><main><p>한국어 본문 텍스트 블록입니다 여기 더 많은 텍스트</p></main></body></html>"
+    payload = body.encode("euc-kr")
+    assert detect_charset(payload) == "euc-kr"
+    res = extract_html(payload)
+    assert "한국어 본문 텍스트" in res["text"]
+    assert res["error"] is None
+
+
+def test_charset_utf16_bom():
+    from pdf_extraction_spark.kernels.html_extract import detect_charset, extract_html
+
+    body = "<html><body><main><p>utf sixteen little endian body text block here</p></main></body></html>"
+    payload = b"\xff\xfe" + body.encode("utf-16-le")
+    assert detect_charset(payload) == "utf-16-le"
+    res = extract_html(payload)
+    assert "utf sixteen little endian" in res["text"]
+
+
+def test_charset_bogus_name_falls_back():
+    from pdf_extraction_spark.kernels.html_extract import detect_charset
+
+    payload = b"<meta charset='no-such-enc'><p>x</p>"
+    assert detect_charset(payload) == "utf-8"
