@@ -280,7 +280,7 @@ votes AS (
 ),
 bits AS (SELECT doc_id, b, sum(v) AS s FROM votes GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 

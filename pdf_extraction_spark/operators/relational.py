@@ -125,7 +125,7 @@ per_session AS (
   SELECT user_id, session_id, count(*) AS n_ev FROM sess GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions, max(n_ev) AS max_session_events,
-       sum(n_ev) AS n_events
+       CAST(sum(n_ev) AS BIGINT) AS n_events
 FROM per_session GROUP BY user_id
 """
 
@@ -345,8 +345,8 @@ flagged AS (
               THEN 1 ELSE 0 END AS brk
   FROM sizes
 )
-SELECT p_brand, sum(brk) + 1 AS n_clusters,
-       least(sum(brk) + 1, 8) AS grid_score, count(*) AS n_sizes
+SELECT p_brand, CAST(sum(brk) + 1 AS BIGINT) AS n_clusters,
+       CAST(least(sum(brk) + 1, 8) AS BIGINT) AS grid_score, count(*) AS n_sizes
 FROM flagged GROUP BY p_brand
 """
 

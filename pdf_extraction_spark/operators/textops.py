@@ -283,9 +283,9 @@ def q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REGEX_COUNTS = """
 SELECT source,
-       sum(len(regexp_extract_all(text, 'data'))) AS sum_data,
-       sum(len(regexp_extract_all(text, 'join|merge'))) AS sum_join,
-       sum(len(regexp_extract_all(text, '[0-9]+'))) AS sum_num,
+       CAST(sum(len(regexp_extract_all(text, 'data'))) AS BIGINT) AS sum_data,
+       CAST(sum(len(regexp_extract_all(text, 'join|merge'))) AS BIGINT) AS sum_join,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS sum_num,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """

@@ -15,16 +15,33 @@ sys.path.insert(0, ".")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# Python types that only DuckDB can produce here (HUGEINT -> int is fine, but
+# Decimal means the oracle's type differs from Spark's and the driver's value
+# hash will diverge even when the numbers are equal).
+HAZARD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def norm_cell(v):
+    """Type-tagged serialization: int vs float vs Decimal hash differently,
+    mimicking the driver's stricter value hash (VERDICT r1: the old version
+    normalized DuckDB HUGEINT sums to the same string as Spark BIGINT and hid
+    4 driver-level hash mismatches)."""
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+            return "f:NaN"
+        return "f:" + f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return str(v)
@@ -83,12 +100,25 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {exc}")
+            continue
+        hazards = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if any(h in t for h in HAZARD_TYPES)
+        ]
+        if hazards:
+            failures.append(name)
+            print(
+                f"FAIL {name}: oracle emits driver-hash-hazard types {hazards} "
+                f"(cast to BIGINT/DOUBLE in the SQL)"
+            )
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
