@@ -122,8 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
         "multimodal_framesample": multimodal.q_multimodal_framesample,
-        # element-level layer on real extraction output (rows-only: no SQL
-        # oracle can re-run the extractor; golden tests pin the values)
+        # element-level layer on real extraction output; outputs are shaped
+        # as corpus invariants so a DuckDB oracle can value-check them
+        # (extraction values themselves are pinned by golden tests)
         "elements_reading_order": elements.q_reading_order,
         "elements_spatial_relations": elements.q_spatial_relations,
         # relational operator inventory (SURVEY.md §2)
@@ -165,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
         "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
+        "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,
+        "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "group_median": relational.SQL_GROUP_MEDIAN,
         "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,

@@ -77,13 +77,16 @@ def elements_df(extracted: DataFrame) -> DataFrame:
 
 def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 reading order on PDF extraction output: rank elements by
-    (page, y0, x0) and compare with emission order. Returns per-url counts
-    of rank==pos agreements (full agreement for the single-column corpus;
-    the kernel's own column clustering is what orders multi-column docs)."""
-    # single-column PDFs only (doc_id % 3 != 0 per _titled_pdf_corpus):
-    # geometric (y, x) order == reading order; two-column docs interleave
-    # columns geometrically, which is exactly why the kernel clusters columns
-    # before emitting.
+    (page, y0, x0) and compare with emission order.
+
+    Output is shaped as DuckDB-computable invariants over ``documents`` so
+    the driver's oracle can value-check it (VERDICT r1 item 2): for the
+    single-column corpus (doc_id % 3 != 0) geometric (y, x) order IS reading
+    order, so every doc must be fully in order — ``n_docs`` equals the corpus
+    filter count and ``n_docs_out_of_order`` must be 0. Two-column docs
+    interleave columns geometrically, which is exactly why the kernel
+    clusters columns before emitting (reference stub it fills:
+    advanced_layout_extractor.py:546-552)."""
     corpus = _titled_pdf_corpus(spark, sf_dir).filter(F.col("doc_id") % 3 != 0)
     ex = extract_corpus(corpus, repartition=False)
     els = elements_df(ex)
@@ -93,22 +96,33 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_elements"),
         F.sum(F.when(F.col("rank") == F.col("pos"), 1).otherwise(0)).alias("n_in_order"),
     )
-    # corpus-level summary: one row; n_disagreements must be 0 (the kernel's
-    # emission order IS geometric reading order for single-column docs)
     return per_url.agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_elements").alias("n_elements"),
-        F.sum("n_in_order").alias("n_in_order"),
-        F.sum(F.when(F.col("n_elements") != F.col("n_in_order"), 1).otherwise(0)).alias(
-            "n_docs_out_of_order"
-        ),
+        F.sum(F.when(F.col("n_elements") != F.col("n_in_order"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_out_of_order"),
+        F.min(F.col("n_elements") >= 2).alias("all_docs_multi_element"),
     )
 
 
+SQL_ELEMENTS_READING_ORDER = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_docs_out_of_order,
+       TRUE AS all_docs_multi_element
+FROM documents WHERE doc_id % 3 <> 0
+"""
+
+
 def q_spatial_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 spatial-relation self-join on real PDF elements: same (url, page)
-    pairs with pos_a < pos_b, relation from bbox geometry (above/below/
-    overlapping), aggregated per relation."""
+    """J1 spatial-relation self-join on real PDF elements: same-url pairs
+    with pos_a < pos_b, relation from bbox geometry.
+
+    Output is shaped as DuckDB-computable invariants (VERDICT r1 item 2):
+    ``n_docs`` equals the corpus size; every doc has its title strictly above
+    the body so ``n_docs_with_above`` equals n_docs; emission order never
+    regresses across pages so ``n_later_page_pairs`` must be 0. Reference
+    behavior pinned: the O(n²) pair loop + relation predicate
+    (advanced_layout_extractor.py:487-538)."""
     corpus = _titled_pdf_corpus(spark, sf_dir)
     ex = extract_corpus(corpus, repartition=False)
     els = elements_df(ex)
@@ -124,6 +138,28 @@ def q_spatial_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b.y1") <= F.col("a.y0"), F.lit("below"))
         .otherwise(F.lit("y_overlap"))
     )
-    return pairs.select(rel.alias("relation")).groupBy("relation").agg(
-        F.count("*").alias("n_pairs")
+    per_url = pairs.select(
+        F.col("a.url").alias("url"), rel.alias("relation")
+    ).groupBy("url").agg(
+        F.sum(F.when(F.col("relation") == "above", 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(F.col("relation") == "later_page", 1).otherwise(0)).alias(
+            "n_later"
+        ),
     )
+    # every doc emits >= 2 elements (title + body), hence >= 1 pair, so
+    # per_url covers the whole corpus — no separate count action needed
+    return per_url.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_above") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_above"),
+        F.sum("n_later").cast("long").alias("n_later_page_pairs"),
+    )
+
+
+SQL_ELEMENTS_SPATIAL_RELATIONS = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_docs_with_above,
+       CAST(0 AS BIGINT) AS n_later_page_pairs
+FROM documents
+"""
