@@ -81,7 +81,7 @@ FROM documents
 
 # -- frame sampling ---------------------------------------------------------------
 
-FRAME_STRIDE = 1000  # bytes per synthetic "frame"
+FRAME_STRIDE = 1000  # characters per synthetic "frame"
 MAX_FRAMES = 4
 
 FRAMES_SCHEMA = (
@@ -90,19 +90,23 @@ FRAMES_SCHEMA = (
 
 
 def _frame_batches(batches):
-    """Frame-sampling plumbing: one input payload → N frame rows (video
-    frame-sampling shape). The 'frame' is a byte-stride slice and its
-    signature an md5 prefix — a real decoder would emit decoded frame
-    tensors here; the Spark-side fan-out schema, batching, and ordering are
-    exactly what that decoder would need."""
+    """Frame-sampling plumbing: one input document → N frame rows (video
+    frame-sampling shape). The 'frame' is a character-stride slice and its
+    signature an md5 prefix over the slice's UTF-8 bytes — character-based
+    so the DuckDB oracle's substr/md5 reproduces it exactly for non-ASCII
+    text too (ADVICE r1). A real decoder would emit decoded frame tensors
+    here; the Spark-side fan-out schema, batching, and ordering are exactly
+    what that decoder would need."""
     for pdf in batches:
         out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_sig": []}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            payload = bytes(payload)
-            n_frames = min(max(len(payload) // FRAME_STRIDE, 1), MAX_FRAMES)
+        for doc_id, text in zip(pdf["doc_id"], pdf["payload"]):
+            text = str(text)
+            n_frames = min(max(len(text) // FRAME_STRIDE, 1), MAX_FRAMES)
             for i in range(n_frames):
                 off = i * FRAME_STRIDE
-                sig = hashlib.md5(payload[off : off + FRAME_STRIDE]).hexdigest()[:8]
+                sig = hashlib.md5(
+                    text[off : off + FRAME_STRIDE].encode("utf-8")
+                ).hexdigest()[:8]
                 out["doc_id"].append(int(doc_id))
                 out["frame_idx"].append(i)
                 out["frame_off"].append(off)
@@ -111,11 +115,11 @@ def _frame_batches(batches):
 
 
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads: mapInPandas fan-out (1 → N rows)
-    with deterministic per-frame signatures the oracle reproduces with
-    substring+md5 arithmetic."""
+    """Frame sampling over document payloads: mapInPandas fan-out (1 → N
+    rows) with deterministic per-frame signatures the oracle reproduces with
+    substring+md5 arithmetic (both sides character-based)."""
     docs = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id", F.col("text").alias("payload")
     )
     return docs.mapInPandas(_frame_batches, schema=FRAMES_SCHEMA)
 

@@ -452,7 +452,12 @@ def q_evidence_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.count(F.when(F.col("event_type") == "view", 1)) / 20.0, F.lit(1.0)).alias("orth_line_density"),
         F.least(F.count(F.when(F.col("event_type") == "purchase", 1)) / 5.0, F.lit(1.0)).alias("gridy_text"),
         F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).cast("double").alias("caption"),
-        F.least(F.stddev_pop("value") / 100.0, F.lit(1.0)).alias("texture"),
+        # coalesce before the division: Spark's least() skips NULLs, so an
+        # all-NULL group would otherwise yield texture=1.0 while the oracle
+        # coalesces to 0 (ADVICE r1 latent divergence)
+        F.least(
+            F.coalesce(F.stddev_pop("value"), F.lit(0.0)) / 100.0, F.lit(1.0)
+        ).alias("texture"),
     )
     score = sum(F.col(k) * w for k, w in EVIDENCE_WEIGHTS.items())
     return feats.select(

@@ -88,15 +88,18 @@ def _strip_http_envelope(payload: bytes) -> bytes:
     return payload
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
-    """Parse one WARC (possibly gzipped) into corpus rows."""
-    if data[:2] == b"\x1f\x8b":
+def parse_warc_stream(stream) -> "iter[dict]":
+    """Yield corpus rows from a raw (decompressed) WARC byte stream, one
+    record at a time — holds at most one record payload in memory. A corrupt
+    gzip tail surfacing mid-read ends iteration (degrade, don't crash)."""
+    records = iter_warc_records(stream)
+    while True:
         try:
-            data = gzip.decompress(data)
+            headers, payload = next(records)
+        except StopIteration:
+            return
         except (OSError, EOFError):
-            return []  # corrupt gzip member — degrade, don't crash the task
-    rows = []
-    for headers, payload in iter_warc_records(io.BytesIO(data)):
+            return  # corrupt compressed tail
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -107,39 +110,61 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             ts = datetime.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
         except ValueError:
             ts = None
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": ts,
-                "html": _strip_http_envelope(payload),
-                "text": None,
-                "lang": None,
-            }
-        )
-    return rows
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "html": _strip_http_envelope(payload),
+            "text": None,
+            "lang": None,
+        }
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse one in-memory WARC (possibly gzipped) into corpus rows —
+    convenience for tests/fixtures; the connector streams instead."""
+    stream: io.BufferedIOBase = io.BytesIO(data)
+    if data[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=stream)
+    return list(parse_warc_stream(stream))
 
 
 # -- Spark connector -------------------------------------------------------------
 
 
+ROWS_PER_BATCH = 2048  # output Arrow-batch bound, independent of WARC size
+
+
 def read_warc(spark: SparkSession, paths: list[str], partitions: int | None = None) -> DataFrame:
-    """DataFrame of corpus rows from WARC file paths, parsed on executors."""
+    """DataFrame of corpus rows from WARC file paths, parsed on executors.
+
+    Each file is parsed incrementally from a (gzip) file stream — a ~1 GB
+    compressed Common Crawl WARC never materializes whole in executor
+    memory; output rows are yielded in bounded Arrow batches."""
     import pandas as pd  # noqa: F401 — needed by the worker closure
 
-    n = partitions or min(len(paths), spark.sparkContext.defaultParallelism)
+    n = max(1, partitions or min(len(paths), spark.sparkContext.defaultParallelism))
     paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(n)
 
     def _parse(batches):
         import pandas as pd
 
+        cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
-            out = []
+            out: list[dict] = []
             for p in pdf["path"]:
                 with open(p, "rb") as f:
-                    out.extend(parse_warc_bytes(f.read()))
-            yield pd.DataFrame(
-                out, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+                    stream = f
+                    if f.read(2) == b"\x1f\x8b":
+                        f.seek(0)
+                        stream = gzip.GzipFile(fileobj=f)
+                    else:
+                        f.seek(0)
+                    for row in parse_warc_stream(stream):
+                        out.append(row)
+                        if len(out) >= ROWS_PER_BATCH:
+                            yield pd.DataFrame(out, columns=cols)
+                            out = []
+            yield pd.DataFrame(out, columns=cols)
 
     return paths_df.mapInPandas(_parse, schema=CORPUS_SCHEMA)
 

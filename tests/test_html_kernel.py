@@ -124,9 +124,27 @@ def test_charset_utf16_bom():
 
     body = "<html><body><main><p>utf sixteen little endian body text block here</p></main></body></html>"
     payload = b"\xff\xfe" + body.encode("utf-16-le")
-    assert detect_charset(payload) == "utf-16-le"
+    # the BOM-consuming codec, not utf-16-le (which would leak U+FEFF)
+    assert detect_charset(payload) == "utf-16"
     res = extract_html(payload)
     assert "utf sixteen little endian" in res["text"]
+    assert "﻿" not in res["text"]
+
+
+def test_charset_bom_never_leaks_zwnbsp():
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    body = "<html><body><main><p>bom leak check body text block goes right here</p></main></body></html>"
+    for enc, bom in [
+        ("utf-16-le", b"\xff\xfe"),
+        ("utf-16-be", b"\xfe\xff"),
+        ("utf-32-le", b"\xff\xfe\x00\x00"),
+        ("utf-32-be", b"\x00\x00\xfe\xff"),
+        ("utf-8", b"\xef\xbb\xbf"),
+    ]:
+        res = extract_html(bom + body.encode(enc))
+        assert "﻿" not in res["text"], enc
+        assert "bom leak check" in res["text"], enc
 
 
 def test_charset_bogus_name_falls_back():
