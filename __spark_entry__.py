@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (extraction values themselves are pinned by golden tests)
         "elements_reading_order": elements.q_reading_order,
         "elements_spatial_relations": elements.q_spatial_relations,
+        "elements_hierarchy": elements.q_element_hierarchy,
         # relational operator inventory (SURVEY.md §2)
         "pricing_summary": relational.q_pricing_summary,
         "group_median": relational.q_group_median,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,
         "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
+        "elements_hierarchy": elements.SQL_ELEMENT_HIERARCHY,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "group_median": relational.SQL_GROUP_MEDIAN,
         "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,

@@ -323,8 +323,9 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str]]:
 def extract_html(payload: bytes | str) -> dict:
     """Extract main content from one HTML payload.
 
-    Returns ``{"text": str, "spans": [(elem_type, page, start, end, bbox)],
-    "n_elements": int, "method": "html", "error": str|None}``.
+    Returns ``{"text": str, "spans": [(elem_type, page, start, end, bbox,
+    hierarchy_level, parent_id)], "n_elements": int, "method": "html",
+    "error": str|None}``.
     Never raises; on catastrophic failure returns empty text with the error
     recorded (posture of advanced_layout_extractor.py:690-691, logged not
     silenced).
@@ -339,16 +340,20 @@ def extract_html(payload: bytes | str) -> dict:
         parser.close()
         kept = _classify(parser.blocks, parser.saw_main)
         texts: list[str] = []
-        spans: list[tuple] = []
+        spans: list = []
         pos = 0
         for elem_type, text in kept:
             if texts:
                 pos += 2  # "\n\n" separator
             start = pos
             end = start + len(text)
-            spans.append((elem_type, 0, start, end, [0.0, 0.0, 0.0, 0.0]))
+            spans.append([elem_type, 0, start, end, [0.0, 0.0, 0.0, 0.0]])
             texts.append(text)
             pos = end
+        from .hierarchy import assign_hierarchy
+
+        levels = assign_hierarchy([s[0] for s in spans])
+        spans = [tuple(s) + (lvl, par) for s, (lvl, par) in zip(spans, levels)]
         return {
             "text": "\n\n".join(texts),
             "spans": spans,

@@ -38,6 +38,26 @@ PARA_GAP_FACTOR = 1.8  # vertical gap ⇒ paragraph break
 TITLE_FACTOR = 1.2     # reference's TITLE rule
 GRID_MIN_INTERSECTIONS = 4
 
+# positional-band chrome (reference ElementType HEADER/FOOTER,
+# advanced_layout_extractor.py:52-63); bands sit outside the fixture body
+# region (title tops out at y/ph ≈ 0.909, body bottoms at ≈ 0.091)
+HEADER_BAND = 0.93     # line baseline y/ph above ⇒ header candidate
+FOOTER_BAND = 0.06     # line baseline y/ph below ⇒ footer candidate
+BAND_MAX_WORDS = 12    # chrome lines are short
+
+# caption proximity rule (table_figure_classifier.py:155-192): pattern +
+# horizontal overlap with a table/figure region + vertical nearness
+CAPTION_RE = re.compile(r"^(Figure|Fig\.|Table)\s+\d", re.IGNORECASE)
+CAPTION_VGAP_FRAC = 0.05  # the reference's 5% page-height margin
+
+# list markers: bullet glyphs always; numbered items only when adjacent
+# emission-order neighbors in the same column are also numbered (a lone
+# "12. " at a wrap boundary in prose must NOT split the paragraph)
+LIST_BULLET_RE = re.compile(r"^[•‣▪●·]\s+")
+LIST_NUM_RE = re.compile(r"^\d{1,2}[.)]\s+")
+
+FIGURE_TEXT = "[figure]"  # deterministic marker for image-only elements
+
 
 class _Ref:
     __slots__ = ("num",)
@@ -434,6 +454,23 @@ class _Doc:
                 chunks.append(_decode_stream(obj[1], obj[2]))
         return b"\n".join(chunks)
 
+    def page_image_names(self, page: dict) -> frozenset:
+        """Names of /Resources/XObject entries with /Subtype /Image — the
+        lookup set for ``Do`` placements during content interpretation."""
+        try:
+            res = self.resolve(page.get("Resources")) or {}
+            xobjs = self.resolve(res.get("XObject")) or {}
+            names = set()
+            for name, ref in xobjs.items():
+                obj = self.resolve(ref)
+                if isinstance(obj, tuple) and obj[0] == "stream":
+                    obj = obj[1]
+                if isinstance(obj, dict) and str(obj.get("Subtype", "")) == "Image":
+                    names.add(str(name))
+            return frozenset(names)
+        except Exception:
+            return frozenset()
+
     def page_size(self, page: dict) -> tuple[float, float]:
         box = self.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
         try:
@@ -445,17 +482,36 @@ class _Doc:
 # -- content-stream interpretation ---------------------------------------------
 
 
-def _interpret_content(content: bytes):
-    """Run a content stream; return (runs, hlines, vlines, rects).
+def _mat_mult(m, ctm):
+    """Concatenate PDF matrices: apply ``m`` then ``ctm`` (the `cm` op)."""
+    a, b, c, d, e, f = m
+    A, B, C, D, E, F_ = ctm
+    return (
+        a * A + b * C,
+        a * B + b * D,
+        c * A + d * C,
+        c * B + d * D,
+        e * A + f * C + E,
+        e * B + f * D + F_,
+    )
+
+
+def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
+    """Run a content stream; return (runs, hlines, vlines, rects, images).
 
     runs: (x, y, size, text). Lines/rects mirror the reference's vector
     primitives (pdf_vector_utils.py:38-90): hlines/vlines as
-    (x0, y0, x1, y1), rects as (x, y, w, h).
+    (x0, y0, x1, y1), rects as (x, y, w, h). images: placed image XObject
+    bboxes (x0, y0, x1, y1) — the unit square through the CTM at each
+    ``name Do`` whose name is in ``image_names`` (the page's
+    /Resources/XObject entries with /Subtype /Image), the rebuild of the
+    reference's type==1 image blocks (advanced_layout_extractor.py:359-386).
     """
     runs: list[tuple] = []
     hlines: list[tuple] = []
     vlines: list[tuple] = []
     rects: list[tuple] = []
+    images: list[tuple] = []
     lex = _Lexer(content, 0)
     stack: list = []
     tx = ty = 0.0
@@ -464,6 +520,8 @@ def _interpret_content(content: bytes):
     leading = 0.0
     cur_pt = None
     path_start = None
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    gs_stack: list[tuple] = []
     n = len(content)
     while lex.p < n:
         lex._skip_ws()
@@ -537,10 +595,23 @@ def _interpret_content(content: bytes):
                 rects.append((x, y, w, h))
             elif op == b"h" and path_start is not None:
                 cur_pt = path_start
+            elif op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mult(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"Do" and stack and isinstance(stack[-1], _Name):
+                if str(stack[-1]) in image_names:
+                    a, b_, c_, d, e, f = ctm
+                    xs = (e, a + e, c_ + e, a + c_ + e)
+                    ys = (f, b_ + f, d + f, b_ + d + f)
+                    images.append((min(xs), min(ys), max(xs), max(ys)))
         except Exception:
             pass
         stack = []
-    return runs, hlines, vlines, rects
+    return runs, hlines, vlines, rects, images
 
 
 # -- layout reconstruction ------------------------------------------------------
@@ -625,6 +696,134 @@ def _grid_regions(hlines, vlines) -> list[tuple]:
     return [(x0, y0, x1, y1)]
 
 
+def _cluster_coords(vals: list[float], tol: float = 1.0) -> list[float]:
+    """Collapse near-equal coordinates (ruled lines drawn twice, rounding)."""
+    out: list[float] = []
+    for v in sorted(vals):
+        if not out or v - out[-1] > tol:
+            out.append(v)
+    return out
+
+
+def _spacing_regularity(bounds: list[float]) -> float:
+    """1 − cv(std/mean) of sorted boundary gaps, clipped to [0, 1]
+    (pdf_vector_utils.py:194-218)."""
+    gaps = [b - a for a, b in zip(bounds, bounds[1:])]
+    if len(gaps) < 2:
+        return 1.0 if gaps else 0.0
+    mean = sum(gaps) / len(gaps)
+    if mean <= 0:
+        return 0.0
+    var = sum((g - mean) ** 2 for g in gaps) / len(gaps)
+    return max(0.0, min(1.0, 1.0 - (var ** 0.5) / mean))
+
+
+def extract_table_cells(payload: bytes) -> list[dict]:
+    """Decompose ruled-grid regions into a row/col cell matrix.
+
+    The reference derives table structure from h×v line intersections plus
+    spacing regularity (pdf_vector_utils.py:169-192, 138-149) but never
+    emits cells; here each detected grid yields ``{page, n_rows, n_cols,
+    regularity, cells: [{row, col, text}]}`` with cell text joined from the
+    text runs inside each cell rectangle in (top→down, left→right) order.
+    Never raises; malformed input yields []."""
+    try:
+        doc = _Doc(payload)
+        out: list[dict] = []
+        for pno, page in enumerate(doc.pages()):
+            content = doc.page_content(page)
+            if not content:
+                continue
+            runs, hl, vl, rects, _ = _interpret_content(content)
+            for gx0, gy0, gx1, gy1 in _grid_regions(hl, vl):
+                row_bounds = _cluster_coords(
+                    [h[1] for h in hl if gy0 - 1 <= h[1] <= gy1 + 1]
+                )
+                col_bounds = _cluster_coords(
+                    [v[0] for v in vl if gx0 - 1 <= v[0] <= gx1 + 1]
+                )
+                n_rows, n_cols = len(row_bounds) - 1, len(col_bounds) - 1
+                if n_rows < 1 or n_cols < 1:
+                    continue
+                # row 0 is the TOP row: row_bounds ascend in y-up PDF coords
+                cells: dict[tuple[int, int], list[tuple]] = {}
+                for x, y, size, txt in runs:
+                    if not (gx0 <= x <= gx1 and gy0 <= y <= gy1):
+                        continue
+                    r = c = None
+                    for i in range(n_rows):
+                        if row_bounds[i] <= y <= row_bounds[i + 1]:
+                            r = n_rows - 1 - i
+                            break
+                    for j in range(n_cols):
+                        if col_bounds[j] <= x <= col_bounds[j + 1]:
+                            c = j
+                            break
+                    if r is not None and c is not None:
+                        cells.setdefault((r, c), []).append((x, y, size, txt))
+                reg = 0.5 * (
+                    _spacing_regularity(row_bounds) + _spacing_regularity(col_bounds)
+                )
+                out.append(
+                    {
+                        "page": pno,
+                        "n_rows": n_rows,
+                        "n_cols": n_cols,
+                        "regularity": round(reg, 6),
+                        "cells": [
+                            {
+                                "row": r,
+                                "col": c,
+                                "text": _join_runs(
+                                    sorted(cells[(r, c)], key=lambda t: (-t[1], t[0]))
+                                ),
+                            }
+                            for (r, c) in sorted(cells)
+                        ],
+                    }
+                )
+        return out
+    except Exception:
+        return []
+
+
+def _list_flags(lines: list[dict], cols: list[int], order: list[int]) -> list[bool]:
+    """Per-line list-item flags. Bullet glyphs always flag; numbered markers
+    flag only when an emission-order neighbor in the same column is also
+    numbered (aligned multi-item list), so prose wrap artifacts never split
+    a paragraph."""
+    flags = [False] * len(lines)
+    numbered = [bool(LIST_NUM_RE.match(lines[i]["text"])) for i in range(len(lines))]
+    for i, line in enumerate(lines):
+        if LIST_BULLET_RE.match(line["text"]):
+            flags[i] = True
+    for k, idx in enumerate(order):
+        if not numbered[idx] or flags[idx]:
+            continue
+        for nk in (k - 1, k + 1):
+            if 0 <= nk < len(order):
+                j = order[nk]
+                if numbered[j] and cols[j] == cols[idx]:
+                    flags[idx] = True
+                    break
+    return flags
+
+
+def _near_caption_region(line: dict, regions: list[tuple], ph: float) -> bool:
+    """Reference caption rule (table_figure_classifier.py:155-192):
+    horizontal overlap + vertical nearness within 5% of page height,
+    above or below the region."""
+    top = line["y"] + line["size"]
+    margin = CAPTION_VGAP_FRAC * ph
+    for gx0, gy0, gx1, gy1 in regions:
+        h_overlap = line["x"] < gx1 and line["x1"] > gx0
+        below = 0 <= gy0 - top <= margin
+        above = 0 <= line["y"] - gy1 <= margin
+        if h_overlap and (below or above):
+            return True
+    return False
+
+
 def extract_pdf(payload: bytes) -> dict:
     """Extract text + typed spans from one PDF payload. Never raises.
 
@@ -633,7 +832,17 @@ def extract_pdf(payload: bytes) -> dict:
     lines top→bottom within a column; paragraphs merge across column/page
     boundaries (lines joined with a single space) unless a vertical gap
     > PARA_GAP_FACTOR × leading or an element-type change breaks them.
+
+    Element taxonomy (reference ElementType, advanced_layout_extractor.py:
+    52-63): title, paragraph, table, figure (placed image XObjects, :359-386),
+    header/footer (positional bands), caption (proximity rule,
+    table_figure_classifier.py:155-192), list (marker detection). Image-only
+    figure elements carry the deterministic ``[figure]`` marker text and are
+    emitted after the page's text flow, ordered top-to-bottom. Spans carry
+    ``(hierarchy_level, parent_id)`` from :mod:`hierarchy`.
     """
+    from .hierarchy import assign_hierarchy
+
     try:
         doc = _Doc(payload)
         pages = doc.pages()
@@ -643,19 +852,22 @@ def extract_pdf(payload: bytes) -> dict:
             content = doc.page_content(page)
             if not content:
                 continue
-            runs, hl, vl, rects = _interpret_content(content)
-            if not runs:
+            runs, hl, vl, rects, images = _interpret_content(
+                content, doc.page_image_names(page)
+            )
+            if not runs and not images:
                 continue
             grids = _grid_regions(hl, vl)
+            caption_regions = grids + images
             lines = _group_lines(runs)
             med = _median([line["size"] for line in lines])
             cols = _cluster_columns(lines)
             # order: column asc, then y desc within column; full grid regions
             # are emitted as TABLE blocks in row-major order.
             order = sorted(range(len(lines)), key=lambda i: (cols[i], -lines[i]["y"]))
+            lists = _list_flags(lines, cols, order)
             prev_y = None
             prev_col = None
-            leading = LEADINGS = None
             deltas = []
             for i in range(1, len(lines)):
                 d = lines[i - 1]["y"] - lines[i]["y"]
@@ -664,6 +876,7 @@ def extract_pdf(payload: bytes) -> dict:
             lead = _median(deltas) if deltas else 12.0
             for idx in order:
                 line = lines[idx]
+                words = line["text"].count(" ") + 1
                 in_grid = any(
                     g[0] - 2 <= line["x"] and line["x1"] <= g[2] + 2
                     and g[1] - 2 <= line["y"] <= g[3] + 2
@@ -671,8 +884,18 @@ def extract_pdf(payload: bytes) -> dict:
                 )
                 if in_grid:
                     kind = "table"
+                elif line["y"] / ph >= HEADER_BAND and words <= BAND_MAX_WORDS:
+                    kind = "header"
+                elif line["y"] / ph <= FOOTER_BAND and words <= BAND_MAX_WORDS:
+                    kind = "footer"
+                elif CAPTION_RE.match(line["text"]) and _near_caption_region(
+                    line, caption_regions, ph
+                ):
+                    kind = "caption"
                 elif med > 0 and line["size"] >= TITLE_FACTOR * med:
                     kind = "title"
+                elif lists[idx]:
+                    kind = "list"
                 else:
                     kind = "paragraph"
                 bbox = [
@@ -697,6 +920,21 @@ def extract_pdf(payload: bytes) -> dict:
                     blocks[-1]["texts"].append(line["text"])
                 prev_y = line["y"]
                 prev_col = cols[idx]
+            # image-only figure elements after the page's text flow, top→down
+            for ix0, iy0, ix1, iy1 in sorted(images, key=lambda b: (-b[3], b[0])):
+                blocks.append(
+                    {
+                        "kind": "figure",
+                        "page": pno,
+                        "texts": [FIGURE_TEXT],
+                        "bbox": [
+                            max(0.0, ix0 / pw),
+                            max(0.0, 1.0 - iy1 / ph),
+                            min(1.0, ix1 / pw),
+                            min(1.0, 1.0 - iy0 / ph),
+                        ],
+                    }
+                )
         texts: list[str] = []
         spans: list[tuple] = []
         pos = 0
@@ -706,11 +944,16 @@ def extract_pdf(payload: bytes) -> dict:
                 continue
             if texts:
                 pos += 2
-            start = pos
-            end = start + len(text)
-            spans.append((blk["kind"], blk["page"], start, end, [round(v, 6) for v in blk["bbox"]]))
+            spans.append(
+                [blk["kind"], blk["page"], pos, pos + len(text),
+                 [round(v, 6) for v in blk["bbox"]]]
+            )
             texts.append(text)
-            pos = end
+            pos += len(text)
+        levels = assign_hierarchy([s[0] for s in spans])
+        spans = [
+            tuple(s) + (lvl, parent) for s, (lvl, parent) in zip(spans, levels)
+        ]
         err = "; ".join(doc.errors[:3]) if doc.errors else None
         return {
             "text": "\n\n".join(texts),

@@ -125,21 +125,37 @@ def _content_table(rows: list[list[str]]) -> str:
     return "\n".join(ops)
 
 
-def _assemble(page_streams: list[str], compress: bool, xref_stream: bool) -> bytes:
+def _assemble(
+    page_streams: list[str], compress: bool, xref_stream: bool,
+    with_image: bool = False,
+) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
-    stream (PDF 1.5) depending on ``xref_stream``."""
+    stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
+    tiny /Subtype /Image XObject as /Im1 in every page's resources."""
     npages = len(page_streams)
-    # object numbering: 1 Catalog, 2 Pages, 3 Font, then per page (Page, Contents)
+    # object numbering: 1 Catalog, 2 Pages, 3 Font, then per page (Page,
+    # Contents), then optionally the image XObject
     objs: dict[int, bytes] = {}
     kids = " ".join("%d 0 R" % (4 + 2 * i) for i in range(npages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, npages)).encode()
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    img_num = 4 + 2 * npages
+    res_extra = ""
+    if with_image:
+        pixels = bytes(range(16))  # 4x4 deterministic gray ramp
+        objs[img_num] = (
+            ("<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+             "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>" % len(pixels)).encode()
+            + b"\nstream\n" + pixels + b"\nendstream"
+        )
+        res_extra = " /XObject << /Im1 %d 0 R >>" % img_num
     for i, stream in enumerate(page_streams):
         pg, ct = 4 + 2 * i, 5 + 2 * i
         objs[pg] = (
             "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %g %g] "
-            "/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % (PAGE_W, PAGE_H, ct)
+            "/Resources << /Font << /F1 3 0 R >>%s >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, res_extra, ct)
         ).encode()
         data = stream.encode("latin-1")
         if compress:
@@ -185,6 +201,36 @@ def _assemble(page_streams: list[str], compress: bool, xref_stream: bool) -> byt
     return bytes(buf)
 
 
+# extras geometry: header/footer inside the chrome bands
+# (HEADER_Y/792 ≈ 0.96 > 0.93; FOOTER_Y/792 ≈ 0.038 < 0.06), figure in the
+# right margin with its caption 5 pts below (inside the 5% proximity margin)
+HEADER_Y = 760.0
+FOOTER_Y = 30.0
+FIG_X, FIG_Y, FIG_W, FIG_H = 380.0, 560.0, 160.0, 100.0
+
+
+def _content_extras(
+    header: str | None, footer: str | None, caption: str | None,
+    figure: bool, table_rows: list[list[str]] | None,
+) -> list[str]:
+    ops: list[str] = []
+    if header:
+        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, MARGIN, HEADER_Y, _esc(header)))
+    if footer:
+        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, MARGIN, FOOTER_Y, _esc(footer)))
+    if figure:
+        ops.append("q %g 0 0 %g %g %g cm /Im1 Do Q" % (FIG_W, FIG_H, FIG_X, FIG_Y))
+    if caption:
+        if figure:
+            cx, cy = FIG_X, FIG_Y - 15.0
+        elif table_rows is not None:
+            cx, cy = MARGIN, (PAGE_H - MARGIN) - len(table_rows) * 24.0 - 15.0
+        else:
+            cx, cy = MARGIN, FIG_Y - 15.0
+        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, cx, cy, _esc(caption)))
+    return ops
+
+
 def build_pdf(
     text: str,
     columns: int = 1,
@@ -192,20 +238,39 @@ def build_pdf(
     compress: bool = False,
     xref_stream: bool = False,
     table_rows: list[list[str]] | None = None,
+    header: str | None = None,
+    footer: str | None = None,
+    caption: str | None = None,
+    figure: bool = False,
+    list_items: list[str] | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
     ``text`` is wrapped on single spaces; the parser's reading-order
     reconstruction must return it byte-identically (title, if given, becomes
-    a separate leading TITLE block).
+    a separate leading TITLE block). Extras exercise the full element
+    taxonomy: ``header``/``footer`` land in the positional chrome bands,
+    ``figure`` paints a tiny image XObject via ``cm``+``Do``, ``caption``
+    sits within the 5% proximity margin of the figure or table, and
+    ``list_items`` render as bullet lines in the body flow.
     """
+    body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
+    if list_items:
+        body = body + ["• " + it for it in list_items]
     if table_rows is not None:
         pages = [_content_table(table_rows)]
     elif columns == 2:
-        pages = _content_two_col(wrap_words(text, COL_LINE_CHARS), title)
+        pages = _content_two_col(body, title)
     else:
-        pages = _content_single(wrap_words(text, LINE_CHARS), title)
-    return _assemble(pages, compress=compress, xref_stream=xref_stream)
+        pages = _content_single(body, title)
+    extras = _content_extras(header, footer, caption, figure, table_rows)
+    if extras:
+        if not pages:
+            pages = [""]
+        pages[0] = (pages[0] + "\n" if pages[0] else pages[0]) + "\n".join(extras)
+    return _assemble(
+        pages, compress=compress, xref_stream=xref_stream, with_image=figure
+    )
 
 
 def build_truncated_pdf(text: str) -> bytes:

@@ -72,7 +72,106 @@ def elements_df(extracted: DataFrame) -> DataFrame:
         F.element_at("s.bbox", 2).alias("y0"),
         F.element_at("s.bbox", 3).alias("x1"),
         F.element_at("s.bbox", 4).alias("y1"),
+        F.col("s.hierarchy_level").alias("hierarchy_level"),
+        F.col("s.parent_id").alias("parent_id"),
     )
+
+
+def _figured_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF corpus where every doc carries the full element taxonomy: title,
+    header/footer chrome, a figure XObject, and a proximity caption."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+    @F.pandas_udf(T.BinaryType())
+    def make_pdf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                pdf_write.build_pdf(
+                    t, title=f"Document {int(i)}", figure=True,
+                    caption=f"Figure 1: caption for doc {int(i)}",
+                    header="Corpus Header", footer="page 1",
+                )
+                for t, i in zip(text, doc_id)
+            ]
+        )
+
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        make_pdf("text", "doc_id").alias("html"),
+    )
+
+
+def q_element_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy invariants on real extraction output (the reference's
+    `_build_hierarchy` data model, advanced_layout_extractor.py:65-79 +
+    540-554, and the caption→region attachment of
+    table_figure_classifier.py:155-192, both on actual elements):
+
+    every doc emits exactly one caption, attached under its figure at level
+    2; header/footer chrome stays root; every paragraph/list sits at level 1
+    under the doc title. All counts are DuckDB-computable from ``documents``.
+    """
+    corpus = _figured_pdf_corpus(spark, sf_dir)
+    ex = extract_corpus(corpus, repartition=False)
+    els = elements_df(ex)
+    parents = els.select(
+        F.col("url").alias("p_url"),
+        F.col("pos").alias("p_pos"),
+        F.col("elem_type").alias("parent_type"),
+    )
+    joined = els.join(
+        parents,
+        (F.col("url") == F.col("p_url")) & (F.col("parent_id") == F.col("p_pos")),
+        "left",
+    )
+    is_chrome = F.col("elem_type").isin("header", "footer")
+    is_body = F.col("elem_type").isin("paragraph", "list")
+    return joined.agg(
+        F.countDistinct("url").alias("n_docs"),
+        F.sum(F.when(F.col("elem_type") == "caption", 1).otherwise(0))
+        .cast("long")
+        .alias("n_captions"),
+        F.sum(
+            F.when(
+                (F.col("elem_type") == "caption")
+                & (F.col("parent_type") == "figure")
+                & (F.col("hierarchy_level") == 2),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_caption_under_figure"),
+        F.sum(
+            F.when(
+                is_chrome & ((F.col("hierarchy_level") != 0) | (F.col("parent_id") != -1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_chrome_nonroot"),
+        F.sum(
+            F.when(
+                is_body
+                & ~((F.col("hierarchy_level") == 1) & (F.col("parent_type") == "title")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_body_not_under_title"),
+    )
+
+
+SQL_ELEMENT_HIERARCHY = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_captions,
+       CAST(count(*) AS BIGINT) AS n_caption_under_figure,
+       CAST(0 AS BIGINT) AS n_chrome_nonroot,
+       CAST(0 AS BIGINT) AS n_body_not_under_title
+FROM documents
+"""
 
 
 def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:

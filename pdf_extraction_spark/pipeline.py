@@ -29,6 +29,12 @@ SPAN_TYPE = T.StructType(
         T.StructField("char_start", T.LongType()),
         T.StructField("char_end", T.LongType()),
         T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        # title-containment hierarchy (fills the reference's _build_hierarchy
+        # stub, advanced_layout_extractor.py:540-554); parent_id is the span
+        # array index of the parent, -1 for roots — children_ids is its
+        # relational inverse (a groupBy on parent_id), not materialized
+        T.StructField("hierarchy_level", T.IntegerType()),
+        T.StructField("parent_id", T.IntegerType()),
     ]
 )
 
@@ -84,6 +90,8 @@ def _make_extract_batches(keep_cols: tuple[str, ...] = ()):
                             "char_start": s[2],
                             "char_end": s[3],
                             "bbox": list(s[4]),
+                            "hierarchy_level": s[5],
+                            "parent_id": s[6],
                         }
                         for s in res["spans"]
                     ]

@@ -37,9 +37,10 @@ def test_span_offsets_roundtrip():
     r = extract_html(ARTICLE)
     blocks = r["text"].split("\n\n")
     assert len(blocks) == len(r["spans"])
-    for (elem, page, s, e, bbox), blk in zip(r["spans"], blocks):
+    for (elem, page, s, e, bbox, level, parent), blk in zip(r["spans"], blocks):
         assert r["text"][s:e] == blk
         assert page == 0
+        assert parent == -1 or 0 <= parent < len(r["spans"])
 
 
 def test_template_roundtrip_exact():
@@ -94,7 +95,7 @@ def test_malformed_total():
 def test_totality_random_bytes(payload):
     r = extract_html(payload)
     assert isinstance(r["text"], str)
-    for (_, _, s, e, _) in r["spans"]:
+    for (_, _, s, e, *_rest) in r["spans"]:
         assert 0 <= s <= e <= len(r["text"])
 
 
