@@ -240,31 +240,39 @@ SIMHASH_BITS = 16
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational SimHash: per token and bit, a ±1 vote derived from the
     parity of md5(token||':'||bit); signature bit = sign of the vote sum.
-    Engine-portable (md5-only randomness) and fully JVM-side in Spark."""
+    Engine-portable (md5-only randomness) and fully JVM-side in Spark.
+
+    The 16 per-bit votes are computed as 16 columns on each token row and
+    summed with one map-side-combinable groupBy — the shuffle carries one
+    row per token, not token×16 exploded rows (VERDICT r1 perf item)."""
     docs = _duped_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     votes = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "tok",
-    ).select(
-        "doc_id",
-        "b",
-        F.when(
-            F.ascii(F.substring(F.md5(F.concat(F.col("tok"), F.lit(":"), F.col("b").cast("string"))), 1, 1)) % 2 == 1,
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("v"),
+        *[
+            F.when(
+                F.ascii(
+                    F.substring(F.md5(F.concat(F.col("tok"), F.lit(f":{b}"))), 1, 1)
+                )
+                % 2
+                == 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ],
     )
-    bits = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
-        ).alias("simhash")
+    sums = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)]
     )
+    sig = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 SQL_DEDUP_SIMHASH = f"""

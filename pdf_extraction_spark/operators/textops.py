@@ -172,23 +172,62 @@ WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnow window (rows)
 
 
+def _winnow_batches(batches):
+    """Arrow-batched winnowing kernel: per document, md5 over char k-grams,
+    monotonic-deque sliding-window minimum, then the distinct-count/min
+    reduction — all executor-local. Docs shorter than K emit no row (the
+    oracle's generate_series is empty for them)."""
+    import hashlib
+    from collections import deque
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_fp": [], "min_fp": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            text = str(text)
+            L = len(text) - (WINNOW_K - 1)
+            if L <= 0:
+                continue
+            hs = [
+                hashlib.md5(text[i : i + WINNOW_K].encode("utf-8")).hexdigest()[:8]
+                for i in range(L)
+            ]
+            dq: deque = deque()
+            j = 0
+            fps = set()
+            min_fp = None
+            for i in range(L):
+                hi = min(i + WINNOW_W - 1, L - 1)
+                while j <= hi:
+                    while dq and hs[dq[-1]] >= hs[j]:
+                        dq.pop()
+                    dq.append(j)
+                    j += 1
+                while dq[0] < i:
+                    dq.popleft()
+                fp = hs[dq[0]]
+                fps.add(fp)
+                if min_fp is None or fp < min_fp:
+                    min_fp = fp
+            out["doc_id"].append(int(doc_id))
+            out["n_fp"].append(len(fps))
+            out["min_fp"].append(min_fp)
+        yield pd.DataFrame(out)
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     md5 over char 8-grams, per-window minimum, distinct selected hashes.
-    Pure window algebra — the rolling hash is a windowed min over position
-    order, no UDF."""
+
+    Computed inside an Arrow-batched mapInPandas kernel: winnowing is
+    per-document-local, so exploding one row per character position through
+    a doc_id-partitioned window shuffle (the r1 shape — ~L shuffle rows per
+    doc) is pure inflation; the kernel emits the per-doc reduction directly
+    with zero shuffle (VERDICT r1 perf item)."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = docs.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1))).alias("i"),
-    ).select(
-        "doc_id", "i", F.expr(f"substr(md5(substr(text, i, {WINNOW_K})), 1, 8)").alias("h")
-    )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
-    sel = grams.select("doc_id", F.min("h").over(w).alias("fp"))
-    return sel.groupBy("doc_id").agg(
-        F.countDistinct("fp").alias("n_fp"), F.min("fp").alias("min_fp")
+    return docs.mapInPandas(
+        _winnow_batches, schema="doc_id long, n_fp long, min_fp string"
     )
 
 
