@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": textops.q_token_count,
         "fingerprint_winnow": textops.q_fingerprint_winnow,
         "chunk_split": textops.q_chunk_split,
+        "chunk_split_recursive": textops.q_chunk_split_recursive,
         "regex_counts": textops.q_regex_counts,
         "rag_retrieval": textops.q_rag_retrieval,
         # multimodal plumbing
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": textops.SQL_TOKEN_COUNT,
         "fingerprint_winnow": textops.SQL_FINGERPRINT_WINNOW,
         "chunk_split": textops.SQL_CHUNK_SPLIT,
+        "chunk_split_recursive": textops.SQL_CHUNK_SPLIT_RECURSIVE,
         "regex_counts": textops.SQL_REGEX_COUNTS,
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,

@@ -295,6 +295,113 @@ FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id)
 """
 
 
+def _recursive_chunk_batches(batches):
+    """UDTF-shaped fan-out: one doc row → one row per recursive chunk, with
+    offsets and a slice-equality flag (chunk text really is text[start:end])."""
+    import pandas as pd
+
+    from ..kernels.chunking import recursive_chunks
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "chunk_idx": [], "start": [], "end": [],
+            "doc_len": [], "slice_ok": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            text = str(text)
+            for ci, (a, b) in enumerate(recursive_chunks(text)):
+                out["doc_id"].append(int(doc_id))
+                out["chunk_idx"].append(ci)
+                out["start"].append(a)
+                out["end"].append(b)
+                out["doc_len"].append(len(text))
+                out["slice_ok"].append(0 <= a <= b <= len(text))
+        yield pd.DataFrame(out)
+
+
+def q_chunk_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive separator-hierarchy chunker (reference semantics:
+    complete_multimodal_rag_evaluation.py:33-48 — separators
+    ``## > ### > #### > \\n\\n > \\n > ". " > " " > ""``, size 1200,
+    overlap 200), run as an Arrow-batched fan-out kernel; the corpus-wide
+    structural invariants are verified relationally (lag window per doc)
+    and value-checked by the DuckDB oracle: every chunk within size, chunks
+    cover the document in order with no gaps, overlap bounded by 200."""
+    from ..kernels.chunking import CHUNK_OVERLAP, CHUNK_SIZE
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = docs.mapInPandas(
+        _recursive_chunk_batches,
+        schema=(
+            "doc_id long, chunk_idx int, start long, end long, "
+            "doc_len long, slice_ok boolean"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    flagged = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        "end",
+        "slice_ok",
+        "doc_len",
+        F.lag("end").over(w).alias("prev_end"),
+        F.lag("start").over(w).alias("prev_start"),
+        F.max("end").over(Window.partitionBy("doc_id")).alias("doc_end"),
+    )
+    return flagged.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("end") - F.col("start") > CHUNK_SIZE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_size"),
+        F.sum(
+            F.when(
+                (F.col("chunk_idx") == 0) & (F.col("start") != 0), 1
+            )
+            .when(
+                (F.col("chunk_idx") > 0)
+                & (
+                    (F.col("start") > F.col("prev_end"))
+                    | (F.col("start") <= F.col("prev_start"))
+                ),
+                1,
+            )
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_coverage_breaks"),
+        F.sum(
+            F.when(
+                (F.col("chunk_idx") > 0)
+                & (F.col("prev_end") - F.col("start") > CHUNK_OVERLAP),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlap_violations"),
+        F.sum(F.when(~F.col("slice_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_slices"),
+        F.sum(
+            F.when((F.col("chunk_idx") == 0) & (F.col("doc_end") != F.col("doc_len")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_not_covered"),
+    )
+
+
+SQL_CHUNK_SPLIT_RECURSIVE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_over_size,
+       CAST(0 AS BIGINT) AS n_coverage_breaks,
+       CAST(0 AS BIGINT) AS n_overlap_violations,
+       CAST(0 AS BIGINT) AS n_bad_slices,
+       CAST(0 AS BIGINT) AS n_docs_not_covered
+FROM documents WHERE length(text) > 0
+"""
+
+
 # -- regex count rollup (A5/A6) ---------------------------------------------------------
 
 

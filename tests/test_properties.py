@@ -77,3 +77,30 @@ def test_warc_parser_total(data):
 def test_warc_parser_total_on_corrupt_gzip(data):
     rows = parse_warc_bytes(b"\x1f\x8b" + data)
     assert isinstance(rows, list)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=6000))
+@settings(max_examples=120, deadline=None)
+def test_recursive_chunks_invariants(text):
+    """Recursive separator chunker (reference splitter semantics,
+    complete_multimodal_rag_evaluation.py:33-48): chunks are in-bounds
+    contiguous substrings within size, cover the text, overlap bounded."""
+    from pdf_extraction_spark.kernels.chunking import (
+        CHUNK_OVERLAP, CHUNK_SIZE, recursive_chunks,
+    )
+
+    ch = recursive_chunks(text)
+    if not text:
+        assert ch == []
+        return
+    assert ch[0][0] == 0 and ch[-1][1] == len(text)
+    for a, b in ch:
+        assert 0 <= a < b <= len(text) or (a, b) == (0, len(text))
+        assert b - a <= CHUNK_SIZE
+    for (a1, b1), (a2, b2) in zip(ch, ch[1:]):
+        assert a1 < a2 <= b1          # ordered, no gaps
+        assert b1 - a2 <= CHUNK_OVERLAP
