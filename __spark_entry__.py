@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+        "dedup_components": dedup.q_dedup_components,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
         "embedding_cosine_pairs": similarity.q_embedding_cosine_pairs,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elements_reading_order": elements.q_reading_order,
         "elements_spatial_relations": elements.q_spatial_relations,
         "elements_hierarchy": elements.q_element_hierarchy,
+        "table_cells": elements.q_table_cells,
         # relational operator inventory (SURVEY.md §2)
         "pricing_summary": relational.q_pricing_summary,
         "group_median": relational.q_group_median,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_tile": SQL_EXTRACT_SPANS_TILE,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.SQL_DEDUP_MINHASH_LSH,
+        "dedup_components": dedup.SQL_DEDUP_COMPONENTS,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
         "dedup_ngram_jaccard": dedup.SQL_DEDUP_NGRAM_JACCARD,
         "embedding_cosine_pairs": similarity.SQL_EMBEDDING_COSINE_PAIRS,
@@ -172,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,
         "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
         "elements_hierarchy": elements.SQL_ELEMENT_HIERARCHY,
+        "table_cells": elements.SQL_TABLE_CELLS,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "group_median": relational.SQL_GROUP_MEDIAN,
         "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,

@@ -58,6 +58,19 @@ LIST_NUM_RE = re.compile(r"^\d{1,2}[.)]\s+")
 
 FIGURE_TEXT = "[figure]"  # deterministic marker for image-only elements
 
+# equation: short line with '=' plus at least one more math operator
+# (reference counted formulas by regex over analysis text,
+# gpt4_comprehensive_visual_processor.py:219-332; this is the deterministic
+# glyph-level analog). reference entries: bracketed-number bibliography lines.
+EQUATION_OPS = "+-*/^√∑∏∫≈≤≥±·×÷"
+REFERENCE_RE = re.compile(r"^\[\d{1,3}\]\s")
+
+
+def _is_equation(text: str) -> bool:
+    if "=" not in text or text.count(" ") + 1 > BAND_MAX_WORDS:
+        return False
+    return any(c in text for c in EQUATION_OPS)
+
 
 class _Ref:
     __slots__ = ("num",)
@@ -894,6 +907,10 @@ def extract_pdf(payload: bytes) -> dict:
                     kind = "caption"
                 elif med > 0 and line["size"] >= TITLE_FACTOR * med:
                     kind = "title"
+                elif REFERENCE_RE.match(line["text"]):
+                    kind = "reference"
+                elif _is_equation(line["text"]):
+                    kind = "equation"
                 elif lists[idx]:
                     kind = "list"
                 else:

@@ -243,6 +243,8 @@ def build_pdf(
     caption: str | None = None,
     figure: bool = False,
     list_items: list[str] | None = None,
+    equations: list[str] | None = None,
+    references: list[str] | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -257,6 +259,10 @@ def build_pdf(
     body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
     if list_items:
         body = body + ["• " + it for it in list_items]
+    if equations:
+        body = body + list(equations)
+    if references:
+        body = body + ["[%d] %s" % (i + 1, r) for i, r in enumerate(references)]
     if table_rows is not None:
         pages = [_content_table(table_rows)]
     elif columns == 2:

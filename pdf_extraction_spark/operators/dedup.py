@@ -232,6 +232,78 @@ WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= {JA
 """
 
 
+# -- connected-components duplicate clustering ----------------------------------------
+
+CC_MAX_ITERS = 12  # label propagation rounds (>= graph diameter; log-ish at scale)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components over the verified
+    MinHash-LSH pair graph: iterative min-label propagation to a fixpoint
+    (driver checks a scalar change-count per round, never collects rows).
+
+    At web scale pair lists are not enough — transitive near-dups
+    (A~B, B~C) must collapse into one cluster with one keeper. Min-label
+    propagation converges in diameter rounds; duplicate clusters are
+    shallow (near-clique), so a dozen bounded rounds with each round one
+    equi-join + map-side-combinable min-agg is the standard shape
+    (large-star/small-star is the published refinement for adversarial
+    diameters). Returns one row per cluster: (component_root, n_members)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new = (
+            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    comps = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    edges.unpersist()
+    return comps.select(
+        F.col("lbl").cast("long").alias("component_root"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT CAST(min_lbl AS BIGINT) AS component_root,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM (SELECT node, min(lbl) AS min_lbl FROM reach GROUP BY node)
+GROUP BY min_lbl
+"""
+
+
 # -- SimHash --------------------------------------------------------------------------
 
 SIMHASH_BITS = 16

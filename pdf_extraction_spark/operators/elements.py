@@ -174,6 +174,50 @@ FROM documents
 """
 
 
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table cell decomposition, value-checked end to end: render each doc's
+    first 9 words as a ruled 3×3 grid PDF, parse it back with
+    :func:`pdf_extract.extract_table_cells` (h×v boundary matrix,
+    pdf_vector_utils.py:169-192), and emit one row per cell. The DuckDB
+    oracle recomputes every cell's text directly from ``documents`` —
+    cell (r, c) must equal word r*3+c+1 of the document."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def _cells(batches):
+        from ..kernels import pdf_extract as px
+
+        for pdf in batches:
+            out = {"doc_id": [], "cell_row": [], "cell_col": [], "cell_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = str(text).split(" ")[:9]
+                rows = [words[0:3], words[3:6], words[6:9]]
+                payload = pdf_write.build_pdf("", table_rows=rows)
+                for t in px.extract_table_cells(payload):
+                    for c in t["cells"]:
+                        out["doc_id"].append(int(doc_id))
+                        out["cell_row"].append(c["row"])
+                        out["cell_col"].append(c["col"])
+                        out["cell_text"].append(c["text"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _cells, schema="doc_id long, cell_row int, cell_col int, cell_text string"
+    )
+
+
+SQL_TABLE_CELLS = """
+SELECT doc_id,
+       CAST(r AS INT) AS cell_row,
+       CAST(c AS INT) AS cell_col,
+       w[r * 3 + c + 1] AS cell_text
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+     LATERAL (SELECT unnest(generate_series(0, 2)) AS r),
+     LATERAL (SELECT unnest(generate_series(0, 2)) AS c)
+"""
+
+
 def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 reading order on PDF extraction output: rank elements by
     (page, y0, x0) and compare with emission order.

@@ -145,6 +145,7 @@ def main() -> None:
     # conditions (the shared sandbox host is bursty); best-of-all-trials per
     # size is the capability number.
     rounds = int(os.environ.get("SCALEBENCH_ROUNDS", "2"))
+    trials = int(os.environ.get("SCALEBENCH_TRIALS", "3"))
     runs_n, runs_4n = [], []
     for _ in range(rounds):
         runs_n.append(run_at(n_cores, corpus_path, zip_path))
@@ -174,6 +175,8 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8 and identical,
         "output_bytes_identical": identical,
+        "rounds_per_size": rounds,
+        "trials_per_session": trials,
         "runs": {f"local{n_cores}": r8, f"local{n_cores * 4}": r32},
     }
     bench_dir = REPO / "BENCH"
@@ -192,10 +195,14 @@ mapInPandas kernels → bucket-clustered parquet write) — the part that scales
 with executors; session startup and per-run lineage bookkeeping are
 per-driver constants, amortized over a real run's corpus size, and are
 reported separately (`wall_s`, `wall_total_s`). The two sizes run in
-interleaved session rounds (3 warm trials per session, 2 sessions per size)
-so both sample comparable host conditions; the reported number is the best
-trial per size. The sandbox host is shared and bursty — single trials carry
-up to 2.5x scheduling noise; every trial is listed in scaling.json.
+interleaved session rounds ({trials} warm trials per session, {rounds}
+session(s) per size — the values this run actually used) so both sample
+comparable host conditions; the reported number is the best trial per size.
+The sandbox host is shared and bursty — single trials carry up to 2.5x
+scheduling noise; every trial is listed in scaling.json. When run through
+`tools/bench_attempts.py`, the published attempt is the MEDIAN-efficiency
+attempt of several complete runs (all attempt efficiencies listed below),
+not a best-of ratchet.
 
 | cluster size stand-in | docs | extract phase (s) | job wall (s) | total wall (s) | docs/sec | output hash |
 |---|---|---|---|---|---|---|
@@ -203,7 +210,7 @@ up to 2.5x scheduling noise; every trial is listed in scaling.json.
 | 4N = local[{r32['cores']}] | {r32['n_docs']} | {r32['extract_phase_s']} | {r32['wall_s']} | {r32['wall_total_s']} | {thr32} | `{r32['output_hash'][:12]}` |
 
 - **scaling efficiency = (throughput_4N / throughput_N) / 4 = {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-- **output bytes identical across parallelism levels: {identical}** (order-insensitive md5 over `url|extracted_text`)
+- **output bytes identical across parallelism levels: {identical}** (distributed order-insensitive hash: per-row xxhash64 of `url|extracted_text` combined by count + decimal sum + bit_xor)
 - resumability: the same job is bucket-checkpointed (`_lineage` table); see tests/test_lineage.py
 
 Regenerate: `python scalebench.py {sf_dir} {html_copies} {repeat}`

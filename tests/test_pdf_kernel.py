@@ -174,3 +174,30 @@ def test_caption_requires_proximity():
     r = pdf_extract.extract_pdf(pdf)
     assert [s[0] for s in r["spans"]] == ["paragraph"]
     assert r["text"] == body
+
+
+def test_equation_and_reference_classes():
+    """The remaining two ElementType classes (advanced_layout_extractor.py:
+    52-63): short '='+operator lines -> equation; bracketed-number
+    bibliography lines -> reference."""
+    from pdf_extraction_spark.kernels import pdf_extract, pdf_write
+
+    body = "introductory prose words that wrap across a couple of lines here " * 2
+    pdf = pdf_write.build_pdf(
+        body.strip(), title="T",
+        equations=["E = m*c^2", "a^2 + b^2 = c^2"],
+        references=["Author A, Paper One, 2020", "Author B, Paper Two, 2021"],
+    )
+    r = pdf_extract.extract_pdf(pdf)
+    kinds = [s[0] for s in r["spans"]]
+    assert kinds.count("equation") == 2
+    assert kinds.count("reference") == 2
+    texts = [r["text"][s[2]:s[3]] for s in r["spans"] if s[0] == "reference"]
+    assert texts == ["[1] Author A, Paper One, 2020", "[2] Author B, Paper Two, 2021"]
+    eqs = [r["text"][s[2]:s[3]] for s in r["spans"] if s[0] == "equation"]
+    assert eqs == ["E = m*c^2", "a^2 + b^2 = c^2"]
+    # all ten reference classes are now emittable by the kernels
+    from pdf_extraction_spark.kernels.html_extract import ELEMENT_TYPES
+    emitted = {"title", "paragraph", "table", "figure", "header", "footer",
+               "caption", "list", "equation", "reference"}
+    assert emitted == set(ELEMENT_TYPES)
