@@ -17,10 +17,15 @@ PDF_MAGIC = b"%PDF-"
 _NONTEXT = bytes(b for b in range(0x20) if b not in (0x09, 0x0A, 0x0D))
 
 
+_WS_BYTES = b" \t\n\r\x0b\x0c"  # exactly bytes.lstrip()'s whitespace set
+
+
 def _binary_ratio(sample: bytes) -> float:
     if not sample:
         return 0.0
-    junk = sum(sample.count(b) for b in _NONTEXT)
+    # single pass: drop the junk bytes, compare lengths (identical count to
+    # summing per-byte .count() but 29x less scanning)
+    junk = len(sample) - len(sample.translate(None, _NONTEXT))
     return junk / len(sample)
 
 
@@ -31,7 +36,12 @@ def extract_document(payload: bytes | None) -> dict:
         return {"text": "", "spans": [], "n_elements": 0, "method": "empty", "error": "null payload"}
     if isinstance(payload, str):
         payload = payload.encode("utf-8", errors="replace")
-    head = payload.lstrip()[:8]
+    # sniff without copying the payload (lstrip() would duplicate every doc)
+    i = 0
+    n = len(payload)
+    while i < n and payload[i] in _WS_BYTES:
+        i += 1
+    head = payload[i : i + 8]
     if head.startswith(PDF_MAGIC):
         return extract_pdf(payload)
     if _binary_ratio(payload[:4096]) > 0.10:

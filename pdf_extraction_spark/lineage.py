@@ -150,6 +150,14 @@ def run_resumable(
         extracted = extract_corpus(
             wave_in.select("url", "html", "bucket"), partitions=partitions,
             salt=salt, keep_cols=("bucket",),
+            # align the one-and-only shuffle to the bucket grid: each task
+            # holds whole (bucket, url-salt) groups, so the partitioned sink
+            # below needs NO second full-output shuffle and still writes a
+            # bounded number of files per bucket. Skew defusal is unchanged —
+            # a hot host's bucket spreads over `salt` url-hash groups.
+            partition_exprs=[
+                F.col("bucket"), F.pmod(F.xxhash64(F.col("url")), F.lit(salt)),
+            ],
         )
         if fb:
             def _bomb(batches):
@@ -160,17 +168,15 @@ def run_resumable(
 
             extracted = extracted.mapInPandas(_bomb, schema=extracted.schema)
 
-        # Cluster output by bucket before the partitioned write: without
-        # this, every extraction task holds rows of ~all buckets and the
-        # sink gets tasks x buckets tiny files. The post-extraction shuffle
-        # is output-sized (extracted text only — the heavy kernel CPU is
-        # already balanced by the salted repartition upstream) and yields
-        # ~1 file per bucket. Dynamic partition overwrite keeps re-runs of
-        # a half-written wave idempotent.
+        # The upstream repartition is bucket-aligned, so each task already
+        # holds whole (bucket, salt) groups — the partitioned write emits
+        # ~n_buckets*salt files total regardless of task count, with no
+        # output-sized shuffle here (that shuffle was the anti-scaling term
+        # on a shared memory bus). Dynamic partition overwrite keeps re-runs
+        # of a half-written wave idempotent.
         t_ex = time.monotonic()
         (
-            extracted.repartition(len(wave), F.col("bucket"))
-            .write.mode("overwrite")
+            extracted.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(docs_path)
         )

@@ -150,18 +150,28 @@ def extract_corpus(
     salt: int = 8,
     repartition: bool = True,
     keep_cols: tuple[str, ...] = (),
+    partition_exprs: list | None = None,
 ) -> DataFrame:
     """Run the extraction pipeline over a corpus DataFrame.
 
     Prunes to ``(url, html)`` (+ ``keep_cols``) before the Python stage so
     the parquet scan reads only the needed columns (ReadSchema check in
     tests), then salted repartition, then the Arrow-batched kernel stage.
+
+    ``partition_exprs`` overrides the default (host-hash, url-salt)
+    repartition keys — the lineage runner passes (bucket, url-salt) so the
+    extraction output lands already clustered for the bucket-partitioned
+    sink and the per-host skew defusal is preserved at salt granularity,
+    with no second full-output shuffle before the write.
     """
     pruned = corpus.select("url", "html", *keep_cols)
     if repartition:
         if partitions is None:
             partitions = corpus.sparkSession.sparkContext.defaultParallelism
-        pruned = salted_repartition(pruned, partitions, salt)
+        if partition_exprs is not None:
+            pruned = pruned.repartition(partitions, *partition_exprs)
+        else:
+            pruned = salted_repartition(pruned, partitions, salt)
     schema = T.StructType(
         OUTPUT_SCHEMA.fields + [corpus.schema[c] for c in keep_cols]
     )

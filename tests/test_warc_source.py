@@ -47,3 +47,24 @@ def test_spark_read_and_extract(spark, warc_files):
     out = {r["url"]: r["extracted_text"] for r in extract_corpus(df, partitions=4).collect()}
     goldens = {g["url"]: g["extracted_text"] for g in compute_goldens(rows)}
     assert out == goldens
+
+
+def test_streaming_parse_never_materializes_whole_file(warc_files):
+    """The connector parses from a (gzip) file stream (ADVICE r1: whole-file
+    read + gzip.decompress would blow executor memory on ~1 GB Common Crawl
+    WARCs). Pure-python check of the same stream path read_warc uses."""
+    root, rows = warc_files
+    with open(root / "crawl-00001.warc.gz", "rb") as f:
+        stream = gzip.GzipFile(fileobj=f)
+        got = list(warc.parse_warc_stream(stream))
+    assert len(got) == 30 and got[0]["html"] == rows[30]["html"]
+    # source-level guard: the spark path must not slurp files
+    import inspect
+
+    src = inspect.getsource(warc.read_warc)
+    assert "f.read()" not in src and "gzip.decompress" not in src
+
+
+def test_read_warc_empty_paths(spark):
+    df = warc.read_warc(spark, [])
+    assert df.count() == 0
