@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": textops.q_fingerprint_winnow,
         "chunk_split": textops.q_chunk_split,
         "chunk_split_recursive": textops.q_chunk_split_recursive,
+        "pii_scrub": textops.q_pii_scrub,
+        "top_terms": textops.q_top_terms,
         "regex_counts": textops.q_regex_counts,
         "rag_retrieval": textops.q_rag_retrieval,
         # multimodal plumbing
@@ -168,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_winnow": textops.SQL_FINGERPRINT_WINNOW,
         "chunk_split": textops.SQL_CHUNK_SPLIT,
         "chunk_split_recursive": textops.SQL_CHUNK_SPLIT_RECURSIVE,
+        "pii_scrub": textops.SQL_PII_SCRUB,
+        "top_terms": textops.SQL_TOP_TERMS,
         "regex_counts": textops.SQL_REGEX_COUNTS,
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,

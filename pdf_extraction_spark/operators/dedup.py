@@ -368,12 +368,22 @@ FROM bits GROUP BY doc_id
 # -- n-gram Jaccard within blocking groups ---------------------------------------------
 
 
+NGRAM_MAX_BLOCK = 1000  # quadratic-blowup guard: skip degenerate hot blocks
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over pairs blocked by ``source`` (classic
-    blocking dedup: the O(n²) pair space is bounded per block)."""
+    blocking dedup: the O(n²) pair space is bounded per block). Blocks over
+    ``NGRAM_MAX_BLOCK`` docs are excluded outright — a single degenerate hot
+    key would otherwise cost O(n²) (VERDICT r1 item 5); at scale such blocks
+    belong to the MinHash-LSH path, not exact verification."""
     docs = _duped_docs(spark, sf_dir)
     sh = _shingles(docs)
-    src = docs.select("doc_id", "source")
+    block_sizes = docs.groupBy("source").agg(F.count("*").alias("n_block"))
+    src = docs.select("doc_id", "source").join(
+        F.broadcast(block_sizes.filter(F.col("n_block") <= NGRAM_MAX_BLOCK)),
+        "source",
+    )
     pairs = (
         src.alias("a")
         .join(src.alias("b"), F.col("a.source") == F.col("b.source"))
@@ -405,9 +415,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH all_docs AS ({_DUPED_SQL}),
 sh AS ({_SHINGLES_SQL}),
+ok_blocks AS (
+  SELECT source FROM all_docs GROUP BY source HAVING count(*) <= {NGRAM_MAX_BLOCK}
+),
+blocked AS (
+  SELECT d.doc_id, d.source FROM all_docs d JOIN ok_blocks o ON d.source = o.source
+),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM all_docs a JOIN all_docs b ON a.source = b.source AND a.doc_id < b.doc_id
+  FROM blocked a JOIN blocked b ON a.source = b.source AND a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT p.id_a, p.id_b, count(*) AS n_inter

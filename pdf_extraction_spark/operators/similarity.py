@@ -187,18 +187,28 @@ SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3
 """
 
 
+PAIRS_MAX_BLOCK = 10_000  # quadratic-blowup guard for degenerate hot labels
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.95 among pairs blocked by
     ``label`` (IVF-cell-style blocking bounds the pair space). Deterministic
     scaled copies (vec_id+1e6, embedding×1.5 ⇒ cosine 1.0) are unioned in so
-    the small corpus actually contains near-duplicates."""
+    the small corpus actually contains near-duplicates. Labels holding more
+    than ``PAIRS_MAX_BLOCK`` vectors are excluded outright (VERDICT r1 item
+    5: a skewed block key is quadratic — at scale such cells go through the
+    LSH/IVF candidate paths, not exact all-pairs)."""
     base = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     mutants = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         "label",
         F.transform("embedding", lambda x: (x.cast("double") * 1.5).cast("float")).alias("embedding"),
     )
-    emb = _with_norm(base.unionByName(mutants))
+    all_emb = base.unionByName(mutants)
+    ok = all_emb.groupBy("label").agg(F.count("*").alias("n_block")).filter(
+        F.col("n_block") <= PAIRS_MAX_BLOCK
+    )
+    emb = _with_norm(all_emb.join(F.broadcast(ok.select("label")), "label"))
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
         F.col("norm").alias("n_a"), F.col("label").alias("label"),
@@ -228,10 +238,13 @@ WITH all_emb AS (
          list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
 ),
+ok_blocks AS (
+  SELECT label FROM all_emb GROUP BY label HAVING count(*) <= 10000
+),
 e AS (
-  SELECT vec_id, label, embedding,
-         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-  FROM all_emb
+  SELECT a.vec_id, a.label, a.embedding,
+         sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+  FROM all_emb a JOIN ok_blocks o ON a.label = o.label
 )
 SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_sum(list_transform(generate_series(1, len(a.embedding)),

@@ -516,3 +516,126 @@ SELECT qid, rank, doc_id, chunk_id, score FROM (
   FROM scored
 ) WHERE rank <= {RAG_TOP_K}
 """
+
+
+# -- PII scrubbing (training-data hygiene) ----------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass a pretraining pipeline runs before tokenization:
+    count and replace emails / phone numbers / IPv4 literals with typed
+    placeholder tokens — pure JVM regexp (codegen'd), value-checked via an
+    md5 of the scrubbed text. Deterministic PII-bearing mutants (doc_id%10)
+    are unioned in so the scrubber provably fires."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or 555-123-4567 at 10.0.0.1"),
+        ).alias("text"),
+    )
+    all_docs = docs.unionAll(mutants)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return all_docs.select(
+        "doc_id",
+        # NB: F.regexp_count, not F.expr — SQL literal parsing would eat the
+        # backslash in `\.` and turn the IP dots into match-any.
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         text || ' contact bob@example.com or 555-123-4567 at 10.0.0.1' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+scrubbed AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IP}', '<IP>', 'g') AS clean
+  FROM all_docs
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_hash
+FROM scrubbed
+"""
+
+
+# -- top corpus terms per doc (TF/DF saliency) ------------------------------------------
+
+TOPTERMS_K = 3
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc salient terms, TF-IDF-shaped but integer-exact: rank a doc's
+    terms by (term frequency desc, document frequency asc, term asc) and
+    keep the top 3. Two shuffles — term-level counts (map-side combinable)
+    and a broadcast-joined document-frequency dimension — then one window.
+    Integer ordering keeps the oracle bit-exact (no libm ln() in the sort
+    key, which differs by ULPs across engines)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPTERMS_K)
+        .select("doc_id", "rank", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"))
+    )
+
+
+SQL_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(w) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {TOPTERMS_K}
+"""

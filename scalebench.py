@@ -95,6 +95,10 @@ def run_at(cores: int, corpus_path: str, zip_path: str, trials: int | None = Non
         "--py-files", zip_path,
         "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        # bandwidth-bound regime: trade plentiful CPU for scarce memory-bus
+        # bytes — zstd halves shuffle+sink volume vs lz4/snappy
+        "--conf", "spark.io.compression.codec=zstd",
+        "--conf", "spark.sql.parquet.compression.codec=zstd",
         "--conf", "spark.driver.memory=24g",
         "--conf", f"spark.local.dir={WORK / 'spark-local'}",
         "--conf", "spark.ui.enabled=false",
