@@ -71,7 +71,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_META = """
 SELECT doc_id,
-       length(text) AS n_bytes,
+       octet_length(encode(text)) AS n_bytes,
        64 + ascii(substr(md5(text), 1, 1)) % 64 AS width,
        64 + ascii(substr(md5(text), 2, 1)) % 64 AS height,
        'synthetic' AS fmt
