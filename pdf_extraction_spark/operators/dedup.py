@@ -128,16 +128,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only → pairs over threshold.
     """
     docs = _duped_docs(spark, sf_dir)
+    # The shingle relation feeds four consumers (minhash, both verify sides,
+    # sizes). Deliberately NOT persisted: measured on this box the cache
+    # serialization of millions of small rows costs more than recomputing
+    # them (CPU is plentiful, memory bandwidth is not). On a real cluster
+    # run the shingle table would be written to storage once and read by
+    # each consumer instead.
     sh = _shingles(docs)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed")
-    hashed = sh.select("doc_id", "sh", seeds).select(
+    # K hash columns computed per shingle ROW (not an explode ×K: the min is
+    # per-seed over the same shingle set either way, but this keeps the
+    # in-stage row count at |shingles|, not K·|shingles|, and each partial
+    # aggregate sees K columns of one row instead of K rows).
+    hashed = sh.select(
         "doc_id",
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"),
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))).alias(f"h{s}")
+            for s in range(MINHASH_K)
+        ],
     )
-    # one row per doc with mh0..mh7 (deterministic pivot by seed)
     mh = hashed.groupBy("doc_id").agg(
-        *[F.min(F.when(F.col("seed") == s, F.col("h"))).alias(f"mh{s}") for s in range(MINHASH_K)]
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(MINHASH_K)]
     )
     r = MINHASH_K // LSH_BANDS
     bands = mh.select(
