@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from pdf_extraction_spark.corpus import corpus_from_documents
 from pdf_extraction_spark.operators import (
+    corpusops,
     dedup,
     elements,
     multimodal,
@@ -123,6 +124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textops.q_top_terms,
         "regex_counts": textops.q_regex_counts,
         "rag_retrieval": textops.q_rag_retrieval,
+        # corpus curation (training-data pipeline stages)
+        "decontaminate": corpusops.q_decontaminate,
+        "domain_cap": corpusops.q_domain_cap,
+        "span_dup_fraction": corpusops.q_span_dup_fraction,
+        "repetition_score": corpusops.q_repetition_score,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
         "multimodal_framesample": multimodal.q_multimodal_framesample,
@@ -174,6 +180,10 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textops.SQL_TOP_TERMS,
         "regex_counts": textops.SQL_REGEX_COUNTS,
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
+        "decontaminate": corpusops.SQL_DECONTAMINATE,
+        "domain_cap": corpusops.SQL_DOMAIN_CAP,
+        "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,
+        "repetition_score": corpusops.SQL_REPETITION_SCORE,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
         "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,

@@ -1,0 +1,324 @@
+"""Corpus-curation operators a pretraining-data pipeline runs at 100 TB.
+
+Four first-class stages beyond the reference's own inventory (SURVEY.md §2
+"LLM-data-pipeline" block): benchmark decontamination, per-domain cap
+sampling, duplicated-span fraction (C4-style span dedup signal), and
+Gopher-style repetition scoring.
+
+All four are pure ``pyspark.sql.functions`` column algebra — JVM-side,
+whole-stage-codegen'd, no Python UDFs. Shuffle shapes (the 100 TB story):
+
+- decontaminate: the benchmark n-gram set is tiny (benchmarks are MBs) →
+  broadcast hash join against exploded document n-gram *hashes* (8-byte
+  xxhash64 through the exchange, never the gram string).
+- domain_cap: one hash-partitioned window keyed by domain. A single hot
+  domain serializes its own partition only; for the pathological one-domain
+  corpus, pre-aggregate counts per (domain, salt) first.
+- span_dup_fraction: two shuffles keyed by the 8-byte gram hash, both
+  map-side combinable.
+- repetition_score: one shuffle keyed by (doc_id, gram-hash) — bounded per
+  doc, no corpus-wide hot key possible.
+
+Each operator has a DuckDB oracle twin (SQL_*) computing identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import tbl
+
+
+def _word_ngrams(docs: DataFrame, n: int, out: str = "gram") -> DataFrame:
+    """One row per word n-gram (1-indexed positions, order preserved)."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.try_element_at("w", F.col("i") + j) for j in range(n)]
+            ).alias(out),
+        )
+    )
+
+
+def _ngrams_sql(src: str, n: int, out: str = "gram") -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+  SELECT doc_id, {parts} AS {out}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i)
+  WHERE len(w) >= {n}
+"""
+
+
+# -- benchmark decontamination ----------------------------------------------------------
+
+DECON_N = 8          # n-gram length of the contamination probe
+BENCH_MOD = 41       # doc_id % BENCH_MOD == 0 -> member of the "benchmark" set
+DECON_OFFSET = 4_000_000
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    8-gram with a held-out benchmark set, reporting per-doc collision counts.
+
+    The benchmark set here is a deterministic slice of ``documents``
+    (``doc_id % 41 == 0``); deterministic contaminated mutants (a benchmark
+    tail spliced onto a training doc) are unioned in so the probe provably
+    fires. Scale shape: ``distinct`` benchmark gram hashes are broadcast
+    (real benchmark suites are MBs against a 100 TB corpus); the training
+    side ships only ``xxhash64(gram)`` through the plan.
+    """
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # splice the last DECON_N words of a benchmark doc onto a training doc
+    tail = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.col("text"), " "),
+            -DECON_N,
+            DECON_N,
+        ),
+    )
+    bench_tails = bench.select((F.col("doc_id") % 7).alias("k"), tail.alias("tail")).groupBy(
+        "k"
+    ).agg(F.min("tail").alias("tail"))
+    contaminated = (
+        train.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("k", F.col("doc_id") % 7)
+        .join(F.broadcast(bench_tails), "k")
+        .select(
+            (F.col("doc_id") + DECON_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("tail")).alias("text"),
+        )
+    )
+    train_all = train.unionByName(contaminated)
+    bench_grams = (
+        _word_ngrams(bench, DECON_N)
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    train_grams = _word_ngrams(train_all, DECON_N).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train_all.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+bench AS (SELECT * FROM docs WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM docs WHERE doc_id % {BENCH_MOD} <> 0),
+bench_tails AS (
+  SELECT doc_id % 7 AS k,
+         min(array_to_string(list_slice(string_split(text, ' '), -{DECON_N}, -1), ' ')) AS tail
+  FROM bench GROUP BY 1
+),
+contaminated AS (
+  SELECT t.doc_id + {DECON_OFFSET} AS doc_id, t.text || ' ' || b.tail AS text
+  FROM train t JOIN bench_tails b ON t.doc_id % 7 = b.k
+  WHERE t.doc_id % 10 = 3
+),
+train_all AS (SELECT * FROM train UNION ALL SELECT * FROM contaminated),
+bench_grams AS (
+  SELECT DISTINCT gram FROM ({_ngrams_sql('bench', DECON_N)})
+),
+train_grams AS ({_ngrams_sql('train_all', DECON_N)}),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM train_grams t JOIN bench_grams b USING (gram)
+  GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM train_all a LEFT JOIN hits h ON a.doc_id = h.doc_id
+"""
+
+
+# -- per-domain cap sampling ------------------------------------------------------------
+
+DOMAIN_CAP = 20
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the Common-Crawl "no domain dominates the
+    mix" stage): keep at most ``DOMAIN_CAP`` docs per source, deterministic
+    keep-lowest-doc_id order, and report kept/total per domain. One
+    hash-partitioned window keyed by domain."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("rn") <= DOMAIN_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.max(F.when(F.col("rn") <= DOMAIN_CAP, F.col("doc_id")))
+        .cast("long")
+        .alias("last_kept_id"),
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(max(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END) AS BIGINT) AS last_kept_id
+FROM ranked GROUP BY source
+"""
+
+
+# -- duplicated-span fraction (C4-style span dedup signal) ------------------------------
+
+SPAN_N = 5
+
+
+def q_span_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span signal (the C4 "remove any span occurring
+    elsewhere" stage, reported as a per-doc fraction): for every word
+    5-gram, count the documents containing it; a doc's score is the fraction
+    of its 5-grams that also occur in some other document.
+
+    Deterministic clones (``doc_id%10==0`` + offset) are unioned in so
+    shared spans exist. Both shuffles key on the 8-byte gram hash with
+    map-side combine."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionAll(clones)
+    grams = (
+        _word_ngrams(all_docs, SPAN_N)
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    gram_docs = grams.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(gram_docs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias("dup_frac"),
+        )
+    )
+
+
+SQL_SPAN_DUP_FRACTION = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM ({_ngrams_sql('all_docs', SPAN_N)})
+),
+gram_docs AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) /
+             CAST(count(*) AS DOUBLE), 4) AS dup_frac
+FROM grams g JOIN gram_docs d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+# -- Gopher-style repetition scoring ----------------------------------------------------
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filters (the Gopher quality rules, made
+    integer-exact): per doc, the count of the most frequent word 2-gram, the
+    fraction of 2-gram instances belonging to it, and the distinct-word
+    ratio. One shuffle keyed by (doc_id, gram hash) — bounded per doc."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _word_ngrams(docs, 2)
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    top2 = per_gram.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_bigram_count"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wstats = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.countDistinct("word").cast("long").alias("n_distinct"),
+    )
+    return (
+        top2.join(wstats, "doc_id")
+        .select(
+            "doc_id",
+            "top_bigram_count",
+            "n_bigrams",
+            F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_frac"
+            ),
+            "n_words",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias("distinct_ratio"),
+        )
+    )
+
+
+SQL_REPETITION_SCORE = f"""
+WITH grams AS ({_ngrams_sql('documents', 2)}),
+per_gram AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM per_gram GROUP BY 1
+),
+words AS (
+  SELECT doc_id, t.word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(w) AS word) t
+  WHERE t.word <> ''
+),
+wstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_distinct
+  FROM words GROUP BY 1
+)
+SELECT t.doc_id, t.top_bigram_count, t.n_bigrams,
+       round(t.top_bigram_count / CAST(t.n_bigrams AS DOUBLE), 4) AS top_bigram_frac,
+       w.n_words, w.n_distinct,
+       round(w.n_distinct / CAST(w.n_words AS DOUBLE), 4) AS distinct_ratio
+FROM top2 t JOIN wstats w USING (doc_id)
+"""

@@ -1,0 +1,76 @@
+"""Corpus-curation operators: behavioral invariants + physical-plan gates.
+
+Value-level correctness is pinned by the DuckDB oracles
+(tools/check_oracles.py); these tests assert the behavior the oracle hash
+can't express directly (probe actually fires, cap actually caps) and the
+plan shapes the 100 TB design depends on (broadcast benchmark set, no
+Python UDFs anywhere in the module)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators import corpusops
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_probe_fires(spark):
+    rows = corpusops.q_decontaminate(spark, SF).collect()
+    flagged = [r for r in rows if r.contaminated == 1]
+    clean = [r for r in rows if r.contaminated == 0]
+    assert flagged and clean
+    # every spliced mutant (offset ids) must be flagged; a few natural
+    # 8-gram overlaps with the benchmark slice may legitimately flag too
+    mutants = [r for r in rows if r.doc_id >= corpusops.DECON_OFFSET]
+    assert mutants
+    assert all(r.contaminated == 1 and r.n_hits > 0 for r in mutants)
+    assert all(r.n_hits > 0 for r in flagged)
+    assert all(r.n_hits == 0 for r in clean)
+
+
+def test_decontaminate_benchmark_set_is_broadcast(spark):
+    plan = plan_of(corpusops.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_domain_cap_caps(spark):
+    rows = corpusops.q_domain_cap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= corpusops.DOMAIN_CAP
+        assert r.n_kept <= r.n_total
+
+
+def test_span_dup_fraction_clones_fully_duplicated(spark):
+    rows = {r.doc_id: r for r in corpusops.q_span_dup_fraction(spark, SF).collect()}
+    clones = [r for i, r in rows.items() if i >= 5_000_000]
+    assert clones
+    for clone in clones:
+        # every span of a clone also lives in its original -> dup_frac 1.0
+        assert clone.dup_frac == 1.0
+        original = rows[clone.doc_id - 5_000_000]
+        assert original.dup_frac == 1.0
+        assert original.n_spans == clone.n_spans
+
+
+def test_repetition_score_bounds(spark):
+    rows = corpusops.q_repetition_score(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_bigram_frac <= 1.0
+        assert 0 < r.distinct_ratio <= 1.0
+        assert r.top_bigram_count <= r.n_bigrams
+        assert r.n_distinct <= r.n_words
+
+
+def test_module_stays_jvm_side(spark):
+    for q in (
+        corpusops.q_domain_cap,
+        corpusops.q_span_dup_fraction,
+        corpusops.q_repetition_score,
+    ):
+        assert "BatchEvalPython" not in plan_of(q(spark, SF))
