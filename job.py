@@ -54,7 +54,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = spark.read.parquet(args.input)
+    # --input accepts an Iceberg table ref (cat.db.pages) on clusters with
+    # the runtime jar, or a parquet path (this sandbox) — same schema either way
+    from pdf_extraction_spark.sources.iceberg import read_pages
+
+    corpus = read_pages(spark, args.input)
     trials = []
     for i in range(max(args.trials, 1)):
         if i > 0:
