@@ -131,11 +131,16 @@ SHORT_BLOCK_WORDS = 8
 
 
 def _norm(text: str) -> str:
-    """Collapse whitespace runs to single spaces and strip (HTML semantics)."""
-    return _WS_RE.sub(" ", text).strip()
+    """Collapse whitespace runs to single spaces and strip (HTML semantics).
+
+    ``" ".join(text.split())`` is exactly ``_WS_RE.sub(" ", text).strip()``
+    (``\\s`` and ``str.isspace()`` agree on every codepoint — verified
+    exhaustively) and several times faster, with no regex-engine allocation.
+    """
+    return " ".join(text.split())
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One candidate text block with boilerplate-scoring features."""
 
@@ -147,9 +152,12 @@ class Block:
     kind: str = "paragraph"    # provisional element type
     parts: list = field(default_factory=list)        # text fragments
     link_parts: list = field(default_factory=list)   # fragments inside <a>
+    _text: str | None = None   # normalized text, cached at block close
 
     def text(self) -> str:
-        return _norm("".join(self.parts))
+        if self._text is None:
+            self._text = _norm("".join(self.parts))
+        return self._text
 
     def link_chars(self) -> int:
         return len(_norm("".join(self.link_parts)))
@@ -208,7 +216,7 @@ class _BlockParser:
     # -- HTMLParser hooks ----------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
+        # tag arrives already lowercased from _scan
         if tag in _VOID_TAGS:
             if tag == "br" and self._cur is not None:
                 self._cur.parts.append(" ")
@@ -238,7 +246,7 @@ class _BlockParser:
             self._open_block(tag)
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
+        # tag arrives already lowercased from _scan
         if tag in _VOID_TAGS:
             return
         # Unwind the stack leniently (malformed HTML: unbalanced tags).

@@ -31,6 +31,13 @@ import zlib
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+_LIT_SPECIAL = re.compile(rb"[\\()]")
+_LIT_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+_WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_COMMENT_RUN = re.compile(rb"%[^\r\n]*")
+_NUM_RUN = re.compile(rb"[+\-.0-9eE]+")
+_DIGIT_RUN = re.compile(rb"[0-9]+")
+_NAME_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 
 Y_TOL = 3.0            # same-line y tolerance (pts)
 COL_GAP = 60.0         # x gap that starts a new column (1-D sessionization)
@@ -94,16 +101,15 @@ class _Lexer:
         self.p = pos
 
     def _skip_ws(self):
+        # run-match whitespace and comments at C speed instead of per-byte
         d, p, n = self.d, self.p, len(self.d)
-        while p < n:
-            c = d[p : p + 1]
-            if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
-                p += 1
-            elif c == b"%":  # comment to EOL
-                while p < n and d[p : p + 1] not in (b"\n", b"\r"):
-                    p += 1
-            else:
+        while True:
+            m = _WS_RUN.match(d, p)
+            if m is not None:
+                p = m.end()
+            if p >= n or d[p] != 0x25:  # %
                 break
+            p = _COMMENT_RUN.match(d, p).end()
         self.p = p
 
     def parse(self):
@@ -160,11 +166,9 @@ class _Lexer:
 
     def _name(self):
         d = self.d
-        p = self.p + 1
-        start = p
-        while p < len(d) and d[p : p + 1] not in _DELIM and d[p] not in _WS:
-            p += 1
-        raw = d[start:p]
+        m = _NAME_RUN.match(d, self.p + 1)
+        raw = m.group(0)
+        p = m.end()
         # #xx hex escapes in names
         if b"#" in raw:
             raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
@@ -173,12 +177,9 @@ class _Lexer:
 
     def _number_or_ref(self):
         d = self.d
-        p = self.p
-        start = p
-        while p < len(d) and d[p : p + 1] in b"+-.0123456789eE":
-            p += 1
-        tok = d[start:p]
-        self.p = p
+        m = _NUM_RUN.match(d, self.p)
+        tok = m.group(0)
+        self.p = m.end()
         try:
             num = int(tok)
         except ValueError:
@@ -186,61 +187,75 @@ class _Lexer:
         # lookahead for "G R" indirect reference
         save = self.p
         self._skip_ws()
-        q = self.p
-        while q < len(d) and d[q : q + 1] in b"0123456789":
-            q += 1
-        if q > self.p:
-            gen_end = q
-            r = _Lexer(d, gen_end)
-            r._skip_ws()
-            if d[r.p : r.p + 1] == b"R" and (
-                r.p + 1 >= len(d) or d[r.p + 1] in _WS or d[r.p + 1 : r.p + 2] in _DELIM
+        m2 = _DIGIT_RUN.match(d, self.p)
+        if m2 is not None:
+            self.p = m2.end()
+            self._skip_ws()
+            p = self.p
+            if d[p : p + 1] == b"R" and (
+                p + 1 >= len(d) or d[p + 1] in _WS or d[p + 1 : p + 2] in _DELIM
             ):
-                self.p = r.p + 1
+                self.p = p + 1
                 return _Ref(num)
         self.p = save
         return num
 
     def _lit_string(self):
+        # bulk-copy runs of plain bytes between the three special chars
+        # (\ ( )) instead of walking byte-at-a-time — literal strings are
+        # mostly plain text, so runs are long
         d = self.d
+        n = len(d)
         p = self.p + 1
         out = bytearray()
         depth = 1
-        while p < len(d):
+        search = _LIT_SPECIAL.search
+        while p < n:
+            m = search(d, p)
+            if m is None:
+                out += d[p:]
+                p = n
+                break
+            q = m.start()
+            if q > p:
+                out += d[p:q]
+            p = q
             c = d[p]
             if c == 0x5C:  # backslash
                 p += 1
-                if p >= len(d):
+                if p >= n:
                     break
-                e = d[p : p + 1]
-                mapping = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\x0c"}
-                if e in mapping:
-                    out += mapping[e]
+                e = d[p]
+                rep = _LIT_ESCAPES.get(e)
+                if rep is not None:
+                    out.append(rep)
                     p += 1
-                elif e in b"01234567":
-                    oct_digits = d[p : p + 3]
-                    m = re.match(rb"[0-7]{1,3}", oct_digits)
-                    out.append(int(m.group(0), 8) & 0xFF)
-                    p += len(m.group(0))
-                elif e in (b"\n", b"\r"):  # line continuation
+                elif 0x30 <= e <= 0x37:  # octal escape, up to 3 digits
+                    v = e - 0x30
                     p += 1
-                    if e == b"\r" and d[p : p + 1] == b"\n":
+                    for _ in range(2):
+                        if p < n and 0x30 <= d[p] <= 0x37:
+                            v = (v << 3) | (d[p] - 0x30)
+                            p += 1
+                        else:
+                            break
+                    out.append(v & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    p += 1
+                    if e == 0x0D and p < n and d[p] == 0x0A:
                         p += 1
                 else:
-                    out += e
+                    out.append(e)
                     p += 1
             elif c == 0x28:  # (
                 depth += 1
                 out.append(c)
                 p += 1
-            elif c == 0x29:  # )
+            else:  # 0x29 )
                 depth -= 1
                 if depth == 0:
                     p += 1
                     break
-                out.append(c)
-                p += 1
-            else:
                 out.append(c)
                 p += 1
         self.p = p

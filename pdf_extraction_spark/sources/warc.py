@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime
 import gzip
 import io
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -98,8 +99,10 @@ def parse_warc_stream(stream) -> "iter[dict]":
             headers, payload = next(records)
         except StopIteration:
             return
-        except (OSError, EOFError):
-            return  # corrupt compressed tail
+        except (OSError, EOFError, zlib.error):
+            # corrupt compressed tail: BadGzipFile is an OSError, but
+            # mid-member corruption raises bare zlib.error
+            return
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
