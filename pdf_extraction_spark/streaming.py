@@ -74,6 +74,62 @@ def stream_extract(
     )
 
 
+# -- watermarked event-time windows ------------------------------------------------
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Event-time windowed crawl-volume counts with late-data handling.
+
+    ``withWatermark(warc_ts)`` bounds how late a record may arrive and lets
+    the state store evict finalized windows: per (event-time window, host),
+    emit ``n_docs``/``n_bytes`` exactly once in append mode when the
+    watermark passes the window end. Records later than the watermark are
+    dropped — the documented trade of bounded state for bounded lateness,
+    which is what makes the aggregation runnable forever at crawl scale
+    (state size is O(open windows × hosts), not O(stream)).
+
+    AvailableNow semantics: a drain advances the watermark to (max event
+    time seen − delay); windows the new watermark closes are emitted by the
+    NEXT drain's commit. The batch analog is a plain groupBy(window) — same
+    plan, unbounded state.
+    """
+    from pyspark.sql import functions as F
+
+    from .pipeline import host_col
+
+    corpus = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
+    agg = (
+        corpus.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), host_col().alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("html")).alias("n_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_docs",
+            "n_bytes",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 # -- custom stateful operator -----------------------------------------------------
 
 

@@ -90,3 +90,54 @@ def test_stateful_host_stats_accumulate_across_drains(spark, tmp_path):
             latest[r["host"]] = r
     # totals accumulate: all 80 docs accounted for in the running totals
     assert sum(r["total_docs"] for r in latest.values()) == 80
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows finalize once the watermark passes their end, and
+    a record arriving later than the watermark is dropped (bounded state ⇔
+    bounded lateness)."""
+    import datetime
+
+    from pdf_extraction_spark.streaming import stream_windowed_counts
+
+    def row(host, hh, mm):
+        return {
+            "url": f"https://{host}.example.com/doc/{hh}{mm}",
+            "warc_ts": datetime.datetime(2025, 3, 1, hh, mm),
+            "html": b"<html><body><p>windowed counts fixture doc</p></body></html>",
+            "text": None,
+            "lang": "en",
+        }
+
+    indir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+
+    # drain 1: three h1 docs + two h2 docs in [10:00,11:00), one h1 at 12:10
+    # -> watermark after drain = 12:10 - 30min = 11:40, closing [10:00,11:00)
+    _write_rows(
+        [row("h1", 10, 5), row("h1", 10, 20), row("h1", 10, 40),
+         row("h2", 10, 10), row("h2", 10, 50), row("h1", 12, 10)],
+        indir + "/f1.parquet",
+    )
+    stream_windowed_counts(spark, indir, out, ckpt).awaitTermination(120)
+
+    # drain 2: a record at 13:00 moves the watermark on; a 10:15 record is
+    # LATER than the 11:40 watermark and must be dropped, not counted
+    _write_rows([row("h2", 13, 0), row("h1", 10, 15)], indir + "/f2.parquet")
+    stream_windowed_counts(spark, indir, out, ckpt).awaitTermination(120)
+
+    # drain 3: 15:00 record closes every earlier window
+    _write_rows([row("h3", 15, 0)], indir + "/f3.parquet")
+    stream_windowed_counts(spark, indir, out, ckpt).awaitTermination(120)
+
+    got = {
+        (r["window_start"].hour, r["host"].split(".")[0]): r["n_docs"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(10, "h1")] == 3  # the late 10:15 row did NOT land here
+    assert got[(10, "h2")] == 2
+    assert got[(12, "h1")] == 1
+    assert got[(13, "h2")] == 1
+    # every emitted window is append-mode-final: no duplicate (window, host)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len({(r["window_start"], r["host"]) for r in rows})
