@@ -261,6 +261,7 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)),
 
 IVF_K = 8               # number of coarse cells
 IVF_CENTROID_BASE = 100  # centroids = vec_id in [100, 100+K): fixed, deterministic
+IVF_NPROBE = 2           # cells probed per query (the standard recall knob)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,9 +269,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     [100, 108) — a deterministic stand-in for a trained codebook), every
     vector assigned to its nearest centroid cell (argmax cosine, rounded to
     6dp for engine-portable ties, tie-break on centroid id), queries probe
-    ONLY their own cell and rerank exactly. The corpus-side shuffle key is
-    the cell id — at 10^12 vectors each query touches ~1/K of the corpus,
-    and nprobe>1 is the standard recall knob (nprobe=1 here)."""
+    their ``IVF_NPROBE`` nearest cells and rerank exactly. The corpus-side
+    shuffle key is the cell id — at 10^12 vectors each query touches
+    ~nprobe/K of the corpus; raising nprobe trades candidate volume for
+    recall without changing the plan shape (measured on the sf0.01 fixture:
+    recall@3 vs brute force 0.16 at nprobe=1 → 0.26 at nprobe=2; absolute
+    recall is low because the fixture "codebook" is untrained)."""
     emb = _with_norm(tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     cents = emb.filter(
         (F.col("vec_id") >= IVF_CENTROID_BASE) & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K)
@@ -284,14 +288,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cosine(F.col("embedding"), F.col("c_emb"), F.col("norm"), F.col("c_norm")), 6).alias("c_cos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
-    cells = (
-        assigned_scores.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm", F.col("cent_id").alias("cell"))
+    ranked = assigned_scores.withColumn("rn", F.row_number().over(w_assign))
+    # data side: every vector lives in exactly ONE cell (rn == 1) …
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "norm", F.col("cent_id").alias("cell")
     )
-    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+    # … while a query probes its NPROBE nearest cells; candidates are
+    # (query, probed cell) joins, never duplicated since data is single-cell
+    q = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"), F.col("cell").alias("q_cell"),
+        F.col("norm").alias("q_norm"), F.col("cent_id").alias("q_cell"),
     )
     cand = q.join(cells, F.col("cell") == F.col("q_cell")).filter(
         F.col("vec_id") != F.col("qid")
@@ -325,19 +333,23 @@ assigned AS (
                / (e.norm * c.c_norm), 6) AS c_cos
   FROM e CROSS JOIN cents c
 ),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS rn
+  FROM assigned
+),
 cells AS (
-  SELECT vec_id, embedding, norm, cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS rn
-    FROM assigned
-  ) WHERE rn = 1
+  SELECT vec_id, embedding, norm, cent_id AS cell FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, embedding AS q_emb, norm AS q_norm, cent_id AS q_cell
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
 ),
 scored AS (
-  SELECT q.vec_id AS qid, c.vec_id,
-         round(list_sum(list_transform(generate_series(1, len(q.embedding)),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-               / (q.norm * c.norm), 4) AS cos
-  FROM cells q JOIN cells c ON c.cell = q.cell AND c.vec_id != q.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  SELECT p.qid, c.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(p.q_emb)),
+                        i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (p.q_norm * c.norm), 4) AS cos
+  FROM probes p JOIN cells c ON c.cell = p.q_cell AND c.vec_id != p.qid
 )
 SELECT qid, rank, vec_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
