@@ -171,20 +171,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact Jaccard verify on candidates only
-    inter = (
-        cand.join(sh.alias("s1"), F.col("id_a") == F.col("s1.doc_id"))
-        .join(
-            sh.alias("s2"),
-            (F.col("id_b") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # exact Jaccard verify on candidates only: per-doc shingle SETS (one row
+    # per doc) joined to the small survivor-pair relation, intersected as
+    # arrays — the verify path never re-shuffles the exploded shingle rows
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset"), F.count("*").alias("n_sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("shset").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
         .select(
             "id_a",
             "id_b",
