@@ -410,19 +410,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    inter = (
-        pairs.join(sh.alias("s1"), F.col("id_a") == F.col("s1.doc_id"))
-        .join(
-            sh.alias("s2"),
-            (F.col("id_b") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # per-doc shingle sets + array_intersect (same shape as the minhash
+    # verify): the pair relation joins one aggregated row per doc instead of
+    # re-shuffling exploded shingle rows through a two-sided equi-join
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset"), F.count("*").alias("n_sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("shset").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
         .select(
             "id_a",
             "id_b",
