@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": corpusops.q_domain_cap,
         "span_dup_fraction": corpusops.q_span_dup_fraction,
         "repetition_score": corpusops.q_repetition_score,
+        "filter_funnel": corpusops.q_filter_funnel,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
         "multimodal_framesample": multimodal.q_multimodal_framesample,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": corpusops.SQL_DOMAIN_CAP,
         "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,
         "repetition_score": corpusops.SQL_REPETITION_SCORE,
+        "filter_funnel": corpusops.SQL_FILTER_FUNNEL,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
         "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,

@@ -322,3 +322,91 @@ SELECT t.doc_id, t.top_bigram_count, t.n_bigrams,
        round(w.n_distinct / CAST(w.n_words AS DOUBLE), 4) AS distinct_ratio
 FROM top2 t JOIN wstats w USING (doc_id)
 """
+
+
+# -- curation filter funnel -------------------------------------------------------------
+
+FUNNEL_MIN_WORDS = 20
+FUNNEL_MAX_WORDS = 1000
+FUNNEL_MIN_DISTINCT_RATIO = 0.5
+FUNNEL_MIN_STOP_HITS = 1
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel a pretraining pipeline applies before
+    tokenization (FineWeb/Gopher-style), reported as per-stage survivor
+    counts: language gate → word-count band → distinct-word ratio →
+    stopword evidence. Gates evaluate in one pass over one scan (no
+    per-stage jobs); the funnel is a conditional-aggregation rollup —
+    exactly one shuffle of 4 counter rows per partition."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    n_distinct = F.array_size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(["the", "a", "of", "and", "to"])))
+    g1 = F.col("lang") == "en"
+    g2 = g1 & n_words.between(FUNNEL_MIN_WORDS, FUNNEL_MAX_WORDS)
+    g3 = g2 & (n_distinct / n_words >= FUNNEL_MIN_DISTINCT_RATIO)
+    g4 = g3 & (stop_hits >= FUNNEL_MIN_STOP_HITS)
+    flags = docs.select(
+        g1.cast("int").alias("s1"), g2.cast("int").alias("s2"),
+        g3.cast("int").alias("s3"), g4.cast("int").alias("s4"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("s1").alias("k1"), F.sum("s2").alias("k2"),
+        F.sum("s3").alias("k3"), F.sum("s4").alias("k4"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("lang_en").alias("gate"),
+                         F.col("n_docs").alias("n_in"), F.col("k1").alias("n_out")),
+                F.struct(F.lit(2).alias("stage"), F.lit("word_band").alias("gate"),
+                         F.col("k1").alias("n_in"), F.col("k2").alias("n_out")),
+                F.struct(F.lit(3).alias("stage"), F.lit("distinct_ratio").alias("gate"),
+                         F.col("k2").alias("n_in"), F.col("k3").alias("n_out")),
+                F.struct(F.lit(4).alias("stage"), F.lit("stopword_evidence").alias("gate"),
+                         F.col("k3").alias("n_in"), F.col("k4").alias("n_out")),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"), F.col("s.gate").alias("gate"),
+        F.col("s.n_in").cast("long").alias("n_in"),
+        F.col("s.n_out").cast("long").alias("n_out"),
+    )
+
+
+SQL_FILTER_FUNNEL = f"""
+WITH f AS (
+  SELECT lang = 'en' AS g1,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to'))) AS stop_hits
+  FROM documents
+),
+g AS (
+  SELECT g1,
+         g1 AND n_words BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS} AS g2,
+         g1 AND n_words BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}
+            AND n_distinct / CAST(n_words AS DOUBLE) >= {FUNNEL_MIN_DISTINCT_RATIO} AS g3,
+         g1 AND n_words BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}
+            AND n_distinct / CAST(n_words AS DOUBLE) >= {FUNNEL_MIN_DISTINCT_RATIO}
+            AND stop_hits >= {FUNNEL_MIN_STOP_HITS} AS g4
+  FROM f
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+  FROM g
+)
+SELECT 1 AS stage, 'lang_en' AS gate, n_docs AS n_in, k1 AS n_out FROM agg
+UNION ALL SELECT 2, 'word_band', k1, k2 FROM agg
+UNION ALL SELECT 3, 'distinct_ratio', k2, k3 FROM agg
+UNION ALL SELECT 4, 'stopword_evidence', k3, k4 FROM agg
+"""
