@@ -87,7 +87,6 @@ _CHROME_HINTS = (
     "cookie",
 )
 
-_WS_RE = re.compile(r"\s+")
 
 # charset detection: BOM first, then <meta charset=...> / http-equiv content
 # within the first 2 KB (the WHATWG prescan region), else UTF-8. Rule-based
@@ -133,7 +132,7 @@ SHORT_BLOCK_WORDS = 8
 def _norm(text: str) -> str:
     """Collapse whitespace runs to single spaces and strip (HTML semantics).
 
-    ``" ".join(text.split())`` is exactly ``_WS_RE.sub(" ", text).strip()``
+    ``" ".join(text.split())`` is exactly ``re.sub(r"\\s+", " ", text).strip()``
     (``\\s`` and ``str.isspace()`` agree on every codepoint — verified
     exhaustively) and several times faster, with no regex-engine allocation.
     """
