@@ -66,6 +66,16 @@ def test_minhash_no_python_udf_in_shingle_path(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time python
 
 
+def test_dedup_verify_joins_never_cartesian(spark):
+    """The set-based exact-Jaccard verify must stay an equi-join against the
+    per-doc shingle-set relation — a refactor that degrades it to a nested
+    loop over pairs would be quadratic at corpus scale."""
+    for q in (dedup.q_dedup_minhash_lsh, dedup.q_dedup_ngram_jaccard):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ann_topk_partial_agg(spark):
     plan = plan_of(similarity.q_ann_topk_cosine(spark, SF))
     assert "CartesianProduct" not in plan or "Broadcast" in plan
