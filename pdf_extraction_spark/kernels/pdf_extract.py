@@ -296,6 +296,8 @@ class _Doc:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets: dict[int, int] = {}
+        self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stream obj, idx)
+        self._objstm_cache: dict[int, dict[int, object]] = {}
         self.cache: dict[int, object] = {}
         self.trailer: dict = {}
         self.errors: list[str] = []
@@ -386,8 +388,10 @@ class _Doc:
                 if typ == 1:
                     self.offsets.setdefault(num, f2)
                 elif typ == 2:
-                    # object inside an object stream: record as (stream, idx)
-                    self.offsets.setdefault(num, -1)
+                    # object lives inside object stream f2 at index fields[2]
+                    self.in_objstm.setdefault(
+                        num, (f2, fields[2] if len(fields) > 2 else 0)
+                    )
         for k, v in sdict.items():
             if k in ("Root", "Size", "Info", "Prev"):
                 self.trailer.setdefault(k, v)
@@ -440,8 +444,48 @@ class _Doc:
                         obj = ("stream", obj, raw)
             except Exception as exc:
                 self.errors.append(f"obj {num}: {type(exc).__name__}: {exc}")
+        if obj is None and num in self.in_objstm:
+            obj = self._get_from_objstm(num)
         self.cache[num] = obj
         return obj
+
+    def _get_from_objstm(self, num: int):
+        """Load a compressed object from its /Type /ObjStm container (PDF
+        1.5+; most modern producers pack the page tree this way). The whole
+        stream is decoded and parsed once, then served from a table."""
+        snum, _idx = self.in_objstm[num]
+        tbl = self._objstm_cache.get(snum)
+        if tbl is None:
+            tbl = {}
+            self._objstm_cache[snum] = tbl  # set first: breaks malformed cycles
+            # the container itself must be a regular (type-1) object — the
+            # spec forbids nesting object streams
+            if self.offsets.get(snum, -1) >= 0:
+                stream_obj = self.get(snum)
+                if isinstance(stream_obj, tuple) and stream_obj[0] == "stream":
+                    sdict, raw = stream_obj[1], stream_obj[2]
+                    try:
+                        data = _decode_stream(sdict, raw)
+                        n = int(self.resolve(sdict.get("N")) or 0)
+                        first = int(self.resolve(sdict.get("First")) or 0)
+                        lex = _Lexer(data, 0)
+                        heads = []
+                        for _ in range(n):
+                            onum = lex.parse()
+                            ooff = lex.parse()
+                            heads.append((int(onum), int(ooff)))
+                        for onum, ooff in heads:
+                            try:
+                                tbl[onum] = _Lexer(data, first + ooff).parse()
+                            except Exception:
+                                tbl[onum] = None
+                    except Exception as exc:
+                        self.errors.append(
+                            f"objstm {snum}: {type(exc).__name__}: {exc}"
+                        )
+            else:
+                self.errors.append(f"objstm {snum}: container not a direct object")
+        return tbl.get(num)
 
     def resolve(self, v):
         return self.get(v.num) if isinstance(v, _Ref) else v
@@ -455,7 +499,7 @@ class _Doc:
             tree = self.resolve(root.get("Pages"))
             self._walk_pages(tree, out, set())
         if not out:  # fallback: every /Type /Page object in number order
-            for num in sorted(self.offsets):
+            for num in sorted(set(self.offsets) | set(self.in_objstm)):
                 obj = self.get(num)
                 if isinstance(obj, dict) and str(obj.get("Type", "")) == "Page":
                     out.append(obj)

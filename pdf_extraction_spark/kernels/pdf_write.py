@@ -127,11 +127,14 @@ def _content_table(rows: list[list[str]]) -> str:
 
 def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
-    with_image: bool = False,
+    with_image: bool = False, objstm: bool = False,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
-    tiny /Subtype /Image XObject as /Im1 in every page's resources."""
+    tiny /Subtype /Image XObject as /Im1 in every page's resources.
+    ``objstm`` (implies ``xref_stream``) packs every dict-only object
+    (catalog, page tree, font, page dicts) into one /Type /ObjStm container
+    with type-2 xref entries — the layout most modern PDF producers emit."""
     npages = len(page_streams)
     # object numbering: 1 Catalog, 2 Pages, 3 Font, then per page (Page,
     # Contents), then optionally the image XObject
@@ -165,6 +168,27 @@ def _assemble(
             head = b"<< /Length %d >>" % len(data)
         objs[ct] = head + b"\nstream\n" + data + b"\nendstream"
 
+    packed: dict[int, int] = {}  # obj num -> index within the ObjStm
+    if objstm:
+        xref_stream = True
+        # dict-only objects go into the container; stream objects cannot
+        dict_nums = sorted(n for n, b in objs.items() if b"stream" not in b)
+        body = bytearray()
+        header = []
+        for idx, n in enumerate(dict_nums):
+            header.append(b"%d %d" % (n, len(body)))
+            body += objs.pop(n) + b"\n"
+            packed[n] = idx
+        head_bytes = b" ".join(header) + b"\n"
+        payload = zlib.compress(bytes(head_bytes + body), 6)
+        container = max(list(objs) + dict_nums) + 1
+        objs[container] = (
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
+            % (len(dict_nums), len(head_bytes), len(payload))
+            + b"\nstream\n" + payload + b"\nendstream"
+        )
+        objstm_num = container
+
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -173,7 +197,7 @@ def _assemble(
         buf += objs[num]
         buf += b"\nendobj\n"
 
-    maxnum = max(objs)
+    maxnum = max(list(objs) + list(packed))
     if not xref_stream:
         xref_off = len(buf)
         buf += b"xref\n0 %d\n" % (maxnum + 1)
@@ -185,10 +209,16 @@ def _assemble(
     else:
         xnum = maxnum + 1
         xref_off = len(buf)
-        # W = [1 4 1]: type, offset, gen
+        # W = [1 4 1]: type, offset-or-container, gen-or-index
         rows = [b"\x00" + (0).to_bytes(4, "big") + b"\xff"]
         for num in range(1, maxnum + 1):
-            rows.append(b"\x01" + offsets.get(num, 0).to_bytes(4, "big") + b"\x00")
+            if num in packed:  # type 2: (container obj, index within it)
+                rows.append(
+                    b"\x02" + objstm_num.to_bytes(4, "big")
+                    + packed[num].to_bytes(1, "big")
+                )
+            else:
+                rows.append(b"\x01" + offsets.get(num, 0).to_bytes(4, "big") + b"\x00")
         rows.append(b"\x01" + xref_off.to_bytes(4, "big") + b"\x00")
         data = zlib.compress(b"".join(rows), 6)
         head = (
@@ -237,6 +267,7 @@ def build_pdf(
     title: str | None = None,
     compress: bool = False,
     xref_stream: bool = False,
+    objstm: bool = False,
     table_rows: list[list[str]] | None = None,
     header: str | None = None,
     footer: str | None = None,
@@ -275,7 +306,8 @@ def build_pdf(
             pages = [""]
         pages[0] = (pages[0] + "\n" if pages[0] else pages[0]) + "\n".join(extras)
     return _assemble(
-        pages, compress=compress, xref_stream=xref_stream, with_image=figure
+        pages, compress=compress, xref_stream=xref_stream, with_image=figure,
+        objstm=objstm,
     )
 
 

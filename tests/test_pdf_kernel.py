@@ -201,3 +201,34 @@ def test_equation_and_reference_classes():
     emitted = {"title", "paragraph", "table", "figure", "header", "footer",
                "caption", "list", "equation", "reference"}
     assert emitted == set(ELEMENT_TYPES)
+
+
+def test_objstm_packed_pdf_extracts_identically():
+    """PDF 1.5 object streams: a document whose catalog/page tree/page
+    dicts live compressed inside a /Type /ObjStm container (the layout most
+    modern producers emit) must extract byte-identically to the same
+    document written with regular objects."""
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    text = "omega psi chi phi upsilon tau sigma rho pi omicron " * 6
+    for kwargs in ({}, {"compress": True}, {"columns": 2},
+                   {"figure": True, "caption": "Figure 1: packed"},
+                   {"header": "Hdr", "footer": "Ftr"}):
+        base = extract_pdf(build_pdf(text, title="Packed", **kwargs))
+        packed = extract_pdf(build_pdf(text, title="Packed", objstm=True, **kwargs))
+        assert packed["error"] is None
+        assert packed["text"] == base["text"]
+        assert [s[0] for s in packed["spans"]] == [s[0] for s in base["spans"]]
+
+
+def test_objstm_corrupt_container_degrades():
+    """A corrupted ObjStm container must degrade (scan fallback / error
+    fields), never raise."""
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    data = bytearray(build_pdf("resilience check text here", objstm=True))
+    i = data.find(b"/Type /ObjStm")
+    j = data.find(b"stream\n", i) + 7
+    data[j : j + 8] = b"\x00" * 8  # clobber the Flate payload head
+    r = extract_pdf(bytes(data))
+    assert isinstance(r["text"], str)  # total, no crash
