@@ -274,19 +274,152 @@ class _Lexer:
         return bytes.fromhex(hx.decode("ascii"))
 
 
+def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Reverse PNG row predictors (Predictor >= 10). Real-world xref
+    streams are almost always Flate + Predictor 12 (Up)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    stride = rowlen + 1
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r0 in range(0, len(data) - stride + 1, stride):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: 9→12-bit variable codes, EarlyChange per spec."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = acc = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        buf += 8
+        while buf >= width:
+            code = (acc >> (buf - width)) & ((1 << width) - 1)
+            buf -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    p = 0
+    n = len(data)
+    while p < n:
+        l = data[p]
+        p += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[p : p + l + 1]
+            p += l + 1
+        else:
+            if p < n:
+                out += bytes([data[p]]) * (257 - l)
+                p += 1
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[: end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+
+
 def _decode_stream(sdict: dict, raw: bytes) -> bytes:
     filt = sdict.get("Filter")
     filters = [filt] if not isinstance(filt, list) else filt
+    parms = sdict.get("DecodeParms", sdict.get("DP"))
+    parms_list = [parms] if not isinstance(parms, list) else parms
     data = raw
-    for f in filters:
+    for i, f in enumerate(filters):
         if f is None:
             continue
-        if str(f) == "FlateDecode":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                data = zlib.decompressobj().decompress(data)  # tolerate truncation
-        # unknown filters: pass through (degrade, don't crash)
+        name = str(f)
+        dp = parms_list[i] if i < len(parms_list) and isinstance(parms_list[i], dict) else {}
+        try:
+            if name == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    data = zlib.decompressobj().decompress(data)  # tolerate truncation
+            elif name == "LZWDecode":
+                data = _lzw_decode(data, int(dp.get("EarlyChange", 1) or 1))
+            elif name == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif name == "ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif name == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            # other filters (DCT/JBIG2/CCITT image codecs): pass through —
+            # image payloads are opaque to the text path (degrade, don't crash)
+            pred = int(dp.get("Predictor", 1) or 1)
+            if pred >= 10 and name in ("FlateDecode", "LZWDecode"):
+                data = _png_unpredict(
+                    data,
+                    int(dp.get("Colors", 1) or 1),
+                    int(dp.get("BitsPerComponent", 8) or 8),
+                    int(dp.get("Columns", 1) or 1),
+                )
+        except Exception:
+            # corrupt filter payload: keep the bytes we have (total behavior)
+            pass
     return data
 
 
@@ -393,7 +526,7 @@ class _Doc:
                         num, (f2, fields[2] if len(fields) > 2 else 0)
                     )
         for k, v in sdict.items():
-            if k in ("Root", "Size", "Info", "Prev"):
+            if k in ("Root", "Size", "Info", "Prev", "Encrypt"):
                 self.trailer.setdefault(k, v)
         prev = sdict.get("Prev")
         return int(prev) if isinstance(prev, (int, float)) else 0
@@ -917,6 +1050,16 @@ def extract_pdf(payload: bytes) -> dict:
 
     try:
         doc = _Doc(payload)
+        if doc.trailer.get("Encrypt") is not None:
+            # encrypted document: strings/streams are ciphertext — emitting
+            # "extracted text" from them would be garbage; degrade explicitly
+            return {
+                "text": "",
+                "spans": [],
+                "n_elements": 0,
+                "method": "pdf",
+                "error": "encrypted",
+            }
         pages = doc.pages()
         blocks: list[dict] = []  # {kind, page, texts: [line...], bbox}
         for pno, page in enumerate(pages):

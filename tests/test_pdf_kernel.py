@@ -232,3 +232,87 @@ def test_objstm_corrupt_container_degrades():
     data[j : j + 8] = b"\x00" * 8  # clobber the Flate payload head
     r = extract_pdf(bytes(data))
     assert isinstance(r["text"], str)  # total, no crash
+
+
+def test_stream_filters_roundtrip():
+    """ASCIIHex / ASCII85 / RunLength / LZW / Flate+PNG-predictor payloads
+    all decode to the original bytes through _decode_stream."""
+    import zlib
+
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        _decode_stream,
+        _lzw_decode,
+        _png_unpredict,
+    )
+
+    plain = b"BT /F1 12 Tf 72 700 Td (filter roundtrip) Tj ET " * 4
+
+    import base64
+    hexed = plain.hex().encode() + b">"
+    assert _decode_stream({"Filter": "ASCIIHexDecode"}, hexed) == plain
+    a85 = base64.a85encode(plain, adobe=True)
+    assert _decode_stream({"Filter": "ASCII85Decode"}, a85) == plain
+
+    # RunLength: literal-run encoding (chunks of <=128 literal bytes)
+    rl = bytearray()
+    for i in range(0, len(plain), 120):
+        chunk = plain[i : i + 120]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl.append(128)
+    assert _decode_stream({"Filter": "RunLengthDecode"}, bytes(rl)) == plain
+    # RunLength: repeat runs
+    assert _decode_stream({"Filter": "RunLengthDecode"}, b"\xfeZ\x80") == b"ZZZ"
+
+    # LZW: minimal encoder (emits 9-bit codes, table never grows past 511)
+    def lzw_encode(data: bytes) -> bytes:
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(code, width=9):
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        emit(256)
+        for b in data[:200]:  # keep table under 253 new entries: width stays 9
+            emit(b)
+            emit(256)  # clear after every byte — inefficient but valid LZW
+        emit(257)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    assert _lzw_decode(lzw_encode(plain)) == plain[:200]
+
+    # Flate + PNG Up predictor (the layout real xref streams use)
+    columns, rows = 7, 9
+    raw = bytes((r * 31 + c * 17) % 251 for r in range(rows) for c in range(columns))
+    filtered = bytearray()
+    prev = bytes(columns)
+    for r in range(rows):
+        row = raw[r * columns : (r + 1) * columns]
+        filtered.append(2)  # Up
+        filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    enc = zlib.compress(bytes(filtered))
+    got = _decode_stream(
+        {"Filter": "FlateDecode", "DecodeParms": {"Predictor": 12, "Columns": columns}},
+        enc,
+    )
+    assert got == raw
+    # direct predictor sanity for Sub/Paeth paths
+    assert _png_unpredict(b"\x01\x05\x03", 1, 8, 2) == b"\x05\x08"
+
+
+def test_encrypted_pdf_degrades_explicitly():
+    """/Encrypt in the trailer -> error='encrypted', no ciphertext emitted."""
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    data = build_pdf("secret words that must not leak as garbage")
+    # splice an /Encrypt entry into the classic trailer dict
+    data = data.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ")
+    r = extract_pdf(data)
+    assert r["error"] == "encrypted"
+    assert r["text"] == "" and r["n_elements"] == 0
