@@ -288,10 +288,15 @@ class _BlockParser:
 
 _TAG_WS = " \t\n\r\f"
 _NAME_END = _TAG_WS + "/>"
-# script/style content is raw text in HTML (the only CDATA-mode elements
-# stdlib html.parser special-cases); seek their close tag case-insensitively
-_RAWTEXT_CLOSE = {"script": re.compile(r"</script", re.IGNORECASE),
-                  "style": re.compile(r"</style", re.IGNORECASE)}
+# Raw-text / RCDATA elements: their content is never markup per HTML5, so
+# seek the close tag case-insensitively instead of tokenizing the body.
+# script/style are rawtext; title/textarea are RCDATA (a stray "</head>"
+# INSIDE a title must not pop the real head off the stack). All four
+# contribute no main-content text, so their bodies are skipped outright.
+_RAWTEXT_CLOSE = {
+    name: re.compile("</" + name, re.IGNORECASE)
+    for name in ("script", "style", "title", "textarea")
+}
 
 
 def _scan(html: str, h: "_BlockParser") -> None:

@@ -153,3 +153,19 @@ def test_charset_bogus_name_falls_back():
 
     payload = b"<meta charset='no-such-enc'><p>x</p>"
     assert detect_charset(payload) == "utf-8"
+
+
+def test_rcdata_elements_never_tokenize_their_bodies():
+    """HTML5 RCDATA: markup-looking text inside <title>/<textarea> is text,
+    not tags — it must neither leak into content nor corrupt the open-tag
+    stack (a stray '</head>' inside a title must not pop the real head)."""
+    r = extract_html(
+        b"<html><body><textarea>not <p>a paragraph</p></textarea>"
+        b"<p>actual body text</p></body></html>"
+    )
+    assert r["text"] == "actual body text"
+    r = extract_html(
+        b"<html><head><title>see </head> for</title></head>"
+        b"<body><p>only this content stays</p></body></html>"
+    )
+    assert r["text"] == "only this content stays"
