@@ -38,6 +38,7 @@ _COMMENT_RUN = re.compile(rb"%[^\r\n]*")
 _NUM_RUN = re.compile(rb"[+\-.0-9eE]+")
 _DIGIT_RUN = re.compile(rb"[0-9]+")
 _NAME_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_INLINE_EI = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
 Y_TOL = 3.0            # same-line y tolerance (pts)
 COL_GAP = 60.0         # x gap that starts a new column (1-D sessionization)
@@ -813,6 +814,15 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
                     xs = (e, a + e, c_ + e, a + c_ + e)
                     ys = (f, b_ + f, d + f, b_ + d + f)
                     images.append((min(xs), min(ys), max(xs), max(ys)))
+            elif op == b"BI":
+                # inline image: "BI <dict> ID <raw binary> EI" — the binary
+                # is NOT operator soup; skip to the whitespace-delimited EI
+                idp = content.find(b"ID", lex.p)
+                if idp == -1:
+                    lex.p = n
+                else:
+                    m = _INLINE_EI.search(content, idp + 2)
+                    lex.p = n if m is None else m.end()
         except Exception:
             pass
         stack = []

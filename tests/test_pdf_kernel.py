@@ -316,3 +316,24 @@ def test_encrypted_pdf_degrades_explicitly():
     r = extract_pdf(data)
     assert r["error"] == "encrypted"
     assert r["text"] == "" and r["n_elements"] == 0
+
+
+def test_inline_image_binary_is_skipped():
+    """BI..ID..EI inline images embed raw binary mid-content-stream; the
+    interpreter must skip to EI, not tokenize the binary (which can contain
+    '(..) Tj'-shaped bytes that would emit garbage text runs)."""
+    from pdf_extraction_spark.kernels.pdf_extract import _interpret_content
+
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID \xff(evil) Tj\x00\x01garbage\xfe EI\n"
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    runs, hl, vl, rects, images = _interpret_content(content)
+    texts = [r[3] for r in runs]
+    assert "before" in texts and "after" in texts
+    assert not any("evil" in t for t in texts)
+
+    # EI missing entirely: skip to end, never hang or raise
+    runs2, *_ = _interpret_content(b"BT (ok) Tj ET BI /W 1 ID \xff\xfe no end")
+    assert [r[3] for r in runs2] == ["ok"]
