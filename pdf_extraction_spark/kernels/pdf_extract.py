@@ -40,6 +40,20 @@ _DIGIT_RUN = re.compile(rb"[0-9]+")
 _NAME_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _INLINE_EI = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
+
+def _pdf_text(b: bytes) -> str:
+    """PDF text-string decode: UTF-16 by BOM (the spec's Unicode form for
+    text strings), else UTF-8 if valid, else Latin-1 (a total stand-in for
+    PDFDocEncoding, which matches it on all printable code points)."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    if b[:2] == b"\xff\xfe":
+        return b[2:].decode("utf-16-le", errors="replace")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
 Y_TOL = 3.0            # same-line y tolerance (pts)
 COL_GAP = 60.0         # x gap that starts a new column (1-D sessionization)
 PARA_GAP_FACTOR = 1.8  # vertical gap ⇒ paragraph break
@@ -769,12 +783,12 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
             elif op == b"BT":
                 tx = ty = lx = ly = 0.0
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
-                txt = stack[-1].decode("utf-8", errors="replace")
+                txt = _pdf_text(stack[-1])
                 if txt:
                     runs.append((tx, ty, size, txt))
                     tx += 0.5 * size * len(txt)  # crude advance estimate
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
-                parts = [s.decode("utf-8", errors="replace") for s in stack[-1] if isinstance(s, bytes)]
+                parts = [_pdf_text(s) for s in stack[-1] if isinstance(s, bytes)]
                 txt = "".join(parts)
                 if txt:
                     runs.append((tx, ty, size, txt))
@@ -782,7 +796,7 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
             elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
                 ly -= leading if leading else size * 1.2
                 tx, ty = lx, ly
-                txt = stack[-1].decode("utf-8", errors="replace")
+                txt = _pdf_text(stack[-1])
                 if txt:
                     runs.append((tx, ty, size, txt))
             elif op == b"m" and len(stack) >= 2:

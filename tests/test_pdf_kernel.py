@@ -337,3 +337,20 @@ def test_inline_image_binary_is_skipped():
     # EI missing entirely: skip to end, never hang or raise
     runs2, *_ = _interpret_content(b"BT (ok) Tj ET BI /W 1 ID \xff\xfe no end")
     assert [r[3] for r in runs2] == ["ok"]
+
+
+def test_text_string_encodings():
+    """PDF text strings: UTF-16BE/LE by BOM, UTF-8, and Latin-1 fallback
+    all decode to the intended characters."""
+    from pdf_extraction_spark.kernels.pdf_extract import _interpret_content
+
+    cases = [
+        (b"(\xfe\xff\x00H\x00i\x00 \x26\x3a)", "Hi ☺"),       # UTF-16BE + BMP char
+        (b"(\xff\xfeH\x00i\x00)", "Hi"),                            # UTF-16LE
+        (b"(caf\xc3\xa9)", "café"),                            # UTF-8
+        (b"(caf\xe9)", "café"),                                # Latin-1 fallback
+        (b"<48656C6C6F>", "Hello"),                                 # hex string
+    ]
+    for raw, want in cases:
+        runs, *_ = _interpret_content(b"BT /F1 12 Tf 72 700 Td " + raw + b" Tj ET")
+        assert [r[3] for r in runs] == [want], (raw, runs)
