@@ -81,12 +81,55 @@ def iter_warc_records(stream) -> "iter[tuple[dict, bytes]]":
         yield headers, payload
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Reverse HTTP/1.1 chunked transfer encoding (total: malformed chunk
+    framing returns what was decoded so far plus nothing further)."""
+    out = bytearray()
+    p = 0
+    n = len(body)
+    while p < n:
+        eol = body.find(b"\r\n", p)
+        if eol < 0:
+            break
+        try:
+            size = int(body[p:eol].split(b";")[0].strip() or b"0", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[eol + 2 : eol + 2 + size]
+        p = eol + 2 + size + 2  # skip chunk payload + trailing CRLF
+    return bytes(out)
+
+
 def _strip_http_envelope(payload: bytes) -> bytes:
-    """WARC response records carry an HTTP response; drop its header block."""
+    """WARC response records carry a raw HTTP response: drop the header
+    block and reverse the wire encodings real crawls actually use —
+    Transfer-Encoding: chunked framing and Content-Encoding: gzip/deflate
+    compression — so the html column holds the document bytes."""
+    if payload[:5] != b"HTTP/":
+        return payload
     sep = payload.find(b"\r\n\r\n")
-    if payload[:5] in (b"HTTP/",) and sep != -1:
-        return payload[sep + 4:]
-    return payload
+    if sep == -1:
+        return payload
+    headers = payload[:sep].lower()
+    body = payload[sep + 4 :]
+    if b"transfer-encoding:" in headers and b"chunked" in headers:
+        body = _dechunk(body)
+    if b"content-encoding:" in headers:
+        try:
+            if b"gzip" in headers and body[:2] == b"\x1f\x8b":
+                body = gzip.decompress(body)
+            elif b"deflate" in headers:
+                import zlib as _z
+
+                try:
+                    body = _z.decompress(body)
+                except _z.error:
+                    body = _z.decompress(body, -15)  # raw deflate variant
+        except Exception:
+            pass  # keep the bytes we have (total behavior)
+    return body
 
 
 def parse_warc_stream(stream) -> "iter[dict]":

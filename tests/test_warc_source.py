@@ -68,3 +68,45 @@ def test_streaming_parse_never_materializes_whole_file(warc_files):
 def test_read_warc_empty_paths(spark):
     df = warc.read_warc(spark, [])
     assert df.count() == 0
+
+
+def test_http_body_wire_encodings_are_reversed():
+    """Real crawl records carry chunked framing and gzip/deflate content
+    encoding; the parser must hand back the document bytes."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from pdf_extraction_spark.sources.warc import _strip_http_envelope
+
+    doc = b"<html><body><p>wire encoding roundtrip</p></body></html>"
+
+    gz = _gzip.compress(doc, mtime=0)
+    resp = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz)
+    assert _strip_http_envelope(resp) == doc
+
+    defl = _zlib.compress(doc)
+    resp = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + defl)
+    assert _strip_http_envelope(resp) == doc
+
+    # chunked: two chunks + terminator
+    half = len(doc) // 2
+    chunked = (
+        b"%x\r\n" % half + doc[:half] + b"\r\n"
+        + b"%x\r\n" % (len(doc) - half) + doc[half:] + b"\r\n0\r\n\r\n"
+    )
+    resp = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked)
+    assert _strip_http_envelope(resp) == doc
+
+    # chunked THEN gzipped content (both encodings stacked)
+    chunked_gz = (
+        b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    )
+    resp = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked_gz
+    )
+    assert _strip_http_envelope(resp) == doc
+
+    # corrupt gzip body: total, returns the undecodable bytes
+    resp = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bgarbage"
+    assert isinstance(_strip_http_envelope(resp), bytes)
