@@ -36,6 +36,16 @@ def extract_document(payload: bytes | None) -> dict:
         return {"text": "", "spans": [], "n_elements": 0, "method": "empty", "error": "null payload"}
     if isinstance(payload, str):
         payload = payload.encode("utf-8", errors="replace")
+    # transparently unwrap a payload that arrived still gzip-compressed
+    # (crawl plumbing that didn't decode Content-Encoding); bad gzip falls
+    # through to the binary-ratio gate below
+    if payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            payload = gzip.decompress(payload)
+        except Exception:
+            pass
     # sniff without copying the payload (lstrip() would duplicate every doc)
     i = 0
     n = len(payload)

@@ -169,3 +169,17 @@ def test_rcdata_elements_never_tokenize_their_bodies():
         b"<body><p>only this content stays</p></body></html>"
     )
     assert r["text"] == "only this content stays"
+
+
+def test_gzipped_payload_is_unwrapped_at_dispatch():
+    import gzip
+
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+
+    doc = b"<html><body><p>still compressed when it landed in the table</p></body></html>"
+    r = extract_document(gzip.compress(doc, mtime=0))
+    assert r["method"] == "html"
+    assert r["text"] == "still compressed when it landed in the table"
+    # corrupt gzip: total, classified binary by the ratio gate
+    r2 = extract_document(b"\x1f\x8b\x08" + b"\x00\xff" * 64)
+    assert r2["method"] == "binary" and isinstance(r2["text"], str)
