@@ -113,6 +113,27 @@ _SHINGLES_SQL = """
 """
 
 
+VERIFY_SET_CAP = 1 << 16  # per-doc verify-set bound for the long-document tail
+
+
+def _verify_sets(sh: DataFrame) -> DataFrame:
+    """Per-doc shingle sets for exact-Jaccard verification, bounded for the
+    100 TB long-document tail (VERDICT r2 item 4): shingles reduce to 8-byte
+    ``xxhash64`` values BEFORE ``collect_set`` (a 1M-shingle document holds
+    ~8 MB of longs, not ~100 MB of strings), and sets beyond
+    ``VERIFY_SET_CAP`` degrade to the bottom-k (KMV) sketch — the smallest
+    CAP hashes, a principled Jaccard estimator — instead of blowing task
+    memory. The DuckDB oracle intersects raw shingle strings: results are
+    identical unless a 64-bit hash collision (~2^-64 per pair) or cap
+    overflow occurs; the test corpus stays far below the cap."""
+    return sh.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(F.collect_set(F.xxhash64("sh"))), 1, VERIFY_SET_CAP
+        ).alias("shset"),
+        F.least(F.count("*"), F.lit(VERIFY_SET_CAP).cast("long")).alias("n_sh"),
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------------
 
 MINHASH_K = 8   # number of hash functions
@@ -171,12 +192,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact Jaccard verify on candidates only: per-doc shingle SETS (one row
-    # per doc) joined to the small survivor-pair relation, intersected as
-    # arrays — the verify path never re-shuffles the exploded shingle rows
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shset"), F.count("*").alias("n_sh")
-    )
+    # exact Jaccard verify on candidates only: per-doc shingle-hash SETS
+    # (one bounded row per doc, see _verify_sets) joined to the small
+    # survivor-pair relation — never re-shuffles the exploded shingle rows
+    sets = _verify_sets(sh)
     a = sets.select(
         F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"),
         F.col("n_sh").alias("n_a"),
@@ -254,38 +273,52 @@ WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= {JA
 
 # -- connected-components duplicate clustering ----------------------------------------
 
-CC_MAX_ITERS = 12  # label propagation rounds (>= graph diameter; log-ish at scale)
+CC_MAX_ITERS = 40  # with pointer doubling this covers diameter ~2^40
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters as connected components over the verified
-    MinHash-LSH pair graph: iterative min-label propagation to a fixpoint
-    (driver checks a scalar change-count per round, never collects rows).
-
-    At web scale pair lists are not enough — transitive near-dups
-    (A~B, B~C) must collapse into one cluster with one keeper. Min-label
-    propagation converges in diameter rounds; duplicate clusters are
-    shallow (near-clique), so a dozen bounded rounds with each round one
-    equi-join + map-side-combinable min-agg is the standard shape
-    (large-star/small-star is the published refinement for adversarial
-    diameters). Returns one row per cluster: (component_root, n_members)."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph (columns
+    ``id_a``/``id_b``): min-label propagation **with pointer doubling** to a
+    fixpoint, so adversarial diameters converge in O(log d) rounds, not
+    O(d) (VERDICT r2 item 7 — the r2 version's flat 12-round cap silently
+    mislabeled a >12-diameter chain). Each round is the neighbor
+    propagation equi-join + min-agg, then one label-shortcut self-join
+    (lbl := min(lbl, lbl[lbl])). The driver sees only a scalar change-count
+    per round, never rows. Returns (component_root, n_members)."""
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
         .persist()
     )
+    # localCheckpoint (not persist) each round: the doubling self-join would
+    # otherwise double the LOGICAL plan per iteration — exponential plan
+    # blowup long before any data moves. On a real cluster this would be a
+    # reliable checkpoint to the cluster store; the shape is the same.
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(CC_MAX_ITERS):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "lbl"
         )
+        base = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        # pointer doubling: follow the label's own label one hop; every lbl
+        # is itself a node, so the left join only misses when lbl == node
+        hop = base.select(F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl"))
         new = (
-            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).persist()
+            base.join(hop, base.lbl == hop.h_node, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("h_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -293,7 +326,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lbl") < F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
@@ -303,6 +335,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("long").alias("component_root"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components over the verified
+    MinHash-LSH pair graph. At web scale pair lists are not enough —
+    transitive near-dups (A~B, B~C) must collapse into one cluster with one
+    keeper; see :func:`connected_components` for the propagation scheme."""
+    return connected_components(q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b"))
 
 
 SQL_DEDUP_COMPONENTS = f"""
@@ -410,12 +450,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    # per-doc shingle sets + array_intersect (same shape as the minhash
-    # verify): the pair relation joins one aggregated row per doc instead of
-    # re-shuffling exploded shingle rows through a two-sided equi-join
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shset"), F.count("*").alias("n_sh")
-    )
+    # per-doc bounded shingle-hash sets + array_intersect (same shape as the
+    # minhash verify, see _verify_sets): the pair relation joins one
+    # aggregated row per doc instead of re-shuffling exploded shingle rows
+    sets = _verify_sets(sh)
     a = sets.select(
         F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"),
         F.col("n_sh").alias("n_a"),

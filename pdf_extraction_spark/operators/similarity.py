@@ -53,7 +53,10 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
     )
-    pairs = q.crossJoin(emb).filter(F.col("vec_id") != F.col("qid"))
+    # broadcast the 10-row query side BY CONSTRUCTION (VERDICT r2 item 5):
+    # at 100x scale the estimator may stop picking the broadcast plan on its
+    # own; tests/test_plan_quality.py pins BroadcastNestedLoopJoin here.
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
     scored = pairs.select(
         "qid",
         "vec_id",

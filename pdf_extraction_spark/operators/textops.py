@@ -170,18 +170,26 @@ FROM documents
 
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnow window (rows)
+WINNOW_B = 257  # rolling-hash base; hash = sum(code * B^j) mod 2^32
+_WINNOW_POWS = [pow(WINNOW_B, WINNOW_K - 1 - j, 1 << 32) for j in range(WINNOW_K)]
 
 
 def _winnow_batches(batches):
-    """Arrow-batched winnowing kernel: per document, md5 over char k-grams,
-    monotonic-deque sliding-window minimum, then the distinct-count/min
-    reduction — all executor-local. Docs shorter than K emit no row (the
-    oracle's generate_series is empty for them)."""
-    import hashlib
-    from collections import deque
+    """Arrow-batched winnowing kernel — fully numpy-vectorized (VERDICT r2
+    item 2: the r2 version ran one hashlib.md5 call per character position).
 
+    Per document: decode to code points via utf-32-le (no per-char Python),
+    polynomial hash of every char k-gram as one sliding-window matmul mod
+    2^32, per-window minimum via sliding_window_view(...).min(axis=1) with a
+    reverse-cummin tail for the shrinking trailing windows (matching the
+    oracle's CURRENT ROW .. W-1 FOLLOWING frame), then np.unique for the
+    distinct count. Docs shorter than K emit no row (the oracle's
+    generate_series is empty for them)."""
+    import numpy as np
     import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
 
+    pows = np.asarray(_WINNOW_POWS, dtype=np.uint64)
     for pdf in batches:
         out = {"doc_id": [], "n_fp": [], "min_fp": []}
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -189,51 +197,46 @@ def _winnow_batches(batches):
             L = len(text) - (WINNOW_K - 1)
             if L <= 0:
                 continue
-            hs = [
-                hashlib.md5(text[i : i + WINNOW_K].encode("utf-8")).hexdigest()[:8]
-                for i in range(L)
-            ]
-            dq: deque = deque()
-            j = 0
-            fps = set()
-            min_fp = None
-            for i in range(L):
-                hi = min(i + WINNOW_W - 1, L - 1)
-                while j <= hi:
-                    while dq and hs[dq[-1]] >= hs[j]:
-                        dq.pop()
-                    dq.append(j)
-                    j += 1
-                while dq[0] < i:
-                    dq.popleft()
-                fp = hs[dq[0]]
-                fps.add(fp)
-                if min_fp is None or fp < min_fp:
-                    min_fp = fp
+            codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            grams = sliding_window_view(codes, WINNOW_K).astype(np.uint64)
+            # max term: codepoint (<2^21) * pow (<2^32) summed 8x — fits u64
+            hs = (grams @ pows) & np.uint64(0xFFFFFFFF)
+            if L > WINNOW_W:
+                full = sliding_window_view(hs, WINNOW_W).min(axis=1)
+                tail = np.minimum.accumulate(hs[: L - WINNOW_W : -1])[::-1]
+                sel = np.concatenate([full, tail])
+            else:
+                sel = np.minimum.accumulate(hs[::-1])[::-1]
             out["doc_id"].append(int(doc_id))
-            out["n_fp"].append(len(fps))
-            out["min_fp"].append(min_fp)
+            out["n_fp"].append(int(np.unique(sel).size))
+            out["min_fp"].append(int(sel.min()))
         yield pd.DataFrame(out)
 
 
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    md5 over char 8-grams, per-window minimum, distinct selected hashes.
+    polynomial rolling hash over char 8-grams, per-window minimum, distinct
+    selected hashes.
 
     Computed inside an Arrow-batched mapInPandas kernel: winnowing is
     per-document-local, so exploding one row per character position through
     a doc_id-partitioned window shuffle (the r1 shape — ~L shuffle rows per
     doc) is pure inflation; the kernel emits the per-doc reduction directly
-    with zero shuffle (VERDICT r1 perf item)."""
+    with zero shuffle, and the hash/window math is numpy array algebra, not
+    per-char Python (VERDICT r1 perf item; VERDICT r2 item 2)."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(
-        _winnow_batches, schema="doc_id long, n_fp long, min_fp string"
+        _winnow_batches, schema="doc_id long, n_fp long, min_fp long"
     )
 
 
+_WINNOW_HASH_SQL = " + ".join(
+    f"ascii(substr(text, i + {j}, 1))::BIGINT * {p}" for j, p in enumerate(_WINNOW_POWS)
+)
+
 SQL_FINGERPRINT_WINNOW = f"""
 WITH grams AS (
-  SELECT doc_id, i, substr(md5(substr(text, i, {WINNOW_K})), 1, 8) AS h
+  SELECT doc_id, i, ({_WINNOW_HASH_SQL}) % 4294967296 AS h
   FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS i)
 ), sel AS (
   SELECT doc_id,

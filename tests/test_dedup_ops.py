@@ -1,0 +1,91 @@
+"""Dedup-operator unit/property tests beyond the DuckDB oracle gate:
+connected-components convergence on adversarial diameters (VERDICT r2
+item 7), the bounded verify-set guard (item 4), and the vectorized
+winnowing kernel vs a per-char reference implementation (item 2)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators import dedup
+from pdf_extraction_spark.operators.textops import (
+    WINNOW_B,
+    WINNOW_K,
+    WINNOW_W,
+    _winnow_batches,
+)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 20-node path graph has diameter 19 — the r2 flat 12-round cap
+    mislabeled it; pointer doubling must converge to a single component."""
+    edges = [(i, i + 1) for i in range(19)]
+    out = dedup.connected_components(_pairs_df(spark, edges)).collect()
+    assert len(out) == 1
+    assert out[0].component_root == 0 and out[0].n_members == 20
+
+
+def test_connected_components_multiple_components(spark):
+    edges = [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)]
+    out = {
+        r.component_root: r.n_members
+        for r in dedup.connected_components(_pairs_df(spark, edges)).collect()
+    }
+    assert out == {0: 3, 10: 2, 20: 4}
+
+
+def test_verify_sets_hashes_and_caps(spark, monkeypatch):
+    """Verify sets must hold 8-byte hashes (not raw shingle strings) and
+    degrade to the bottom-k sketch beyond the cap."""
+    monkeypatch.setattr(dedup, "VERIFY_SET_CAP", 4)
+    sh = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1] * 10 + [2] * 3, "sh": [f"shingle {i}" for i in range(10)] + ["a", "b", "c"]}
+        )
+    )
+    rows = {r.doc_id: r for r in dedup._verify_sets(sh).collect()}
+    assert rows[1].n_sh == 4 and len(rows[1].shset) == 4
+    assert rows[2].n_sh == 3 and len(rows[2].shset) == 3
+    assert all(isinstance(v, int) for v in rows[1].shset)  # hashed, not strings
+    assert rows[1].shset == sorted(rows[1].shset)  # bottom-k = smallest hashes
+
+
+def _winnow_reference(text: str):
+    """Per-position reference implementation (the oracle's SQL, in Python):
+    poly hash per k-gram, min over the CURRENT..W-1 FOLLOWING frame."""
+    L = len(text) - (WINNOW_K - 1)
+    if L <= 0:
+        return None
+    hs = [
+        sum(ord(text[i + j]) * pow(WINNOW_B, WINNOW_K - 1 - j, 1 << 32) for j in range(WINNOW_K))
+        % (1 << 32)
+        for i in range(L)
+    ]
+    sel = [min(hs[i : min(i + WINNOW_W, L)]) for i in range(L)]
+    return len(set(sel)), min(sel)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "abcdefghij",
+        "aaaaaaaaaaaaaaaa",
+        "The quick brown fox jumps over the lazy dog " * 5,
+        "short",  # < K chars: no row
+        "exactly8",  # == K chars: one gram
+        "ünïcödé çhärs — ασδφ κλμν " * 3,  # non-ASCII code points
+        "x" * (WINNOW_K + WINNOW_W - 1),  # L == W boundary
+    ],
+)
+def test_winnow_kernel_matches_reference(text):
+    pdf = pd.DataFrame({"doc_id": [7], "text": [text]})
+    out = pd.concat(list(_winnow_batches([pdf])), ignore_index=True)
+    ref = _winnow_reference(text)
+    if ref is None:
+        assert out.empty
+    else:
+        assert (int(out.n_fp[0]), int(out.min_fp[0])) == ref
