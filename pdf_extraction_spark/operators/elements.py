@@ -104,16 +104,22 @@ def _figured_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_id_col():
+    """doc_id back out of the corpus url (…/doc/<id>) so element queries can
+    emit one oracle-checkable row per document (VERDICT r2 item 8)."""
+    return F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1).cast("long").alias("doc_id")
+
+
 def q_element_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy invariants on real extraction output (the reference's
     `_build_hierarchy` data model, advanced_layout_extractor.py:65-79 +
     540-554, and the caption→region attachment of
-    table_figure_classifier.py:155-192, both on actual elements):
+    table_figure_classifier.py:155-192, both on actual elements).
 
-    every doc emits exactly one caption, attached under its figure at level
-    2; header/footer chrome stays root; every paragraph/list sits at level 1
-    under the doc title. All counts are DuckDB-computable from ``documents``.
-    """
+    One row PER DOCUMENT (VERDICT r2 item 8 — the r2 corpus rollup hid which
+    doc broke): each doc emits exactly one caption, attached under its
+    figure at level 2; header/footer chrome stays root; every
+    paragraph/list sits at level 1 under the doc title."""
     corpus = _figured_pdf_corpus(spark, sf_dir)
     ex = extract_corpus(corpus, repartition=False)
     els = elements_df(ex)
@@ -129,8 +135,7 @@ def q_element_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_chrome = F.col("elem_type").isin("header", "footer")
     is_body = F.col("elem_type").isin("paragraph", "list")
-    return joined.agg(
-        F.countDistinct("url").alias("n_docs"),
+    return joined.groupBy(_doc_id_col()).agg(
         F.sum(F.when(F.col("elem_type") == "caption", 1).otherwise(0))
         .cast("long")
         .alias("n_captions"),
@@ -165,9 +170,9 @@ def q_element_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ELEMENT_HIERARCHY = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_captions,
-       CAST(count(*) AS BIGINT) AS n_caption_under_figure,
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_captions,
+       CAST(1 AS BIGINT) AS n_caption_under_figure,
        CAST(0 AS BIGINT) AS n_chrome_nonroot,
        CAST(0 AS BIGINT) AS n_body_not_under_title
 FROM documents
@@ -222,36 +227,28 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 reading order on PDF extraction output: rank elements by
     (page, y0, x0) and compare with emission order.
 
-    Output is shaped as DuckDB-computable invariants over ``documents`` so
-    the driver's oracle can value-check it (VERDICT r1 item 2): for the
-    single-column corpus (doc_id % 3 != 0) geometric (y, x) order IS reading
-    order, so every doc must be fully in order — ``n_docs`` equals the corpus
-    filter count and ``n_docs_out_of_order`` must be 0. Two-column docs
-    interleave columns geometrically, which is exactly why the kernel
-    clusters columns before emitting (reference stub it fills:
-    advanced_layout_extractor.py:546-552)."""
+    One row PER DOCUMENT (VERDICT r2 item 8), DuckDB-value-checkable: for
+    the single-column corpus (doc_id % 3 != 0) geometric (y, x) order IS
+    reading order, so every doc must be fully ``in_order`` and
+    ``multi_element``. Two-column docs interleave columns geometrically,
+    which is exactly why the kernel clusters columns before emitting
+    (reference stub it fills: advanced_layout_extractor.py:546-552)."""
     corpus = _titled_pdf_corpus(spark, sf_dir).filter(F.col("doc_id") % 3 != 0)
     ex = extract_corpus(corpus, repartition=False)
     els = elements_df(ex)
     w = Window.partitionBy("url").orderBy("page", "y0", "x0", "pos")
     ranked = els.withColumn("rank", F.row_number().over(w) - 1)
-    per_url = ranked.groupBy("url").agg(
-        F.count("*").alias("n_elements"),
-        F.sum(F.when(F.col("rank") == F.col("pos"), 1).otherwise(0)).alias("n_in_order"),
-    )
-    return per_url.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("n_elements") != F.col("n_in_order"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_docs_out_of_order"),
-        F.min(F.col("n_elements") >= 2).alias("all_docs_multi_element"),
+    return ranked.groupBy(_doc_id_col()).agg(
+        (
+            F.count("*")
+            == F.sum(F.when(F.col("rank") == F.col("pos"), 1).otherwise(0))
+        ).alias("in_order"),
+        (F.count("*") >= 2).alias("multi_element"),
     )
 
 
 SQL_ELEMENTS_READING_ORDER = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(0 AS BIGINT) AS n_docs_out_of_order,
-       TRUE AS all_docs_multi_element
+SELECT doc_id, TRUE AS in_order, TRUE AS multi_element
 FROM documents WHERE doc_id % 3 <> 0
 """
 
@@ -260,11 +257,10 @@ def q_spatial_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 spatial-relation self-join on real PDF elements: same-url pairs
     with pos_a < pos_b, relation from bbox geometry.
 
-    Output is shaped as DuckDB-computable invariants (VERDICT r1 item 2):
-    ``n_docs`` equals the corpus size; every doc has its title strictly above
-    the body so ``n_docs_with_above`` equals n_docs; emission order never
-    regresses across pages so ``n_later_page_pairs`` must be 0. Reference
-    behavior pinned: the O(n²) pair loop + relation predicate
+    One row PER DOCUMENT (VERDICT r2 item 8), DuckDB-value-checkable: every
+    doc has its title strictly above the body (``has_above``), and emission
+    order never regresses across pages (``n_later_page_pairs`` = 0).
+    Reference behavior pinned: the O(n²) pair loop + relation predicate
     (advanced_layout_extractor.py:487-538)."""
     corpus = _titled_pdf_corpus(spark, sf_dir)
     ex = extract_corpus(corpus, repartition=False)
@@ -281,28 +277,23 @@ def q_spatial_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b.y1") <= F.col("a.y0"), F.lit("below"))
         .otherwise(F.lit("y_overlap"))
     )
-    per_url = pairs.select(
-        F.col("a.url").alias("url"), rel.alias("relation")
-    ).groupBy("url").agg(
-        F.sum(F.when(F.col("relation") == "above", 1).otherwise(0)).alias("n_above"),
-        F.sum(F.when(F.col("relation") == "later_page", 1).otherwise(0)).alias(
-            "n_later"
-        ),
-    )
-    # every doc emits >= 2 elements (title + body), hence >= 1 pair, so
-    # per_url covers the whole corpus — no separate count action needed
-    return per_url.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("n_above") >= 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_docs_with_above"),
-        F.sum("n_later").cast("long").alias("n_later_page_pairs"),
+    # every doc emits >= 2 elements (title + body), hence >= 1 pair, so the
+    # per-doc grouping covers the whole corpus — no separate count action
+    return (
+        pairs.select(F.col("a.url").alias("url"), rel.alias("relation"))
+        .groupBy(_doc_id_col())
+        .agg(
+            (
+                F.sum(F.when(F.col("relation") == "above", 1).otherwise(0)) >= 1
+            ).alias("has_above"),
+            F.sum(F.when(F.col("relation") == "later_page", 1).otherwise(0))
+            .cast("long")
+            .alias("n_later_page_pairs"),
+        )
     )
 
 
 SQL_ELEMENTS_SPATIAL_RELATIONS = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_docs_with_above,
-       CAST(0 AS BIGINT) AS n_later_page_pairs
+SELECT doc_id, TRUE AS has_above, CAST(0 AS BIGINT) AS n_later_page_pairs
 FROM documents
 """

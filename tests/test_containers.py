@@ -1,0 +1,68 @@
+"""Media-container header codec tests: builder→parser roundtrips, corrupt
+degradation, and totality on junk (VERDICT r2 item 3 — the r2 decode path
+raised NotImplementedError on real PNG/JPEG/RIFF bytes)."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_spark.kernels import containers
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (16, 117), (640, 480), (65535, 3)])
+def test_png_roundtrip(w, h):
+    meta = containers.decode_container(containers.build_png(w, h))
+    assert meta == {"fmt": "png", "width": w, "height": h, "sample_rate": -1, "channels": -1}
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (16, 117), (1920, 1080)])
+def test_jpeg_roundtrip(w, h):
+    meta = containers.decode_container(containers.build_jpeg(w, h))
+    assert meta == {"fmt": "jpeg", "width": w, "height": h, "sample_rate": -1, "channels": -1}
+
+
+@pytest.mark.parametrize("sr,ch", [(8000, 1), (44100, 2), (48000, 6)])
+def test_wav_roundtrip(sr, ch):
+    meta = containers.decode_container(containers.build_wav(sr, ch))
+    assert meta == {"fmt": "wav", "width": -1, "height": -1, "sample_rate": sr, "channels": ch}
+
+
+def test_payload_sizes_dimension_independent():
+    assert len(containers.build_png(1, 1)) == len(containers.build_png(9999, 2))
+    assert len(containers.build_jpeg(1, 1)) == len(containers.build_jpeg(9999, 2))
+    assert len(containers.build_wav(8000, 1)) == len(containers.build_wav(48000, 1))
+    # wav grows 8 bytes per extra channel (2-byte samples x 4 frames)
+    assert len(containers.build_wav(8000, 2)) == containers.WAV_BYTES + 8
+
+
+def test_png_bad_crc_is_corrupt():
+    png = bytearray(containers.build_png(10, 10))
+    png[20] ^= 0xFF  # flip a width byte without fixing the CRC
+    assert containers.decode_container(bytes(png))["fmt"] == "corrupt"
+
+
+def test_jpeg_missing_sof_is_corrupt():
+    jpg = containers.build_jpeg(10, 10).replace(b"\xff\xc0", b"\xff\xfe")
+    assert containers.decode_container(jpg)["fmt"] == "corrupt"
+
+
+def test_riff_non_wave_is_corrupt():
+    avi = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    assert containers.decode_container(avi)["fmt"] == "corrupt"
+
+
+def test_non_container_raises():
+    with pytest.raises(ValueError):
+        containers.decode_container(b"plain text payload")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=64))
+def test_parser_total_on_junk_after_signature(tail):
+    """Truncated/garbage bytes after any container signature must degrade to
+    'corrupt', never raise."""
+    for sig in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF"):
+        meta = containers.decode_container(sig + tail)
+        assert meta["fmt"] in ("png", "jpeg", "wav", "corrupt")
