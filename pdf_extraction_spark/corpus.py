@@ -110,7 +110,7 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
         is_pdf = rng.random() < pdf_fraction
         if is_pdf:
             body_text = " ".join(paras)
-            variant = i % 5
+            variant = i % 7
             if variant == 0:
                 payload = pdf_write.build_pdf(body_text, title=title)
             elif variant == 1:
@@ -121,6 +121,13 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                 payload = pdf_write.build_pdf(
                     "", table_rows=[["name", "value"], ["alpha", "one"], ["beta", "two"]]
                 )
+            elif variant == 4:
+                # subset-font emulation: Identity-H glyph codes + ToUnicode
+                payload = pdf_write.build_pdf(
+                    body_text, title=title, compress=True, encoding="type0"
+                )
+            elif variant == 5:
+                payload = pdf_write.build_pdf(body_text, title=title, encoding="differences")
             else:
                 payload = pdf_write.build_truncated_pdf(body_text)
             raw_text = body_text

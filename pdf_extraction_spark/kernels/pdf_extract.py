@@ -691,6 +691,40 @@ class _Doc:
         except Exception:
             return frozenset()
 
+    def page_fonts(self, page: dict) -> dict:
+        """Map of /Resources/Font names → :class:`pdf_fonts.FontDecoder` for
+        fonts that need custom byte→text decoding (ToUnicode CMaps,
+        Type0/Identity-H, /Encoding /Differences). Fonts that decode fine
+        through the legacy heuristic path are omitted. Decoders are cached
+        per font object so a 500-page doc parses each CMap once."""
+        from .pdf_fonts import build_font_decoder
+
+        out: dict = {}
+        try:
+            res = self.resolve(page.get("Resources")) or {}
+            fonts = self.resolve(res.get("Font")) or {}
+            if not isinstance(fonts, dict):
+                return out
+            cache = getattr(self, "_font_cache", None)
+            if cache is None:
+                cache = self._font_cache = {}
+            for name, ref in fonts.items():
+                key = ref.num if isinstance(ref, _Ref) else id(ref)
+                if key not in cache:
+                    obj = self.resolve(ref)
+                    if isinstance(obj, tuple) and obj[0] == "stream":
+                        obj = obj[1]
+                    cache[key] = (
+                        build_font_decoder(obj, self.resolve, _decode_stream)
+                        if isinstance(obj, dict)
+                        else None
+                    )
+                if cache[key] is not None:
+                    out[str(name)] = cache[key]
+        except Exception:
+            pass
+        return out
+
     def page_size(self, page: dict) -> tuple[float, float]:
         box = self.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
         try:
@@ -716,7 +750,11 @@ def _mat_mult(m, ctm):
     )
 
 
-def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
+def _interpret_content(
+    content: bytes,
+    image_names: frozenset = frozenset(),
+    fonts: dict | None = None,
+):
     """Run a content stream; return (runs, hlines, vlines, rects, images).
 
     runs: (x, y, size, text). Lines/rects mirror the reference's vector
@@ -726,6 +764,11 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
     ``name Do`` whose name is in ``image_names`` (the page's
     /Resources/XObject entries with /Subtype /Image), the rebuild of the
     reference's type==1 image blocks (advanced_layout_extractor.py:359-386).
+
+    ``fonts`` maps font resource names to :class:`pdf_fonts.FontDecoder`;
+    ``Tf`` switches the active decoder and show-text operators route string
+    bytes through it (subset-font glyph codes → Unicode). Fonts absent from
+    the map use the legacy BOM/UTF-8/Latin-1 heuristic.
     """
     runs: list[tuple] = []
     hlines: list[tuple] = []
@@ -738,6 +781,11 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
     lx = ly = 0.0  # text line start (for T*, ', ")
     size = 0.0
     leading = 0.0
+    fonts = fonts or {}
+    cur_font = None  # active FontDecoder, or None for the heuristic path
+
+    def _show(b: bytes) -> str:
+        return cur_font.decode(b) if cur_font is not None else _pdf_text(b)
     cur_pt = None
     path_start = None
     ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -765,6 +813,8 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
         try:
             if op == b"Tf" and len(stack) >= 2:
                 size = float(stack[-1])
+                if isinstance(stack[-2], _Name):
+                    cur_font = fonts.get(str(stack[-2]))
             elif op == b"Td" and len(stack) >= 2:
                 lx, ly = lx + float(stack[-2]), ly + float(stack[-1])
                 tx, ty = lx, ly
@@ -783,12 +833,12 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
             elif op == b"BT":
                 tx = ty = lx = ly = 0.0
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
-                txt = _pdf_text(stack[-1])
+                txt = _show(stack[-1])
                 if txt:
                     runs.append((tx, ty, size, txt))
                     tx += 0.5 * size * len(txt)  # crude advance estimate
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
-                parts = [_pdf_text(s) for s in stack[-1] if isinstance(s, bytes)]
+                parts = [_show(s) for s in stack[-1] if isinstance(s, bytes)]
                 txt = "".join(parts)
                 if txt:
                     runs.append((tx, ty, size, txt))
@@ -796,7 +846,7 @@ def _interpret_content(content: bytes, image_names: frozenset = frozenset()):
             elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
                 ly -= leading if leading else size * 1.2
                 tx, ty = lx, ly
-                txt = _pdf_text(stack[-1])
+                txt = _show(stack[-1])
                 if txt:
                     runs.append((tx, ty, size, txt))
             elif op == b"m" and len(stack) >= 2:
@@ -963,7 +1013,9 @@ def extract_table_cells(payload: bytes) -> list[dict]:
             content = doc.page_content(page)
             if not content:
                 continue
-            runs, hl, vl, rects, _ = _interpret_content(content)
+            runs, hl, vl, rects, _ = _interpret_content(
+                content, fonts=doc.page_fonts(page)
+            )
             for gx0, gy0, gx1, gy1 in _grid_regions(hl, vl):
                 row_bounds = _cluster_coords(
                     [h[1] for h in hl if gy0 - 1 <= h[1] <= gy1 + 1]
@@ -1092,7 +1144,7 @@ def extract_pdf(payload: bytes) -> dict:
             if not content:
                 continue
             runs, hl, vl, rects, images = _interpret_content(
-                content, doc.page_image_names(page)
+                content, doc.page_image_names(page), fonts=doc.page_fonts(page)
             )
             if not runs and not images:
                 continue

