@@ -110,7 +110,7 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
         is_pdf = rng.random() < pdf_fraction
         if is_pdf:
             body_text = " ".join(paras)
-            variant = i % 7
+            variant = i % 8
             if variant == 0:
                 payload = pdf_write.build_pdf(body_text, title=title)
             elif variant == 1:
@@ -128,6 +128,11 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                 )
             elif variant == 5:
                 payload = pdf_write.build_pdf(body_text, title=title, encoding="differences")
+            elif variant == 6:
+                # standard security handler, empty user password (AES-128)
+                payload = pdf_write.build_pdf(
+                    body_text, title=title, compress=True, encrypt="aes-128"
+                )
             else:
                 payload = pdf_write.build_truncated_pdf(body_text)
             raw_text = body_text

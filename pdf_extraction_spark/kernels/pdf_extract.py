@@ -449,12 +449,56 @@ class _Doc:
         self.cache: dict[int, object] = {}
         self.trailer: dict = {}
         self.errors: list[str] = []
+        self.decryptor = None  # set by try_decrypt()
         try:
             self._load_xref()
         except Exception as exc:
             self.errors.append(f"xref: {type(exc).__name__}: {exc}")
         if not self.offsets:
             self._scan_objects()
+
+    def try_decrypt(self) -> bool:
+        """Open the document's standard encryption with the EMPTY user
+        password (pdf_crypt, VERDICT r2 item 6). True if the document is
+        unencrypted or the empty password verified (decryptor armed); False
+        if a real password (or an unsupported handler) is required."""
+        enc = self.trailer.get("Encrypt")
+        if enc is None:
+            return True
+        from .pdf_crypt import open_decryptor
+
+        self._encrypt_num = enc.num if isinstance(enc, _Ref) else -1
+        try:
+            enc = self.resolve(enc)
+            if not isinstance(enc, dict):
+                return False
+            ids = self.resolve(self.trailer.get("ID"))
+            id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+            self.decryptor = open_decryptor(enc, id0, self.resolve)
+            # drop anything cached before the key existed (still ciphertext)
+            self.cache = {self._encrypt_num: enc} if self._encrypt_num >= 0 else {}
+            self._objstm_cache.clear()
+            return True
+        except Exception as exc:
+            self.errors.append(f"decrypt: {type(exc).__name__}: {exc}")
+            return False
+
+    def _decrypt_obj(self, obj, num: int):
+        """Recursively decrypt strings (and stream bytes) of a direct
+        object. Objects inside object streams are NOT individually
+        encrypted — the container stream already was — so this is only
+        called from the direct-object path."""
+        dec = self.decryptor
+        if isinstance(obj, bytes):
+            return dec.decrypt(num, 0, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(v, num) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_obj(v, num) for k, v in obj.items()}
+        if isinstance(obj, tuple) and len(obj) == 3 and obj[0] == "stream":
+            sdict = {k: self._decrypt_obj(v, num) for k, v in obj[1].items()}
+            return ("stream", sdict, dec.decrypt(num, 0, obj[2]))
+        return obj
 
     # -- xref ---------------------------------------------------------------
 
@@ -541,7 +585,7 @@ class _Doc:
                         num, (f2, fields[2] if len(fields) > 2 else 0)
                     )
         for k, v in sdict.items():
-            if k in ("Root", "Size", "Info", "Prev", "Encrypt"):
+            if k in ("Root", "Size", "Info", "Prev", "Encrypt", "ID"):
                 self.trailer.setdefault(k, v)
         prev = sdict.get("Prev")
         return int(prev) if isinstance(prev, (int, float)) else 0
@@ -592,6 +636,13 @@ class _Doc:
                         obj = ("stream", obj, raw)
             except Exception as exc:
                 self.errors.append(f"obj {num}: {type(exc).__name__}: {exc}")
+        if obj is not None and self.decryptor is not None and num != getattr(
+            self, "_encrypt_num", -1
+        ):
+            try:
+                obj = self._decrypt_obj(obj, num)
+            except Exception as exc:
+                self.errors.append(f"decrypt obj {num}: {type(exc).__name__}: {exc}")
         if obj is None and num in self.in_objstm:
             obj = self._get_from_objstm(num)
         self.cache[num] = obj
@@ -1008,6 +1059,8 @@ def extract_table_cells(payload: bytes) -> list[dict]:
     Never raises; malformed input yields []."""
     try:
         doc = _Doc(payload)
+        if not doc.try_decrypt():
+            return []
         out: list[dict] = []
         for pno, page in enumerate(doc.pages()):
             content = doc.page_content(page)
@@ -1126,9 +1179,10 @@ def extract_pdf(payload: bytes) -> dict:
 
     try:
         doc = _Doc(payload)
-        if doc.trailer.get("Encrypt") is not None:
-            # encrypted document: strings/streams are ciphertext — emitting
-            # "extracted text" from them would be garbage; degrade explicitly
+        if not doc.try_decrypt():
+            # a real password (or unsupported handler) is required:
+            # strings/streams stay ciphertext — emitting "extracted text"
+            # from them would be garbage; degrade explicitly
             return {
                 "text": "",
                 "spans": [],

@@ -275,6 +275,7 @@ def _content_table(rows: list[list[str]], enc=_enc_literal) -> str:
 def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
     with_image: bool = False, objstm: bool = False, make_font=None,
+    encryptor=None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -340,6 +341,28 @@ def _assemble(
         )
         objstm_num = container
 
+    enc_num = None
+    if encryptor is not None:
+        # encrypt every stream object's payload (per-object key, after any
+        # ObjStm packing so the container stream is covered too) and patch
+        # its /Length. The /Encrypt dict itself is added afterwards as a
+        # direct object — it is never encrypted nor packed (the reader needs
+        # it before any key exists).
+        import re as _re
+
+        for num in sorted(objs):
+            b = objs[num]
+            i = b.find(b"\nstream\n")
+            if i == -1:
+                continue
+            head, rest = b[:i], b[i + 8 :]
+            j = rest.rfind(b"\nendstream")
+            data = encryptor.encrypt(num, 0, rest[:j])
+            head = _re.sub(rb"/Length \d+", b"/Length %d" % len(data), head, count=1)
+            objs[num] = head + b"\nstream\n" + data + b"\nendstream"
+        enc_num = max(list(objs) + list(packed)) + 1
+        objs[enc_num] = encryptor.encrypt_dict_body()
+
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -349,13 +372,20 @@ def _assemble(
         buf += b"\nendobj\n"
 
     maxnum = max(list(objs) + list(packed))
+    enc_trailer = b""
+    if enc_num is not None:
+        enc_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_num,
+            encryptor.id0.hex().upper().encode(),
+            encryptor.id0.hex().upper().encode(),
+        )
     if not xref_stream:
         xref_off = len(buf)
         buf += b"xref\n0 %d\n" % (maxnum + 1)
         buf += b"0000000000 65535 f \n"
         for num in range(1, maxnum + 1):
             buf += b"%010d 00000 n \n" % offsets.get(num, 0)
-        buf += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (maxnum + 1)
+        buf += b"trailer\n<< /Size %d /Root 1 0 R%s >>\n" % (maxnum + 1, enc_trailer)
         buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
     else:
         xnum = maxnum + 1
@@ -373,9 +403,9 @@ def _assemble(
         rows.append(b"\x01" + xref_off.to_bytes(4, "big") + b"\x00")
         data = zlib.compress(b"".join(rows), 6)
         head = (
-            "<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R /Filter /FlateDecode /Length %d >>"
-            % (xnum + 1, len(data))
-        ).encode()
+            b"<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R%s /Filter /FlateDecode /Length %d >>"
+            % (xnum + 1, enc_trailer, len(data))
+        )
         buf += b"%d 0 obj\n" % xnum
         buf += head + b"\nstream\n" + data + b"\nendstream\nendobj\n"
         buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
@@ -428,6 +458,7 @@ def build_pdf(
     equations: list[str] | None = None,
     references: list[str] | None = None,
     encoding: str = "simple",
+    encrypt: str | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -446,6 +477,9 @@ def build_pdf(
       hex strings, mapped back only by the /ToUnicode CMap;
     * ``differences`` — Type1 with /Encoding /Differences remapping letters
       and all non-ASCII chars to codes >= 128 with AGL glyph names.
+
+    ``encrypt`` applies the standard security handler with EMPTY user/owner
+    passwords: ``rc4-40``, ``rc4-128``, or ``aes-128`` (VERDICT r2 item 6).
     """
     body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
     if list_items:
@@ -481,9 +515,18 @@ def build_pdf(
         if not pages:
             pages = [""]
         pages[0] = (pages[0] + "\n" if pages[0] else pages[0]) + "\n".join(extras)
+    encryptor = None
+    if encrypt is not None:
+        import hashlib
+
+        from .pdf_crypt import StandardEncryptor
+
+        # deterministic /ID: fixtures must be byte-reproducible
+        id0 = hashlib.md5("\n".join(pages).encode("latin-1", "replace")).digest()
+        encryptor = StandardEncryptor(encrypt, id0)
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
-        objstm=objstm, make_font=make_font,
+        objstm=objstm, make_font=make_font, encryptor=encryptor,
     )
 
 
