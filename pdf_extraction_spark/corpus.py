@@ -211,11 +211,21 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
         def make_pdf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
             out = []
             for t, i in zip(text, doc_id):
-                cols = 2 if int(i) % 3 == 0 else 1
-                compress = int(i) % 2 == 0
+                i = int(i)
+                cols = 2 if i % 3 == 0 else 1
+                compress = i % 2 == 0
+                # every 7th doc a Type0/Identity-H subset font, every 11th a
+                # /Differences remap, every 13th AES-128-encrypted — so the
+                # DuckDB-checked roundtrip oracle exercises CMap decoding and
+                # empty-password decryption end-to-end (VERDICT r2 items 1, 6)
+                encoding = "type0" if i % 7 == 0 else (
+                    "differences" if i % 11 == 0 else "simple"
+                )
+                encrypt = "aes-128" if i % 13 == 0 else None
                 out.append(
                     pdf_write.build_pdf(t, columns=cols, compress=compress,
-                                        xref_stream=(int(i) % 5 == 0))
+                                        xref_stream=(i % 5 == 0),
+                                        encoding=encoding, encrypt=encrypt)
                 )
             return pd.Series(out)
 
