@@ -175,6 +175,13 @@ def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
 # -- per-font decoder ------------------------------------------------------------------
 
 
+class _ReplacementTable(dict):
+    """str.translate mapping that yields U+FFFD for unmapped codes."""
+
+    def __missing__(self, key):
+        return "�"
+
+
 class FontDecoder:
     """Byte-string → text decoder for one font resource.
 
@@ -183,37 +190,50 @@ class FontDecoder:
     then (1-byte only) Latin-1 passthrough — the same total fallback the
     no-font path uses. Unknown 2-byte codes become U+FFFD: emitting the raw
     code bytes as text is exactly the garbage this module exists to stop.
+
+    The hot path is ``str.translate`` over a decoded code-unit string (one
+    C call per show-string), not a per-code Python loop: 1-byte codes via
+    latin-1 (identity == the Latin-1 fallback), 2-byte codes via UTF-16BE
+    with surrogatepass. Fonts whose map touches the surrogate range (where
+    UTF-16 would pair adjacent units) keep the safe per-code loop.
     """
 
-    __slots__ = ("code_width", "cmap", "diffs")
+    __slots__ = ("code_width", "cmap", "diffs", "_table", "_fast2")
 
     def __init__(self, code_width: int = 1, cmap: dict | None = None,
                  diffs: dict | None = None):
         self.code_width = 2 if code_width == 2 else 1
         self.cmap = cmap or {}
         self.diffs = diffs or {}
+        merged = {**self.diffs, **self.cmap}  # cmap wins
+        if self.code_width == 1:
+            self._table = merged  # unmapped: translate identity == latin-1
+            self._fast2 = False
+        else:
+            self._table = _ReplacementTable(merged)
+            self._fast2 = all(not 0xD7FF < c < 0xE000 for c in merged)
 
     @property
     def trivial(self) -> bool:
         return self.code_width == 1 and not self.cmap and not self.diffs
 
     def decode(self, b: bytes) -> str:
+        if self.code_width == 1:
+            return b.decode("latin-1").translate(self._table)
+        if len(b) % 2:
+            b = b[:-1]  # odd trailing byte: dropped
+        if self._fast2:
+            try:
+                return b.decode("utf-16-be", "surrogatepass").translate(self._table)
+            except UnicodeDecodeError:
+                pass
         out: list[str] = []
-        if self.code_width == 2:
-            for i in range(0, len(b) - 1, 2):
-                code = (b[i] << 8) | b[i + 1]
-                t = self.cmap.get(code)
-                if t is None:
-                    t = self.diffs.get(code, "�")
-                out.append(t)
-        else:
-            for code in b:
-                t = self.cmap.get(code)
-                if t is None:
-                    t = self.diffs.get(code)
-                if t is None:
-                    t = chr(code)  # Latin-1 stand-in for PDFDocEncoding
-                out.append(t)
+        for i in range(0, len(b) - 1, 2):
+            code = (b[i] << 8) | b[i + 1]
+            t = self.cmap.get(code)
+            if t is None:
+                t = self.diffs.get(code, "�")
+            out.append(t)
         return "".join(out)
 
 

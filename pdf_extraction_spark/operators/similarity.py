@@ -18,6 +18,8 @@ Python. Embedding near-dup pairs (:func:`q_embedding_cosine_pairs`) block on
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -93,29 +95,30 @@ SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+LSH_DIMS = 64  # embedding dimensionality of the corpus tables
+
+# The ±1 hyperplane components are pure constants — sign(p, d) = parity of
+# the first hex char of md5('p,d') — so they are folded at PLAN BUILD time
+# (hashlib.md5 == Spark md5 == DuckDB md5 on the same string) instead of
+# being re-derived per row inside the executors as in r2. Same values as
+# the r2 on-line formula; ~LSH_PLANES×dims fewer md5 calls per row.
+_PLANE_SIGNS: list[list[float]] = [
+    [
+        1.0 if ord(_hashlib.md5(f"{p},{d}".encode()).hexdigest()[0]) % 2 == 1 else -1.0
+        for d in range(1, LSH_DIMS + 1)
+    ]
+    for p in range(LSH_PLANES)
+]
+
+
 def _bucket_expr_spark(emb_col: str):
-    """8-bit signed-random-projection bucket: plane p's component for dim d
-    is ±1 by parity of md5('p,d'); bit_p = [Σ_d sign·v_d > 0]."""
+    """8-bit signed-random-projection bucket from the precomputed ±1 plane
+    constants; bit_p = [Σ_d sign·v_d > 0]."""
     bits = []
     for p in range(LSH_PLANES):
+        signs = F.array(*[F.lit(s) for s in _PLANE_SIGNS[p]])
         dot = F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                F.transform(
-                    F.sequence(F.lit(1), F.size(emb_col)),
-                    lambda d: F.when(
-                        F.ascii(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{p},"), d.cast("string"))), 1, 1
-                            )
-                        )
-                        % 2
-                        == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, s: v.cast("double") * s,
-            ),
+            F.zip_with(F.col(emb_col), signs, lambda v, s: v.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -157,11 +160,11 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_expr_sql(alias: str) -> str:
     terms = []
     for p in range(LSH_PLANES):
+        signs = "[" + ", ".join(str(s) for s in _PLANE_SIGNS[p]) + "]"
         terms.append(
             f"(CASE WHEN list_sum(list_transform(generate_series(1, len({alias}.embedding)), "
-            f"d -> CAST({alias}.embedding[d] AS DOUBLE) * "
-            f"(CASE WHEN ascii(substr(md5('{p},' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 1 "
-            f"THEN 1.0 ELSE -1.0 END))) > 0 THEN {1 << p} ELSE 0 END)"
+            f"d -> CAST({alias}.embedding[d] AS DOUBLE) * ({signs}::DOUBLE[])[d])) "
+            f"> 0 THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(terms)
 
