@@ -237,13 +237,41 @@ class FontDecoder:
         return "".join(out)
 
 
+_BASE_CODECS = {"WinAnsiEncoding": "cp1252", "MacRomanEncoding": "mac_roman"}
+_base_maps: dict[str, dict[int, str]] = {}
+
+
+def _base_encoding_map(name: str | None) -> dict[int, str]:
+    """Codes 128-255 of a named base encoding that differ from Latin-1
+    (0-127 coincide across Latin-1/WinAnsi/MacRoman). Stdlib codecs cp1252
+    and mac_roman ARE these tables."""
+    codec = _BASE_CODECS.get(name or "")
+    if codec is None:
+        return {}
+    cached = _base_maps.get(codec)
+    if cached is None:
+        cached = {}
+        for c in range(128, 256):
+            try:
+                ch = bytes([c]).decode(codec)
+            except UnicodeDecodeError:
+                continue  # undefined in the encoding: keep Latin-1 passthrough
+            if ch != chr(c):
+                cached[c] = ch
+        _base_maps[codec] = cached
+    return cached
+
+
 def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None:
     """Build a :class:`FontDecoder` for a /Font resource dict.
 
     ``resolve`` dereferences indirect objects; ``decode_stream`` maps a
     ('stream', dict, raw) tuple to its decoded bytes. Returns None when the
-    font needs no custom decoding (no ToUnicode, no Differences, not Type0)
-    so the caller can keep the legacy BOM/UTF-8/Latin-1 heuristic path."""
+    font needs no custom decoding (no ToUnicode, no Differences, no named
+    base encoding, not Type0) so the caller keeps the legacy
+    BOM/UTF-8/Latin-1 heuristic path. Mapping layers, lowest to highest:
+    named base encoding (/WinAnsiEncoding via cp1252, /MacRomanEncoding via
+    mac_roman), /Differences glyph names, ToUnicode CMap."""
     try:
         width = 1
         cmap: dict[int, str] = {}
@@ -260,7 +288,10 @@ def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None
             w, cmap = parse_tounicode(data)
             if subtype != "Type0":
                 width = w
-        if isinstance(enc, dict):
+        if isinstance(enc, str) and not isinstance(enc, dict):
+            diffs.update(_base_encoding_map(str(enc)))
+        elif isinstance(enc, dict):
+            diffs.update(_base_encoding_map(str(resolve(enc.get("BaseEncoding", "")))))
             seq = resolve(enc.get("Differences"))
             if isinstance(seq, list):
                 code = 0

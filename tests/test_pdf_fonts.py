@@ -74,3 +74,47 @@ def test_decoder_priority_and_fallback():
 def test_parse_tounicode_total(data):
     width, cmap = parse_tounicode(data)
     assert width in (1, 2)
+
+
+def test_base_encodings():
+    from pdf_extraction_spark.kernels.pdf_fonts import build_font_decoder
+
+    resolve = lambda v: v
+    win = build_font_decoder({"Subtype": "Type1", "Encoding": "WinAnsiEncoding"},
+                             resolve, None)
+    assert win is not None
+    # cp1252 0x80-0x9F region: Euro, curly quotes, em dash
+    assert win.decode(b"\x80 \x93x\x94 \x97") == "€ “x” —"
+    assert win.decode(b"caf\xe9") == "café"  # high range matches latin-1
+
+    mac = build_font_decoder(
+        {"Subtype": "Type1", "Encoding": {"BaseEncoding": "MacRomanEncoding"}},
+        resolve, None)
+    assert mac is not None
+    assert mac.decode(b"caf\x8e") == "café"  # mac_roman 0x8E = e-acute
+
+    # Differences override the base encoding
+    both = build_font_decoder(
+        {"Subtype": "Type1",
+         "Encoding": {"BaseEncoding": "WinAnsiEncoding", "Differences": [0x80, "A"]}},
+        resolve, None)
+    assert both.decode(b"\x80\x93") == "A“"
+
+
+def test_winansi_roundtrip_via_spliced_font():
+    """Integration: a simple-font PDF whose font object names
+    /MacRomanEncoding must decode high bytes through mac_roman."""
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    pdf = build_pdf("PLACEHOLDER")
+    pdf = pdf.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /MacRomanEncoding >>",
+    )
+    pdf = pdf.replace(b"PLACEHOLDER", b"caf\x8e pie")  # same byte length
+    # splices shifted the xref offsets; break startxref so the parser takes
+    # its object-scan fallback (exercised elsewhere) instead
+    pdf = pdf.replace(b"startxref", b"startxre_")
+    out = extract_pdf(pdf)
+    assert "café pie" in out["text"]
