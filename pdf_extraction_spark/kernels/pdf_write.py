@@ -498,10 +498,15 @@ def build_pdf(
         for row in table_rows or []:
             shown.extend(row)
         charset = set("".join(shown))
-        encoder = (
-            _Type0Encoder(charset) if encoding == "type0"
-            else _DifferencesEncoder(charset)
-        )
+        if encoding == "type0":
+            encoder = _Type0Encoder(charset)
+        else:
+            try:
+                encoder = _DifferencesEncoder(charset)
+            except ValueError:
+                # charset too rich for 128 remap codes (e.g. CJK-heavy
+                # documents): the Type0 layout is what real producers use
+                encoder = _Type0Encoder(charset)
         enc = encoder.show
         make_font = encoder.font_objects
     if table_rows is not None:

@@ -414,3 +414,13 @@ def test_unknown_2byte_codes_become_replacement():
     dec = FontDecoder(2, {1: "A"})
     assert dec.decode(b"\x00\x01\x00\x99") == "A�"
     assert dec.decode(b"\x00\x01\x7f") == "A"  # odd trailing byte dropped
+
+
+def test_differences_falls_back_to_type0_on_rich_charset():
+    """>117 distinct non-ASCII chars cannot fit a 128-code /Differences
+    remap; the writer must fall back to the Type0 layout, and the parser
+    must still roundtrip byte-identically."""
+    text = " ".join(chr(0xAC00 + i) for i in range(200))
+    pdf = build_pdf(text, encoding="differences")
+    out = extract_pdf(pdf)
+    assert out["error"] is None and out["text"] == text
