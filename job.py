@@ -21,6 +21,24 @@ import shutil
 import time
 
 
+def _cpu_snapshot() -> tuple[int, int] | None:
+    """(busy_jiffies, steal_jiffies) from /proc/stat, or None off-Linux.
+
+    Hypervisor steal is the audit signal for benchmark trials: this sandbox
+    is a shared VM where runnable vCPUs can be descheduled by the host for
+    long bursts (measured: steal equal to 2-3 dedicated cores while busy).
+    Recording per-trial steal makes it visible WHICH trials ran in a noisy
+    window, so the published best-trial numbers are auditable.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        user, nice, system, idle, iowait, irq, softirq, steal = map(int, parts[1:9])
+        return user + nice + system + irq + softirq, steal
+    except Exception:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -63,12 +81,18 @@ def main() -> None:
     for i in range(max(args.trials, 1)):
         if i > 0:
             shutil.rmtree(args.output, ignore_errors=True)
+        cpu0 = _cpu_snapshot()
         t0 = time.monotonic()
         summary = run_resumable(
             corpus, args.output, n_buckets=args.buckets,
             partitions=args.partitions, salt=args.salt,
         )
         wall = time.monotonic() - t0
+        cpu1 = _cpu_snapshot()
+        if cpu0 and cpu1:
+            hz = 100.0  # USER_HZ; fine for core-ratio reporting
+            summary["busy_cores"] = round((cpu1[0] - cpu0[0]) / hz / wall, 2)
+            summary["steal_cores"] = round((cpu1[1] - cpu0[1]) / hz / wall, 2)
         trials.append((summary, wall))
     # best trial by extraction-phase throughput
     summary, wall = max(
@@ -108,7 +132,8 @@ def main() -> None:
         "output_hash": out_hash,
         "trials": [
             {"extract_phase_s": s["extract_phase_s"], "wall_s": round(w, 3),
-             "docs_per_sec": round(s["n_docs"] / max(s["extract_phase_s"] or w, 1e-9), 2)}
+             "docs_per_sec": round(s["n_docs"] / max(s["extract_phase_s"] or w, 1e-9), 2),
+             "busy_cores": s.get("busy_cores"), "steal_cores": s.get("steal_cores")}
             for s, w in trials
         ],
     }))

@@ -13,6 +13,12 @@ docs/s with the round-2 kernels) — the faithful single-box analog of a
 real cluster, where 4N executors bring 4N memory buses. See BASELINE.md
 "Where the residual inefficiency lives" for the saturated-window numbers.
 
+Each job is confined to exactly N cores (taskset + JVM
+-XX:ActiveProcessorCount=N) — the analog of a cgroup-limited N-core
+executor. Unpinned, a local[2] JVM keeps ~4.3 cores runnable (parallel GC,
+JIT, netty pools sized for the 32-core host), inflating the small-size
+throughput and understating efficiency; see ``_pin_prefix``.
+
 Steps:
 1. materialize a corpus parquet (documents.parquet replicated xHTML_COPIES
    as HTML + x1 as deterministic PDFs) — distributed generation, written
@@ -91,11 +97,36 @@ def materialize_corpus(sf_dir: str, html_copies: int, repeat: int = 8) -> tuple[
     return str(corpus_path), n
 
 
+def _pin_prefix(cores: int) -> list[str]:
+    """Confine the whole process tree (JVM + pyspark workers) to ``cores``
+    physical cores via taskset.
+
+    Without this, a ``local[N]`` job on this 32-core box free-rides
+    host-sized JVM thread pools — parallel GC, JIT compiler, netty — on top
+    of its N task slots (measured: a local[2] job keeps ~4.3 cores runnable
+    unpinned). That inflates the small-size throughput and UNDERSTATES
+    scaling efficiency. A real N-core executor is cgroup-confined to N
+    cores, so pinning is the faithful cluster analog, not a benchmark trick.
+    Disable with SCALEBENCH_PIN=0.
+    """
+    if os.environ.get("SCALEBENCH_PIN", "1") == "0":
+        return []
+    import shutil as _sh
+
+    if not _sh.which("taskset"):
+        return []
+    return ["taskset", "-c", f"0-{cores - 1}"]
+
+
 def run_at(cores: int, corpus_path: str, zip_path: str, trials: int | None = None) -> dict:
     trials = trials or int(os.environ.get("SCALEBENCH_TRIALS", "3"))
     out = WORK / f"out_{cores}"
     cmd = [
+        *_pin_prefix(cores),
         "spark-submit",
+        # size the JVM's own pools (GC, JIT, common pool) to the simulated
+        # node, matching what a cgroup-aware JVM does on a real executor
+        "--driver-java-options", f"-XX:ActiveProcessorCount={cores}",
         "--master", f"local[{cores}]",
         "--py-files", zip_path,
         "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
@@ -208,12 +239,18 @@ Throughput uses the extraction-phase wall clock (salted repartition →
 mapInArrow kernels → bucket-clustered parquet write) — the part that scales
 with executors; session startup and per-run lineage bookkeeping are
 per-driver constants, amortized over a real run's corpus size, and are
-reported separately (`wall_s`, `wall_total_s`). The two sizes run in
+reported separately (`wall_s`, `wall_total_s`). Each job is confined to
+exactly its N cores (taskset + `-XX:ActiveProcessorCount=N`) — the analog
+of a cgroup-limited N-core executor; unpinned, a local[2] JVM keeps ~4.3
+cores runnable via host-sized GC/JIT/netty pools, which inflates the
+small-size number and understates efficiency. The two sizes run in
 interleaved session rounds ({trials} warm trials per session, {rounds}
 session(s) per size — the values this run actually used) so both sample
 comparable host conditions; the reported number is the best trial per size.
 The sandbox host is shared and bursty — single trials carry up to 2.5x
-scheduling noise; every trial is listed in scaling.json. When run through
+scheduling noise; every trial is listed in scaling.json with its measured
+`busy_cores`/`steal_cores` (from /proc/stat) so noisy-window trials are
+auditable. When run through
 `tools/bench_attempts.py`, the published attempt is the MEDIAN-efficiency
 attempt of several complete runs (all attempt efficiencies listed below),
 not a best-of ratchet.
