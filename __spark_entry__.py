@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_fraction": corpusops.q_span_dup_fraction,
         "repetition_score": corpusops.q_repetition_score,
         "filter_funnel": corpusops.q_filter_funnel,
+        "url_dedup": corpusops.q_url_dedup,
+        "stratified_sample": corpusops.q_stratified_sample,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
         "multimodal_framesample": multimodal.q_multimodal_framesample,
@@ -186,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,
         "repetition_score": corpusops.SQL_REPETITION_SCORE,
         "filter_funnel": corpusops.SQL_FILTER_FUNNEL,
+        "url_dedup": corpusops.SQL_URL_DEDUP,
+        "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
         "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,

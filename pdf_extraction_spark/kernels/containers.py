@@ -2,7 +2,9 @@
 
 Replaces the r2 ``NotImplementedError`` decode stub (VERDICT r2 item 3):
 PNG IHDR (with chunk-CRC verification), JPEG marker walk to the first SOF
-frame header, and RIFF/WAVE ``fmt `` chunk parsing — the metadata layer a
+frame header, RIFF/WAVE ``fmt `` chunk parsing, GIF logical-screen
+descriptor, and an ISO-BMFF (MP4) box walk to ``moov/mvhd`` (timescale →
+duration) and ``moov/trak/tkhd`` (track dimensions) — the metadata layer a
 training-data pipeline needs before any pixel/sample decode. Pixel/sample
 payload decode is intentionally out of scope (no image/audio libraries in
 this container, and the reference's multimodal path only consumes rendered
@@ -52,6 +54,48 @@ def build_jpeg(width: int, height: int) -> bytes:
     return out
 
 
+def build_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: logical screen descriptor + 2-entry global color
+    table + one image descriptor with a fixed data sub-block."""
+    lsd = struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # GCT flag, 2 entries
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    img = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    data = b"\x02\x02\x44\x01\x00"  # LZW min code size + 1 sub-block + terminator
+    return b"GIF89a" + lsd + gct + img + data + b";"
+
+
+def _box(typ: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(data)) + typ + data
+
+
+def build_mp4(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov{mvhd(timescale=1000), trak{tkhd}} +
+    an 8-byte mdat. All boxes are version-0 fixed layouts, so payload size
+    is independent of the encoded values."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)  # ctime mtime timescale duration
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + enabled/in-movie/in-preview flags
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)  # ctime mtime id reserved duration
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed-point
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return ftyp + moov + _box(b"mdat", b"\x00" * 8)
+
+
 def build_wav(sample_rate: int, channels: int, n_samples: int = 4) -> bytes:
     """Minimal RIFF/WAVE: fmt chunk (PCM16) + a zeroed data chunk."""
     data = b"\x00\x00" * channels * n_samples
@@ -67,6 +111,8 @@ def build_wav(sample_rate: int, channels: int, n_samples: int = 4) -> bytes:
 PNG_BYTES = len(build_png(1, 1))
 JPEG_BYTES = len(build_jpeg(1, 1))
 WAV_BYTES = len(build_wav(8000, 1))
+GIF_BYTES = len(build_gif(1, 1))
+MP4_BYTES = len(build_mp4(1, 1, 1))
 
 
 # -- parser ---------------------------------------------------------------------------
@@ -78,11 +124,15 @@ _SOF_MARKERS = frozenset(
 
 def decode_container(payload: bytes) -> dict:
     """Parse a media container header. Returns a dict with keys
-    ``fmt`` ('png' | 'jpeg' | 'wav' | 'corrupt'), ``width``, ``height``,
-    ``sample_rate``, ``channels`` (absent dimensions are -1).
+    ``fmt`` ('png' | 'jpeg' | 'wav' | 'gif' | 'mp4' | 'corrupt'),
+    ``width``, ``height``, ``sample_rate``, ``channels``, ``duration_ms``
+    (absent dimensions are -1).
     Raises ValueError if the payload does not start with a known container
     signature at all (the caller falls back to its synthetic path)."""
-    out = {"fmt": "corrupt", "width": -1, "height": -1, "sample_rate": -1, "channels": -1}
+    out = {
+        "fmt": "corrupt", "width": -1, "height": -1,
+        "sample_rate": -1, "channels": -1, "duration_ms": -1,
+    }
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         try:
             ln, tag = struct.unpack(">I4s", payload[8:16])
@@ -130,4 +180,35 @@ def decode_container(payload: bytes) -> dict:
                 return out
             p += 8 + ln + (ln & 1)
         return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            out.update(fmt="gif", width=w, height=h)
+        return out
+    if payload[4:8] == b"ftyp":
+        _walk_bmff(payload, 0, len(payload), out)
+        if out["width"] >= 0 and out["duration_ms"] >= 0:
+            out["fmt"] = "mp4"
+        return out
     raise ValueError("not a known media container")
+
+
+def _walk_bmff(payload: bytes, p: int, end: int, out: dict) -> None:
+    """Walk ISO-BMFF boxes in payload[p:end], recursing into moov/trak;
+    fills mvhd duration (ms) and tkhd track dimensions into ``out``."""
+    while p + 8 <= end:
+        (size,) = struct.unpack(">I", payload[p : p + 4])
+        typ = payload[p + 4 : p + 8]
+        if size < 8 or p + size > end:
+            return
+        body = p + 8
+        if typ in (b"moov", b"trak"):
+            _walk_bmff(payload, body, p + size, out)
+        elif typ == b"mvhd" and size >= 32 and payload[body] == 0:
+            timescale, duration = struct.unpack(">II", payload[body + 12 : body + 20])
+            if timescale:
+                out["duration_ms"] = duration * 1000 // timescale
+        elif typ == b"tkhd" and size >= 92 and payload[body] == 0:
+            w, h = struct.unpack(">II", payload[body + 76 : body + 84])
+            out["width"], out["height"] = w >> 16, h >> 16
+        p += size

@@ -410,3 +410,178 @@ UNION ALL SELECT 2, 'word_band', k1, k2 FROM agg
 UNION ALL SELECT 3, 'distinct_ratio', k2, k3 FROM agg
 UNION ALL SELECT 4, 'stopword_evidence', k3, k4 FROM agg
 """
+
+
+# -- URL canonicalization + URL-level dedup ---------------------------------------------
+
+_TRACKING_PARAM = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL fixture column: four wire-form variants per
+    doc (tracking params, fragments, uppercase WWW host + explicit :443,
+    trailing slash) that all collapse under canonicalization. Path modulus 10
+    forces real cross-doc collisions."""
+    m = F.col("doc_id") % 4
+    path = F.concat(F.lit("/a/"), (F.col("doc_id") % 10).cast("string"))
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path,
+            F.lit("?utm_source=feed&q=1&utm_campaign=x"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path,
+            F.lit("#section-2"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".EXAMPLE.COM:443"), path,
+        ))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path, F.lit("/"),
+        ))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (the Common-Crawl "same page
+    fetched many ways" stage): lowercase scheme/host, strip ``www.`` and
+    default ports, drop fragments and tracking query params
+    (``utm_*``/``fbclid``/``gclid``), trim trailing slashes, then keep the
+    lowest doc_id per canonical URL.
+
+    All string algebra is JVM-side (``split_part``/``regexp_replace``/
+    lambda filters — no Python). Scale shape: one narrow canonicalization
+    map, then a single window shuffle keyed by the canonical URL — the same
+    shape as ``domain_cap``; duplicates of one hot URL land in one
+    partition's window, which is exactly the cap semantics."""
+    docs = _messy_urls(tbl(spark, sf_dir, "documents").select("doc_id", "source"))
+    no_frag = F.split_part(F.col("url"), F.lit("#"), F.lit(1))
+    scheme = F.lower(F.split_part(no_frag, F.lit("://"), F.lit(1)))
+    rest = F.split_part(no_frag, F.lit("://"), F.lit(2))
+    hostport = F.split_part(F.split_part(rest, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), F.lit("^www\\."), F.lit("")),
+        F.lit(":(80|443)$"), F.lit(""),
+    )
+    pathq = F.substring(rest, F.length(hostport) + 1, 1_000_000)
+    path = F.regexp_replace(
+        F.split_part(pathq, F.lit("?"), F.lit(1)), F.lit("/+$"), F.lit("")
+    )
+    query = F.when(
+        pathq.contains("?"), F.split_part(pathq, F.lit("?"), F.lit(2))
+    ).otherwise(F.lit(""))
+    clean_q = F.array_join(
+        F.filter(F.split(query, "&"), lambda p: ~p.rlike(_TRACKING_PARAM)), "&"
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(clean_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), clean_q)),
+    )
+    canonical = docs.select("doc_id", "url", canon.alias("canon_url"))
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return canonical.withColumn(
+        "is_canonical", (F.row_number().over(w) == 1).cast("int")
+    ).select("doc_id", "url", "canon_url", "is_canonical")
+
+
+SQL_URL_DEDUP = """
+WITH messy AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.example.com/a/' || (doc_id % 10)
+                       || '?utm_source=feed&q=1&utm_campaign=x'
+           WHEN 1 THEN 'https://' || source || '.example.com/a/' || (doc_id % 10)
+                       || '#section-2'
+           WHEN 2 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/a/'
+                       || (doc_id % 10)
+           ELSE 'https://' || source || '.example.com/a/' || (doc_id % 10) || '/'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM messy
+),
+hp AS (
+  SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM parts
+),
+norm AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(regexp_replace(lower(hostport), '^www\\.', ''),
+                        ':(80|443)$', '') AS host,
+         regexp_replace(split_part(substr(rest, length(hostport) + 1), '?', 1),
+                        '/+$', '') AS path,
+         CASE WHEN contains(substr(rest, length(hostport) + 1), '?')
+              THEN split_part(substr(rest, length(hostport) + 1), '?', 2)
+              ELSE '' END AS query
+  FROM hp
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path ||
+         CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+  FROM (
+    SELECT *, array_to_string(
+             list_filter(string_split(query, '&'),
+                         p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')),
+             '&') AS cq
+    FROM norm
+  )
+)
+SELECT doc_id, url, canon_url,
+       CAST(row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1 AS INT)
+         AS is_canonical
+FROM canon
+"""
+
+
+# -- deterministic stratified sampling --------------------------------------------------
+
+# per-stratum keep rates (percent): reproducible hash-threshold sampling,
+# the standard replacement for rand() in pipelines that must re-run
+# byte-identically (resharding, lineage replay, A/B ablations)
+STRATUM_RATES = {"en": 80, "de": 50, "fr": 50}
+DEFAULT_RATE = 25
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document hashes to a bucket
+    in [0, 100) (md5 of its text — content-addressed, so the decision
+    survives doc_id reassignment) and is kept iff bucket < its language
+    stratum's rate. Stateless narrow map — no shuffle, no RNG state; at
+    100 TB this is the only sampler whose output is reproducible across
+    retries, speculative tasks, and cluster sizes."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bucket = (
+        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("text"), 2, 1))
+    ) % 100
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATUM_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        rate.cast("int").alias("rate"),
+        (bucket < rate).cast("int").alias("kept"),
+    )
+
+
+_RATE_SQL = " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in STRATUM_RATES.items()
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang,
+       CAST((ascii(substr(md5(text), 1, 1)) * 256
+             + ascii(substr(md5(text), 2, 1))) % 100 AS INT) AS bucket,
+       CAST(CASE lang {_RATE_SQL} ELSE {DEFAULT_RATE} END AS INT) AS rate,
+       CAST((ascii(substr(md5(text), 1, 1)) * 256
+             + ascii(substr(md5(text), 2, 1))) % 100
+            < CASE lang {_RATE_SQL} ELSE {DEFAULT_RATE} END AS INT) AS kept
+FROM documents
+"""

@@ -27,21 +27,28 @@ from .common import tbl
 
 META_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, "
-    "sample_rate int, channels int, fmt string"
+    "sample_rate int, channels int, duration_ms long, fmt string"
 )
 
 
 def _fixture_payload(doc_id: int, text: str) -> bytes:
-    """Deterministic binary payload per doc: every 5th doc a real PNG /
-    JPEG / WAV (dims derived from doc_id so the oracle can check the parse),
-    the rest raw UTF-8 text (synthetic-metadata fallback path)."""
-    m = doc_id % 5
+    """Deterministic binary payload per doc: five of every seven docs a real
+    PNG / JPEG / WAV / GIF / MP4 (dims and duration derived from doc_id so
+    the oracle can check the parse), the rest raw UTF-8 text
+    (synthetic-metadata fallback path)."""
+    m = doc_id % 7
     if m == 0:
         return containers.build_png(16 + doc_id % 101, 16 + (doc_id * 7) % 101)
     if m == 1:
         return containers.build_jpeg(16 + doc_id % 101, 16 + (doc_id * 7) % 101)
     if m == 2:
         return containers.build_wav(8000 + 100 * (doc_id % 8), 1 + doc_id % 2)
+    if m == 3:
+        return containers.build_gif(16 + doc_id % 101, 16 + (doc_id * 7) % 101)
+    if m == 4:
+        return containers.build_mp4(
+            16 + doc_id % 101, 16 + (doc_id * 7) % 101, 1000 + doc_id % 5000
+        )
     return text.encode("utf-8")
 
 
@@ -62,7 +69,7 @@ def _meta_batches(batches):
     for pdf in batches:
         out = {
             "doc_id": [], "n_bytes": [], "width": [], "height": [],
-            "sample_rate": [], "channels": [], "fmt": [],
+            "sample_rate": [], "channels": [], "duration_ms": [], "fmt": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
@@ -77,10 +84,11 @@ def _meta_batches(batches):
                     "height": 64 + ord(digest[1]) % 64,
                     "sample_rate": -1,
                     "channels": -1,
+                    "duration_ms": -1,
                 }
             out["doc_id"].append(int(doc_id))
             out["n_bytes"].append(len(payload))
-            for k in ("width", "height", "sample_rate", "channels", "fmt"):
+            for k in ("width", "height", "sample_rate", "channels", "duration_ms", "fmt"):
                 out[k].append(meta[k])
         yield pd.DataFrame(out)
 
@@ -97,21 +105,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_META = f"""
 SELECT doc_id,
-       CAST(CASE doc_id % 5
+       CAST(CASE doc_id % 7
          WHEN 0 THEN {containers.PNG_BYTES}
          WHEN 1 THEN {containers.JPEG_BYTES}
          WHEN 2 THEN {containers.WAV_BYTES} + (doc_id % 2) * 8
+         WHEN 3 THEN {containers.GIF_BYTES}
+         WHEN 4 THEN {containers.MP4_BYTES}
          ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 16 + doc_id % 101
-                 WHEN doc_id % 5 = 2 THEN -1
+       CAST(CASE WHEN doc_id % 7 IN (0, 1, 3, 4) THEN 16 + doc_id % 101
+                 WHEN doc_id % 7 = 2 THEN -1
                  ELSE 64 + ascii(substr(md5(text), 1, 1)) % 64 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 16 + (doc_id * 7) % 101
-                 WHEN doc_id % 5 = 2 THEN -1
+       CAST(CASE WHEN doc_id % 7 IN (0, 1, 3, 4) THEN 16 + (doc_id * 7) % 101
+                 WHEN doc_id % 7 = 2 THEN -1
                  ELSE 64 + ascii(substr(md5(text), 2, 1)) % 64 END AS INT) AS height,
-       CAST(CASE WHEN doc_id % 5 = 2 THEN 8000 + 100 * (doc_id % 8)
+       CAST(CASE WHEN doc_id % 7 = 2 THEN 8000 + 100 * (doc_id % 8)
                  ELSE -1 END AS INT) AS sample_rate,
-       CAST(CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 2 ELSE -1 END AS INT) AS channels,
-       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+       CAST(CASE WHEN doc_id % 7 = 2 THEN 1 + doc_id % 2 ELSE -1 END AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 7 = 4 THEN 1000 + doc_id % 5000
+                 ELSE -1 END AS BIGINT) AS duration_ms,
+       CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+            WHEN 3 THEN 'gif' WHEN 4 THEN 'mp4'
             ELSE 'synthetic' END AS fmt
 FROM documents
 """

@@ -11,28 +11,49 @@ from hypothesis import strategies as st
 from pdf_extraction_spark.kernels import containers
 
 
+def _meta(fmt="corrupt", w=-1, h=-1, sr=-1, ch=-1, dur=-1):
+    return {
+        "fmt": fmt, "width": w, "height": h,
+        "sample_rate": sr, "channels": ch, "duration_ms": dur,
+    }
+
+
 @pytest.mark.parametrize("w,h", [(1, 1), (16, 117), (640, 480), (65535, 3)])
 def test_png_roundtrip(w, h):
     meta = containers.decode_container(containers.build_png(w, h))
-    assert meta == {"fmt": "png", "width": w, "height": h, "sample_rate": -1, "channels": -1}
+    assert meta == _meta("png", w, h)
 
 
 @pytest.mark.parametrize("w,h", [(1, 1), (16, 117), (1920, 1080)])
 def test_jpeg_roundtrip(w, h):
     meta = containers.decode_container(containers.build_jpeg(w, h))
-    assert meta == {"fmt": "jpeg", "width": w, "height": h, "sample_rate": -1, "channels": -1}
+    assert meta == _meta("jpeg", w, h)
 
 
 @pytest.mark.parametrize("sr,ch", [(8000, 1), (44100, 2), (48000, 6)])
 def test_wav_roundtrip(sr, ch):
     meta = containers.decode_container(containers.build_wav(sr, ch))
-    assert meta == {"fmt": "wav", "width": -1, "height": -1, "sample_rate": sr, "channels": ch}
+    assert meta == _meta("wav", sr=sr, ch=ch)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (16, 117), (320, 200), (65535, 3)])
+def test_gif_roundtrip(w, h):
+    meta = containers.decode_container(containers.build_gif(w, h))
+    assert meta == _meta("gif", w, h)
+
+
+@pytest.mark.parametrize("w,h,dur", [(1, 1, 1), (320, 240, 5000), (1920, 1080, 3_600_000)])
+def test_mp4_roundtrip(w, h, dur):
+    meta = containers.decode_container(containers.build_mp4(w, h, dur))
+    assert meta == _meta("mp4", w, h, dur=dur)
 
 
 def test_payload_sizes_dimension_independent():
     assert len(containers.build_png(1, 1)) == len(containers.build_png(9999, 2))
     assert len(containers.build_jpeg(1, 1)) == len(containers.build_jpeg(9999, 2))
     assert len(containers.build_wav(8000, 1)) == len(containers.build_wav(48000, 1))
+    assert len(containers.build_gif(1, 1)) == len(containers.build_gif(9999, 2))
+    assert len(containers.build_mp4(1, 1, 1)) == len(containers.build_mp4(1920, 1080, 10**7))
     # wav grows 8 bytes per extra channel (2-byte samples x 4 frames)
     assert len(containers.build_wav(8000, 2)) == containers.WAV_BYTES + 8
 
@@ -58,11 +79,17 @@ def test_non_container_raises():
         containers.decode_container(b"plain text payload")
 
 
+def test_mp4_truncated_moov_is_corrupt():
+    mp4 = containers.build_mp4(320, 240, 1000)
+    assert containers.decode_container(mp4[:40])["fmt"] == "corrupt"
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=64))
 def test_parser_total_on_junk_after_signature(tail):
     """Truncated/garbage bytes after any container signature must degrade to
     'corrupt', never raise."""
-    for sig in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF"):
+    for sig in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF",
+                b"GIF89a", b"\x00\x00\x00\x14ftyp"):
         meta = containers.decode_container(sig + tail)
-        assert meta["fmt"] in ("png", "jpeg", "wav", "corrupt")
+        assert meta["fmt"] in ("png", "jpeg", "wav", "gif", "mp4", "corrupt")

@@ -67,10 +67,50 @@ def test_repetition_score_bounds(spark):
         assert r.n_distinct <= r.n_words
 
 
+def test_url_dedup_canonicalizes_all_wire_forms(spark):
+    rows = corpusops.q_url_dedup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every messy artifact is stripped from the canonical form
+        assert "#" not in r.canon_url
+        assert "utm_" not in r.canon_url and "fbclid" not in r.canon_url
+        assert "WWW" not in r.canon_url and ":443" not in r.canon_url
+        assert not r.canon_url.endswith("/")
+        assert r.canon_url.startswith("https://")
+        # meaningful query params survive the tracking-param filter
+        if r.doc_id % 4 == 0:
+            assert r.canon_url.endswith("?q=1")
+    # the fixture forces collisions: dedup must actually drop rows
+    canon = {}
+    for r in rows:
+        canon.setdefault(r.canon_url, []).append(r)
+    assert any(len(v) > 1 for v in canon.values())
+    for group in canon.values():
+        keepers = [r for r in group if r.is_canonical == 1]
+        assert len(keepers) == 1
+        assert keepers[0].doc_id == min(r.doc_id for r in group)
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    rows = corpusops.q_stratified_sample(spark, SF).collect()
+    again = corpusops.q_stratified_sample(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # no RNG state
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.bucket < 100
+        assert r.kept == (1 if r.bucket < r.rate else 0)
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, group in by_lang.items():
+        expected = corpusops.STRATUM_RATES.get(lang, corpusops.DEFAULT_RATE)
+        assert all(r.rate == expected for r in group)
+
+
 def test_module_stays_jvm_side(spark):
     for q in (
         corpusops.q_domain_cap,
         corpusops.q_span_dup_fraction,
         corpusops.q_repetition_score,
+        corpusops.q_url_dedup,
+        corpusops.q_stratified_sample,
     ):
         assert "BatchEvalPython" not in plan_of(q(spark, SF))
