@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": corpusops.q_filter_funnel,
         "url_dedup": corpusops.q_url_dedup,
         "stratified_sample": corpusops.q_stratified_sample,
+        "dup_span_extract": corpusops.q_dup_span_extract,
+        "ccnet_perplexity": corpusops.q_ccnet_perplexity,
         # multimodal plumbing
         "multimodal_meta": multimodal.q_multimodal_meta,
         "multimodal_framesample": multimodal.q_multimodal_framesample,
@@ -190,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": corpusops.SQL_FILTER_FUNNEL,
         "url_dedup": corpusops.SQL_URL_DEDUP,
         "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
+        "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,
+        "ccnet_perplexity": corpusops.SQL_CCNET_PERPLEXITY,
         "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
         "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,

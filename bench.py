@@ -130,6 +130,12 @@ def main():
         "extract_docs_per_sec": round(n_docs_extracted / extract_sec, 1) if extract_sec else None,
         "cpus": cpus,
         "protocol": f"best_of_{TRIALS}_per_query_single_session",
+        "notes": (
+            "extract_pdf covers the round-3 hardened corpus (Type0/Identity-H "
+            "and /Differences font variants, AES-128-encrypted docs) - r1/r2 "
+            "rounds timed a plain-font unencrypted corpus, so extract_pdf and "
+            "extract_docs_per_sec are not comparable across those rounds"
+        ),
     }
     print(json.dumps(result))
     spark.stop()

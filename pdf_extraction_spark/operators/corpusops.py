@@ -585,3 +585,167 @@ SELECT doc_id, lang,
             < CASE lang {_RATE_SQL} ELSE {DEFAULT_RATE} END AS INT) AS kept
 FROM documents
 """
+
+
+# -- maximal duplicated-span extraction -------------------------------------------------
+
+DUPSPAN_OFFSET = 5_000_000  # clone ids (same construction as span_dup_fraction)
+
+
+def _word_ngrams_pos(docs: DataFrame, n: int) -> DataFrame:
+    """Like :func:`_word_ngrams` but keeps the 1-indexed word position."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", *[F.try_element_at("w", F.col("i") + j) for j in range(n)]
+            ).alias("gram"),
+        )
+    )
+
+
+def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span extraction — the actionable form of exact
+    substring dedup (Lee et al. 2021's "dedup the span, not the doc",
+    re-expressed relationally): every word 5-gram occurring in more than one
+    document marks its positions; runs of consecutive marked positions merge
+    into maximal spans ``[span_start, span_end]`` (word-indexed, 1-based)
+    via a gaps-and-islands window. Downstream, these spans are what a
+    curation pass actually cuts.
+
+    Scale shape: two gram-hash-keyed shuffles (both map-side combinable) +
+    one per-doc window — same budget as ``span_dup_fraction``; the islands
+    window is keyed by doc_id so no corpus-wide hot key exists."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUPSPAN_OFFSET).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionAll(clones)
+    grams = _word_ngrams_pos(all_docs, SPAN_N).select(
+        "doc_id", "i", F.xxhash64("gram").alias("gh")
+    )
+    gram_docs = (
+        grams.select("doc_id", "gh").distinct()
+        .groupBy("gh").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    marked = grams.join(gram_docs, "gh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = marked.withColumn(
+        "island", F.col("i") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + (SPAN_N - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_words"),
+        )
+    )
+
+
+SQL_DUP_SPAN_EXTRACT = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUPSPAN_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+grams AS (
+  SELECT doc_id, i, {" || ' ' || ".join(f"w[i+{j}]" for j in range(SPAN_N))} AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_N - 1})) AS i)
+  WHERE len(w) >= {SPAN_N}
+),
+gram_docs AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram HAVING count(*) > 1
+),
+marked AS (
+  SELECT g.doc_id, g.i FROM grams g JOIN gram_docs d USING (gram)
+),
+islands AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + {SPAN_N - 1} AS BIGINT) AS span_end,
+       CAST(max(i) + {SPAN_N - 1} - min(i) + 1 AS BIGINT) AS n_words
+FROM islands GROUP BY doc_id, island
+"""
+
+
+# -- CCNet-style unigram log-prob quality scoring ---------------------------------------
+
+
+def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, with the LM built from
+    the corpus itself: unigram probabilities ``p(w) = count(w) / total``
+    over the whole corpus, and each document scored by its mean negative
+    log-probability (low = fluent/common text, high = rare/garbled). CCNet
+    buckets Common Crawl into head/middle/tail thirds by exactly this kind
+    of score; the bucket thresholds here are fixed nats so the output is
+    deterministic.
+
+    Scale shape: one word-keyed groupBy (map-side combinable) builds the
+    LM; at 100 TB you'd broadcast a *fixed* pretrained LM instead — the
+    per-doc scoring join is the same either way. The corpus-LM variant here
+    shuffles words twice; no hot key beyond natural word skew, which the
+    partial aggregation absorbs."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "nll",
+        F.when(F.col("nll") < 6.0, "head")
+        .when(F.col("nll") < 7.0, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+SQL_CCNET_PERPLEXITY = """
+WITH words AS (
+  SELECT doc_id, t.word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(w) AS word) t
+  WHERE t.word <> ''
+),
+freq AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+total AS (SELECT sum(c) AS total FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(-ln(c / CAST(total AS DOUBLE))), 4) AS nll,
+       CASE WHEN round(avg(-ln(c / CAST(total AS DOUBLE))), 4) < 6.0 THEN 'head'
+            WHEN round(avg(-ln(c / CAST(total AS DOUBLE))), 4) < 7.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM words JOIN freq USING (word) CROSS JOIN total
+GROUP BY doc_id
+"""

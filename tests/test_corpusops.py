@@ -105,6 +105,44 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
         assert all(r.rate == expected for r in group)
 
 
+def test_dup_span_extract_clone_spans_cover_whole_doc(spark):
+    rows = corpusops.q_dup_span_extract(spark, SF).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_start >= 1
+        assert r.span_end >= r.span_start + (corpusops.SPAN_N - 1)
+        assert r.n_words == r.span_end - r.span_start + 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # a cloned doc is duplicated wall-to-wall: exactly one maximal span
+    # starting at word 1, and its islands never overlap
+    clone_ids = [i for i in by_doc if i >= corpusops.DUPSPAN_OFFSET]
+    assert clone_ids
+    for cid in clone_ids:
+        spans = sorted(by_doc[cid], key=lambda r: r.span_start)
+        assert spans[0].span_start == 1
+        assert by_doc[cid - corpusops.DUPSPAN_OFFSET]  # original marked too
+    for spans in by_doc.values():
+        spans = sorted(spans, key=lambda r: r.span_start)
+        for a, b in zip(spans, spans[1:]):
+            assert b.span_start > a.span_start  # islands are disjoint starts
+
+
+def test_ccnet_perplexity_orders_fluency(spark):
+    rows = corpusops.q_ccnet_perplexity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words > 0
+        assert r.nll > 0
+        assert r.bucket in ("head", "middle", "tail")
+        if r.nll < 6.0:
+            assert r.bucket == "head"
+        elif r.nll < 7.0:
+            assert r.bucket == "middle"
+        else:
+            assert r.bucket == "tail"
+
+
 def test_module_stays_jvm_side(spark):
     for q in (
         corpusops.q_domain_cap,
@@ -112,5 +150,7 @@ def test_module_stays_jvm_side(spark):
         corpusops.q_repetition_score,
         corpusops.q_url_dedup,
         corpusops.q_stratified_sample,
+        corpusops.q_dup_span_extract,
+        corpusops.q_ccnet_perplexity,
     ):
         assert "BatchEvalPython" not in plan_of(q(spark, SF))
