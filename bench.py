@@ -71,10 +71,11 @@ def main():
     n_docs_extracted = 0
 
     # The sandbox host carries up to 2.5x run-to-run scheduling noise
-    # (BASELINE.md); each query is executed TRIALS times in this one session
-    # and the fastest execution is reported — capability measurement, with
-    # the protocol declared in the output line.
-    TRIALS = 2
+    # (BASELINE.md), and the first execution additionally pays Python-worker
+    # warmup; each query is executed TRIALS times in this one session and the
+    # fastest execution is reported — capability measurement, with the
+    # protocol declared in the output line.
+    TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
     def timed(name, fn):
         best = None
