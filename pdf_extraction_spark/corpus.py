@@ -111,12 +111,19 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
         if is_pdf:
             body_text = " ".join(paras)
             variant = i % 8
+            # every 4th PDF swaps space glyphs for TJ kern-offset word gaps
+            # (justified/subset-font layout); orthogonal to the variants
+            kern = i % 4 == 0
             if variant == 0:
-                payload = pdf_write.build_pdf(body_text, title=title)
+                payload = pdf_write.build_pdf(body_text, title=title, tj_kerning=kern)
             elif variant == 1:
-                payload = pdf_write.build_pdf(body_text, columns=2, title=title)
+                payload = pdf_write.build_pdf(
+                    body_text, columns=2, title=title, tj_kerning=kern
+                )
             elif variant == 2:
-                payload = pdf_write.build_pdf(body_text, compress=True, xref_stream=True)
+                payload = pdf_write.build_pdf(
+                    body_text, compress=True, xref_stream=True, tj_kerning=kern
+                )
             elif variant == 3:
                 payload = pdf_write.build_pdf(
                     "", table_rows=[["name", "value"], ["alpha", "one"], ["beta", "two"]]
@@ -124,14 +131,18 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             elif variant == 4:
                 # subset-font emulation: Identity-H glyph codes + ToUnicode
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, compress=True, encoding="type0"
+                    body_text, title=title, compress=True, encoding="type0",
+                    tj_kerning=kern,
                 )
             elif variant == 5:
-                payload = pdf_write.build_pdf(body_text, title=title, encoding="differences")
+                payload = pdf_write.build_pdf(
+                    body_text, title=title, encoding="differences", tj_kerning=kern
+                )
             elif variant == 6:
                 # standard security handler, empty user password (AES-128)
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, compress=True, encrypt="aes-128"
+                    body_text, title=title, compress=True, encrypt="aes-128",
+                    tj_kerning=kern,
                 )
             else:
                 payload = pdf_write.build_truncated_pdf(body_text)
@@ -225,7 +236,8 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                 out.append(
                     pdf_write.build_pdf(t, columns=cols, compress=compress,
                                         xref_stream=(i % 5 == 0),
-                                        encoding=encoding, encrypt=encrypt)
+                                        encoding=encoding, encrypt=encrypt,
+                                        tj_kerning=(i % 17 == 0))
                 )
             return pd.Series(out)
 

@@ -40,6 +40,11 @@ _DIGIT_RUN = re.compile(rb"[0-9]+")
 _NAME_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _INLINE_EI = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
+# TJ kern offsets (glyph-space thousandths) at or past this magnitude read
+# back as one space: a typical space advance is ~250/1000 em, so 180 sits
+# safely between justification micro-kerns (|v| < ~100) and word gaps.
+KERN_SPACE_TJ = 180.0
+
 
 def _pdf_text(b: bytes) -> str:
     """PDF text-string decode: UTF-16 by BOM (the spec's Unicode form for
@@ -889,7 +894,18 @@ def _interpret_content(
                     runs.append((tx, ty, size, txt))
                     tx += 0.5 * size * len(txt)  # crude advance estimate
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
-                parts = [_show(s) for s in stack[-1] if isinstance(s, bytes)]
+                parts = []
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        parts.append(_show(el))
+                    elif (
+                        isinstance(el, (int, float))
+                        and float(el) <= -KERN_SPACE_TJ
+                    ):
+                        # a kern past the space-width threshold is a word gap
+                        # the producer chose not to spend a space glyph on
+                        # (justified text, subset fonts with no space glyph)
+                        parts.append(" ")
                 txt = "".join(parts)
                 if txt:
                     runs.append((tx, ty, size, txt))

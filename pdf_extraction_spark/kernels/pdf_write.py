@@ -46,6 +46,33 @@ def _enc_literal(s: str) -> str:
     return "(" + _esc(s) + ")"
 
 
+def _show_plain(enc):
+    """Show-op builder: one string token + ``Tj``."""
+    return lambda s: enc(s) + " Tj"
+
+
+def _show_kerned(enc):
+    """Show-op builder for the kerned-word layout real producers emit for
+    justified text (and subset fonts whose space glyph was never embedded):
+    words go into one ``TJ`` array separated by negative kern offsets in
+    glyph-space thousandths — the space character never appears in any
+    string token. The parser must read each qualifying kern back as exactly
+    one space (pdf_extract.KERN_SPACE_TJ)."""
+
+    def show(s: str) -> str:
+        words = s.split(" ")
+        if len(words) < 2:
+            return enc(s) + " Tj"
+        parts = [enc(words[0])]
+        for w in words[1:]:
+            # -250..-350: all past the space threshold, deterministic mix
+            parts.append("%d" % -(250 + (len(w) % 3) * 50))
+            parts.append(enc(w))
+        return "[" + " ".join(parts) + "] TJ"
+
+    return show
+
+
 class _Type0Encoder:
     """Subset-font emulation (the layout most modern producers emit): every
     distinct character gets a 2-byte glyph code in first-seen-sorted order,
@@ -208,27 +235,29 @@ def wrap_words(text: str, width: int) -> list[str]:
     return lines
 
 
-def _content_single(lines: list[str], title: str | None, enc=_enc_literal) -> list[str]:
+def _content_single(lines: list[str], title: str | None, show=None) -> list[str]:
+    show = show or _show_plain(_enc_literal)
     """One content stream per page, single column top-down."""
     pages: list[str] = []
     ops: list[str] = []
     y = PAGE_H - MARGIN
     if title is not None:
-        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (TITLE_SIZE, MARGIN, y, enc(title)))
+        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (TITLE_SIZE, MARGIN, y, show(title)))
         y -= 2 * LEADING
     for ln in lines:
         if y < MARGIN:
             pages.append("\n".join(ops))
             ops = []
             y = PAGE_H - MARGIN
-        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, MARGIN, y, enc(ln)))
+        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, MARGIN, y, show(ln)))
         y -= LEADING
     if ops:
         pages.append("\n".join(ops))
     return pages
 
 
-def _content_two_col(lines: list[str], title: str | None, enc=_enc_literal) -> list[str]:
+def _content_two_col(lines: list[str], title: str | None, show=None) -> list[str]:
+    show = show or _show_plain(_enc_literal)
     """Two columns per page: fill left column top-down, then right."""
     pages: list[str] = []
     i = 0
@@ -237,20 +266,21 @@ def _content_two_col(lines: list[str], title: str | None, enc=_enc_literal) -> l
         ops: list[str] = []
         top = PAGE_H - MARGIN
         if first and title is not None:
-            ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (TITLE_SIZE, MARGIN, top, enc(title)))
+            ops.append("BT /F1 %g Tf %g %g Td %s ET" % (TITLE_SIZE, MARGIN, top, show(title)))
             top -= 2 * LEADING
         first = False
         for x in (MARGIN, COL2_X):
             y = top
             while i < len(lines) and y >= MARGIN:
-                ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, x, y, enc(lines[i])))
+                ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, x, y, show(lines[i])))
                 y -= LEADING
                 i += 1
         pages.append("\n".join(ops))
     return pages
 
 
-def _content_table(rows: list[list[str]], enc=_enc_literal) -> str:
+def _content_table(rows: list[list[str]], show=None) -> str:
+    show = show or _show_plain(_enc_literal)
     """A ruled grid (lines + rects, as in pdf_vector_utils.py:38-90) with
     cell text — exercises the parser's grid detection."""
     nrows, ncols = len(rows), max(len(r) for r in rows)
@@ -268,7 +298,7 @@ def _content_table(rows: list[list[str]], enc=_enc_literal) -> str:
         for c, cell in enumerate(row):
             tx = x0 + c * cw + 4
             ty = y1 - r * rh - 16
-            ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, tx, ty, enc(cell)))
+            ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, tx, ty, show(cell)))
     return "\n".join(ops)
 
 
@@ -422,13 +452,14 @@ FIG_X, FIG_Y, FIG_W, FIG_H = 380.0, 560.0, 160.0, 100.0
 
 def _content_extras(
     header: str | None, footer: str | None, caption: str | None,
-    figure: bool, table_rows: list[list[str]] | None, enc=_enc_literal,
+    figure: bool, table_rows: list[list[str]] | None, show=None,
 ) -> list[str]:
+    show = show or _show_plain(_enc_literal)
     ops: list[str] = []
     if header:
-        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, MARGIN, HEADER_Y, enc(header)))
+        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, MARGIN, HEADER_Y, show(header)))
     if footer:
-        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, MARGIN, FOOTER_Y, enc(footer)))
+        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, MARGIN, FOOTER_Y, show(footer)))
     if figure:
         ops.append("q %g 0 0 %g %g %g cm /Im1 Do Q" % (FIG_W, FIG_H, FIG_X, FIG_Y))
     if caption:
@@ -438,7 +469,7 @@ def _content_extras(
             cx, cy = MARGIN, (PAGE_H - MARGIN) - len(table_rows) * 24.0 - 15.0
         else:
             cx, cy = MARGIN, FIG_Y - 15.0
-        ops.append("BT /F1 %g Tf %g %g Td %s Tj ET" % (BODY_SIZE, cx, cy, enc(caption)))
+        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, cx, cy, show(caption)))
     return ops
 
 
@@ -459,6 +490,7 @@ def build_pdf(
     references: list[str] | None = None,
     encoding: str = "simple",
     encrypt: str | None = None,
+    tj_kerning: bool = False,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -480,6 +512,10 @@ def build_pdf(
 
     ``encrypt`` applies the standard security handler with EMPTY user/owner
     passwords: ``rc4-40``, ``rc4-128``, or ``aes-128`` (VERDICT r2 item 6).
+
+    ``tj_kerning`` emits every multi-word line as a ``TJ`` array whose word
+    gaps are negative kern offsets instead of space glyphs (justified /
+    space-glyph-less subset-font layout); composes with every ``encoding``.
     """
     body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
     if list_items:
@@ -509,13 +545,14 @@ def build_pdf(
                 encoder = _Type0Encoder(charset)
         enc = encoder.show
         make_font = encoder.font_objects
+    show = _show_kerned(enc) if tj_kerning else _show_plain(enc)
     if table_rows is not None:
-        pages = [_content_table(table_rows, enc)]
+        pages = [_content_table(table_rows, show)]
     elif columns == 2:
-        pages = _content_two_col(body, title, enc)
+        pages = _content_two_col(body, title, show)
     else:
-        pages = _content_single(body, title, enc)
-    extras = _content_extras(header, footer, caption, figure, table_rows, enc)
+        pages = _content_single(body, title, show)
+    extras = _content_extras(header, footer, caption, figure, table_rows, show)
     if extras:
         if not pages:
             pages = [""]

@@ -424,3 +424,42 @@ def test_differences_falls_back_to_type0_on_rich_charset():
     pdf = build_pdf(text, encoding="differences")
     out = extract_pdf(pdf)
     assert out["error"] is None and out["text"] == text
+
+
+def test_tj_kerning_word_gaps_roundtrip():
+    """Kerned-word layout (word gaps as negative TJ offsets, no space
+    glyphs anywhere) roundtrips byte-identically across every encoding,
+    column count, and the encrypted variant."""
+    text = ("kerning exercises word gap reconstruction without space glyphs "
+            * 5).strip() + " — naïve café"
+    for encoding in ("simple", "type0", "differences"):
+        for columns in (1, 2):
+            for title in (None, "Kerned Title"):
+                pdf = build_pdf(text, columns=columns, title=title,
+                                encoding=encoding, tj_kerning=True)
+                out = extract_pdf(pdf)
+                want = text if title is None else title + "\n\n" + text
+                assert out["error"] is None
+                assert out["text"] == want
+    enc = extract_pdf(build_pdf(text, encoding="type0", compress=True,
+                                encrypt="aes-128", tj_kerning=True))
+    assert enc["error"] is None and enc["text"] == text
+
+
+def test_tj_kern_threshold_separates_kerning_from_word_gaps():
+    """Micro-kerns (|v| < KERN_SPACE_TJ) must NOT become spaces; word-gap
+    kerns must become exactly one space each."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        KERN_SPACE_TJ,
+        _interpret_content,
+    )
+
+    runs, *_ = _interpret_content(
+        b"BT /F1 10 Tf 72 700 Td [(Hel) -30 (lo) -300 (world) -179.9 (!)] TJ ET"
+    )
+    assert runs[0][3] == "Hello world!"
+    runs, *_ = _interpret_content(
+        b"BT /F1 10 Tf 72 700 Td [(a) %d (b) %d (c)] TJ ET"
+        % (-int(KERN_SPACE_TJ), -1000)
+    )
+    assert runs[0][3] == "a b c"
