@@ -112,17 +112,22 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             body_text = " ".join(paras)
             variant = i % 8
             # every 4th PDF swaps space glyphs for TJ kern-offset word gaps
-            # (justified/subset-font layout); orthogonal to the variants
+            # (justified/subset-font layout); every 5th is a scanned-style
+            # /Rotate page; both orthogonal to the variants
             kern = i % 4 == 0
+            rot = (90, 180, 270)[i % 3] if i % 5 == 0 else 0
             if variant == 0:
-                payload = pdf_write.build_pdf(body_text, title=title, tj_kerning=kern)
+                payload = pdf_write.build_pdf(
+                    body_text, title=title, tj_kerning=kern, rotate=rot
+                )
             elif variant == 1:
                 payload = pdf_write.build_pdf(
-                    body_text, columns=2, title=title, tj_kerning=kern
+                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot
                 )
             elif variant == 2:
                 payload = pdf_write.build_pdf(
-                    body_text, compress=True, xref_stream=True, tj_kerning=kern
+                    body_text, compress=True, xref_stream=True, tj_kerning=kern,
+                    rotate=rot,
                 )
             elif variant == 3:
                 payload = pdf_write.build_pdf(
@@ -132,17 +137,18 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                 # subset-font emulation: Identity-H glyph codes + ToUnicode
                 payload = pdf_write.build_pdf(
                     body_text, title=title, compress=True, encoding="type0",
-                    tj_kerning=kern,
+                    tj_kerning=kern, rotate=rot,
                 )
             elif variant == 5:
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, encoding="differences", tj_kerning=kern
+                    body_text, title=title, encoding="differences", tj_kerning=kern,
+                    rotate=rot,
                 )
             elif variant == 6:
                 # standard security handler, empty user password (AES-128)
                 payload = pdf_write.build_pdf(
                     body_text, title=title, compress=True, encrypt="aes-128",
-                    tj_kerning=kern,
+                    tj_kerning=kern, rotate=rot,
                 )
             else:
                 payload = pdf_write.build_truncated_pdf(body_text)
@@ -237,7 +243,9 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                     pdf_write.build_pdf(t, columns=cols, compress=compress,
                                         xref_stream=(i % 5 == 0),
                                         encoding=encoding, encrypt=encrypt,
-                                        tj_kerning=(i % 17 == 0))
+                                        tj_kerning=(i % 17 == 0),
+                                        rotate=(90, 180, 270)[i % 3]
+                                        if i % 19 == 0 else 0)
                 )
             return pd.Series(out)
 

@@ -26,6 +26,7 @@ Element typing rules carried from the reference:
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -781,12 +782,30 @@ class _Doc:
             pass
         return out
 
+    def page_attr(self, page: dict, name: str):
+        """Resolve an inheritable page attribute (/MediaBox, /Rotate,
+        /Resources): the page dict itself, then up the /Parent chain."""
+        node, depth = page, 0
+        while isinstance(node, dict) and depth < 64:
+            if name in node:
+                return self.resolve(node[name])
+            node = self.resolve(node.get("Parent"))
+            depth += 1
+        return None
+
     def page_size(self, page: dict) -> tuple[float, float]:
-        box = self.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+        box = self.page_attr(page, "MediaBox") or [0, 0, 612, 792]
         try:
             return float(box[2]) - float(box[0]), float(box[3]) - float(box[1])
         except Exception:
             return 612.0, 792.0
+
+    def page_rotate(self, page: dict) -> int:
+        """Inheritable /Rotate, normalized to one of 0/90/180/270."""
+        try:
+            return int(self.page_attr(page, "Rotate") or 0) % 360 // 90 * 90
+        except Exception:
+            return 0
 
 
 # -- content-stream interpretation ---------------------------------------------
@@ -804,6 +823,43 @@ def _mat_mult(m, ctm):
         e * A + f * C + E,
         e * B + f * D + F_,
     )
+
+
+def _normalize_rotation(rotate, pw, ph, runs, hl, vl, rects, images):
+    """Map content-space geometry into display space for a /Rotate page so
+    downstream layout (line grouping, columns, bands, grids) always works
+    on upright coordinates. Returns (pw, ph, runs, hl, vl, rects, images)
+    with page dims swapped for the 90/270 cases; 90 = clockwise display
+    rotation per the spec, so content (x, y) lands at display (y, pw - x).
+    Under 90/270 horizontal rules become vertical ones and vice versa."""
+    if rotate == 90:
+        pt = lambda x, y, _w=pw: (y, _w - x)
+    elif rotate == 180:
+        pt = lambda x, y, _w=pw, _h=ph: (_w - x, _h - y)
+    elif rotate == 270:
+        pt = lambda x, y, _h=ph: (_h - y, x)
+    else:
+        return pw, ph, runs, hl, vl, rects, images
+
+    def seg(x0, y0, x1, y1):
+        ax, ay = pt(x0, y0)
+        bx, by = pt(x1, y1)
+        return (min(ax, bx), min(ay, by), max(ax, bx), max(ay, by))
+
+    runs = [(*pt(x, y), size, txt) for x, y, size, txt in runs]
+    segs_h = [seg(*s) for s in hl]
+    segs_v = [seg(*s) for s in vl]
+    if rotate in (90, 270):
+        hl, vl = segs_v, segs_h
+        pw, ph = ph, pw
+    else:
+        hl, vl = segs_h, segs_v
+    rects = [
+        (bx0, by0, bx1 - bx0, by1 - by0)
+        for bx0, by0, bx1, by1 in (seg(x, y, x + w, y + h) for x, y, w, h in rects)
+    ]
+    images = [seg(*b) for b in images]
+    return pw, ph, runs, hl, vl, rects, images
 
 
 def _interpret_content(
@@ -833,8 +889,9 @@ def _interpret_content(
     images: list[tuple] = []
     lex = _Lexer(content, 0)
     stack: list = []
-    tx = ty = 0.0
-    lx = ly = 0.0  # text line start (for T*, ', ")
+    _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    tlm = _ID  # text line matrix (start of current line)
+    tm = _ID   # text matrix (current show position)
     size = 0.0
     leading = 0.0
     fonts = fonts or {}
@@ -842,6 +899,17 @@ def _interpret_content(
 
     def _show(b: bytes) -> str:
         return cur_font.decode(b) if cur_font is not None else _pdf_text(b)
+
+    def _emit(txt: str) -> None:
+        """Record a run at the device-space origin of the current text
+        matrix; effective size carries the matrix's vertical scale so a
+        Tm-scaled show keeps its visual size for layout decisions."""
+        nonlocal tm
+        trm = _mat_mult(tm, ctm)
+        eff = size * math.hypot(trm[2], trm[3])
+        runs.append((trm[4], trm[5], eff, txt))
+        # crude advance estimate, applied in text space
+        tm = _mat_mult((1.0, 0.0, 0.0, 1.0, 0.5 * size * len(txt), 0.0), tm)
     cur_pt = None
     path_start = None
     ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -872,27 +940,32 @@ def _interpret_content(
                 if isinstance(stack[-2], _Name):
                     cur_font = fonts.get(str(stack[-2]))
             elif op == b"Td" and len(stack) >= 2:
-                lx, ly = lx + float(stack[-2]), ly + float(stack[-1])
-                tx, ty = lx, ly
+                tlm = _mat_mult(
+                    (1.0, 0.0, 0.0, 1.0, float(stack[-2]), float(stack[-1])), tlm
+                )
+                tm = tlm
             elif op == b"TD" and len(stack) >= 2:
                 leading = -float(stack[-1])
-                lx, ly = lx + float(stack[-2]), ly + float(stack[-1])
-                tx, ty = lx, ly
+                tlm = _mat_mult(
+                    (1.0, 0.0, 0.0, 1.0, float(stack[-2]), float(stack[-1])), tlm
+                )
+                tm = tlm
             elif op == b"Tm" and len(stack) >= 6:
-                lx, ly = float(stack[-2]), float(stack[-1])
-                tx, ty = lx, ly
+                tlm = tm = tuple(float(v) for v in stack[-6:])
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
             elif op == b"T*":
-                ly -= leading if leading else size * 1.2
-                tx, ty = lx, ly
+                tlm = _mat_mult(
+                    (1.0, 0.0, 0.0, 1.0, 0.0, -(leading if leading else size * 1.2)),
+                    tlm,
+                )
+                tm = tlm
             elif op == b"BT":
-                tx = ty = lx = ly = 0.0
+                tlm = tm = _ID
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 txt = _show(stack[-1])
                 if txt:
-                    runs.append((tx, ty, size, txt))
-                    tx += 0.5 * size * len(txt)  # crude advance estimate
+                    _emit(txt)
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 parts = []
                 for el in stack[-1]:
@@ -908,14 +981,16 @@ def _interpret_content(
                         parts.append(" ")
                 txt = "".join(parts)
                 if txt:
-                    runs.append((tx, ty, size, txt))
-                    tx += 0.5 * size * len(txt)
+                    _emit(txt)
             elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
-                ly -= leading if leading else size * 1.2
-                tx, ty = lx, ly
+                tlm = _mat_mult(
+                    (1.0, 0.0, 0.0, 1.0, 0.0, -(leading if leading else size * 1.2)),
+                    tlm,
+                )
+                tm = tlm
                 txt = _show(stack[-1])
                 if txt:
-                    runs.append((tx, ty, size, txt))
+                    _emit(txt)
             elif op == b"m" and len(stack) >= 2:
                 cur_pt = (float(stack[-2]), float(stack[-1]))
                 path_start = cur_pt
@@ -1085,6 +1160,12 @@ def extract_table_cells(payload: bytes) -> list[dict]:
             runs, hl, vl, rects, _ = _interpret_content(
                 content, fonts=doc.page_fonts(page)
             )
+            rot = doc.page_rotate(page)
+            if rot:
+                pw, ph = doc.page_size(page)
+                _, _, runs, hl, vl, rects, _img = _normalize_rotation(
+                    rot, pw, ph, runs, hl, vl, rects, []
+                )
             for gx0, gy0, gx1, gy1 in _grid_regions(hl, vl):
                 row_bounds = _cluster_coords(
                     [h[1] for h in hl if gy0 - 1 <= h[1] <= gy1 + 1]
@@ -1216,6 +1297,11 @@ def extract_pdf(payload: bytes) -> dict:
             runs, hl, vl, rects, images = _interpret_content(
                 content, doc.page_image_names(page), fonts=doc.page_fonts(page)
             )
+            rot = doc.page_rotate(page)
+            if rot:
+                pw, ph, runs, hl, vl, rects, images = _normalize_rotation(
+                    rot, pw, ph, runs, hl, vl, rects, images
+                )
             if not runs and not images:
                 continue
             grids = _grid_regions(hl, vl)

@@ -13,6 +13,7 @@ This replaces the reference pipeline's dependence on ad-hoc local PDFs
 
 from __future__ import annotations
 
+import re
 import zlib
 
 PAGE_W = 612.0
@@ -71,6 +72,48 @@ def _show_kerned(enc):
         return "[" + " ".join(parts) + "] TJ"
 
     return show
+
+
+# display->content affine inverses for the /Rotate fixture variants; the
+# content MediaBox is landscape (PAGE_H x PAGE_W) for 90/270 so the page
+# DISPLAYS as the standard portrait layout after rotation
+_ROT_INV = {
+    90: (0.0, 1.0, -1.0, 0.0, PAGE_H, 0.0),
+    180: (-1.0, 0.0, 0.0, -1.0, PAGE_W, PAGE_H),
+    270: (0.0, -1.0, 1.0, 0.0, 0.0, PAGE_W),
+}
+_TD_OP = re.compile(r"Tf ([\d.]+) ([\d.]+) Td")
+_ML_OP = re.compile(r"([\d.]+) ([\d.]+) (m|l)\b")
+_CM_OP = re.compile(r"q ([\d.]+) 0 0 ([\d.]+) ([\d.]+) ([\d.]+) cm")
+
+
+def _rotate_page_ops(page_ops: str, rotate: int) -> str:
+    """Re-express display-space content ops in the rotated content space of
+    a /Rotate page: Td translations become full rotation Tm matrices, path
+    points and image placement CTMs are mapped through the same inverse."""
+    a, b, c, d, e, f = _ROT_INV[rotate]
+
+    def pt(x: float, y: float) -> tuple[float, float]:
+        return a * x + c * y + e, b * x + d * y + f
+
+    def td(m: re.Match) -> str:
+        x, y = pt(float(m.group(1)), float(m.group(2)))
+        return "Tf %g %g %g %g %g %g Tm" % (a, b, c, d, x, y)
+
+    def ml(m: re.Match) -> str:
+        x, y = pt(float(m.group(1)), float(m.group(2)))
+        return "%g %g %s" % (x, y, m.group(3))
+
+    def cm(m: re.Match) -> str:
+        sx, sy = float(m.group(1)), float(m.group(2))
+        ex, ey = float(m.group(3)), float(m.group(4))
+        ca, cb, cc, cd = sx * a, sx * b, sy * c, sy * d
+        cex, cey = pt(ex, ey)
+        return "q %g %g %g %g %g %g cm" % (ca, cb, cc, cd, cex, cey)
+
+    out = _TD_OP.sub(td, page_ops)
+    out = _CM_OP.sub(cm, out)
+    return _ML_OP.sub(ml, out)
 
 
 class _Type0Encoder:
@@ -305,7 +348,7 @@ def _content_table(rows: list[list[str]], show=None) -> str:
 def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
     with_image: bool = False, objstm: bool = False, make_font=None,
-    encryptor=None,
+    encryptor=None, rotate: int = 0,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -319,7 +362,17 @@ def _assemble(
     objs: dict[int, bytes] = {}
     kids = " ".join("%d 0 R" % (4 + 2 * i) for i in range(npages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[2] = ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, npages)).encode()
+    if rotate:
+        # inheritable attributes live on the Pages NODE, not the page dicts
+        # (exercises the parser's /Parent-chain attribute walk); 90/270
+        # content boxes are landscape so the page displays portrait
+        bw, bh = (PAGE_H, PAGE_W) if rotate in (90, 270) else (PAGE_W, PAGE_H)
+        objs[2] = (
+            "<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %g %g] "
+            "/Rotate %d >>" % (kids, npages, bw, bh, rotate)
+        ).encode()
+    else:
+        objs[2] = ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, npages)).encode()
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     img_num = 4 + 2 * npages
     if make_font is not None:
@@ -337,10 +390,11 @@ def _assemble(
         res_extra = " /XObject << /Im1 %d 0 R >>" % img_num
     for i, stream in enumerate(page_streams):
         pg, ct = 4 + 2 * i, 5 + 2 * i
+        mbox = "" if rotate else " /MediaBox [0 0 %g %g]" % (PAGE_W, PAGE_H)
         objs[pg] = (
-            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %g %g] "
+            "<< /Type /Page /Parent 2 0 R%s "
             "/Resources << /Font << /F1 3 0 R >>%s >> /Contents %d 0 R >>"
-            % (PAGE_W, PAGE_H, res_extra, ct)
+            % (mbox, res_extra, ct)
         ).encode()
         data = stream.encode("latin-1")
         if compress:
@@ -491,6 +545,7 @@ def build_pdf(
     encoding: str = "simple",
     encrypt: str | None = None,
     tj_kerning: bool = False,
+    rotate: int = 0,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -516,6 +571,11 @@ def build_pdf(
     ``tj_kerning`` emits every multi-word line as a ``TJ`` array whose word
     gaps are negative kern offsets instead of space glyphs (justified /
     space-glyph-less subset-font layout); composes with every ``encoding``.
+
+    ``rotate`` (90/180/270) writes a scanned-style rotated page: content in
+    the rotated coordinate frame (rotation Tm matrices, mapped path/cm ops)
+    with the inheritable /Rotate + /MediaBox on the Pages node, displaying —
+    and extracting — exactly like the unrotated document.
     """
     body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
     if list_items:
@@ -557,6 +617,8 @@ def build_pdf(
         if not pages:
             pages = [""]
         pages[0] = (pages[0] + "\n" if pages[0] else pages[0]) + "\n".join(extras)
+    if rotate:
+        pages = [_rotate_page_ops(pg, rotate) for pg in pages]
     encryptor = None
     if encrypt is not None:
         import hashlib
@@ -568,7 +630,7 @@ def build_pdf(
         encryptor = StandardEncryptor(encrypt, id0)
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
-        objstm=objstm, make_font=make_font, encryptor=encryptor,
+        objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
     )
 
 

@@ -463,3 +463,34 @@ def test_tj_kern_threshold_separates_kerning_from_word_gaps():
         % (-int(KERN_SPACE_TJ), -1000)
     )
     assert runs[0][3] == "a b c"
+
+
+def test_rotated_pages_extract_identically():
+    """/Rotate 90/180/270 pages (content in the rotated frame, inheritable
+    /Rotate + /MediaBox on the Pages node) must extract byte-identically to
+    the unrotated document, across layouts and encodings."""
+    text = ("rotated page reading order reconstruction check " * 8).strip()
+    for rot in (90, 180, 270):
+        for kwargs in ({}, {"columns": 2}, {"tj_kerning": True},
+                       {"compress": True, "encoding": "type0"},
+                       {"header": "Hdr", "footer": "Ftr"}):
+            base = extract_pdf(build_pdf(text, title="Rotated", **kwargs))
+            rotd = extract_pdf(build_pdf(text, title="Rotated", rotate=rot, **kwargs))
+            assert rotd["error"] is None
+            assert rotd["text"] == base["text"]
+            assert [s[0] for s in rotd["spans"]] == [s[0] for s in base["spans"]]
+
+
+def test_rotated_table_grid_detection():
+    """Grid detection and cell assignment survive rotation: the ruled lines
+    swap h/v under 90/270 and the cells come back in the same row-major
+    order."""
+    from pdf_extraction_spark.kernels.pdf_extract import extract_table_cells
+
+    rows = [["name", "value"], ["alpha", "one"], ["beta", "two"]]
+    base = extract_table_cells(build_pdf("", table_rows=rows))
+    for rot in (90, 180, 270):
+        got = extract_table_cells(build_pdf("", table_rows=rows, rotate=rot))
+        assert got and got[0]["n_rows"] == base[0]["n_rows"]
+        assert got[0]["n_cols"] == base[0]["n_cols"]
+        assert got[0]["cells"] == base[0]["cells"]
