@@ -113,21 +113,23 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             variant = i % 8
             # every 4th PDF swaps space glyphs for TJ kern-offset word gaps
             # (justified/subset-font layout); every 5th is a scanned-style
-            # /Rotate page; both orthogonal to the variants
+            # /Rotate page; every 6th paints through a Form XObject — all
+            # orthogonal to the variants
             kern = i % 4 == 0
             rot = (90, 180, 270)[i % 3] if i % 5 == 0 else 0
+            form = i % 6 == 0
             if variant == 0:
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, tj_kerning=kern, rotate=rot
+                    body_text, title=title, tj_kerning=kern, rotate=rot, form_xobject=form
                 )
             elif variant == 1:
                 payload = pdf_write.build_pdf(
-                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot
+                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot, form_xobject=form
                 )
             elif variant == 2:
                 payload = pdf_write.build_pdf(
                     body_text, compress=True, xref_stream=True, tj_kerning=kern,
-                    rotate=rot,
+                    rotate=rot, form_xobject=form,
                 )
             elif variant == 3:
                 payload = pdf_write.build_pdf(
@@ -137,18 +139,18 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                 # subset-font emulation: Identity-H glyph codes + ToUnicode
                 payload = pdf_write.build_pdf(
                     body_text, title=title, compress=True, encoding="type0",
-                    tj_kerning=kern, rotate=rot,
+                    tj_kerning=kern, rotate=rot, form_xobject=form,
                 )
             elif variant == 5:
                 payload = pdf_write.build_pdf(
                     body_text, title=title, encoding="differences", tj_kerning=kern,
-                    rotate=rot,
+                    rotate=rot, form_xobject=form,
                 )
             elif variant == 6:
                 # standard security handler, empty user password (AES-128)
                 payload = pdf_write.build_pdf(
                     body_text, title=title, compress=True, encrypt="aes-128",
-                    tj_kerning=kern, rotate=rot,
+                    tj_kerning=kern, rotate=rot, form_xobject=form,
                 )
             else:
                 payload = pdf_write.build_truncated_pdf(body_text)
@@ -245,7 +247,8 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                                         encoding=encoding, encrypt=encrypt,
                                         tj_kerning=(i % 17 == 0),
                                         rotate=(90, 180, 270)[i % 3]
-                                        if i % 19 == 0 else 0)
+                                        if i % 19 == 0 else 0,
+                                        form_xobject=(i % 23 == 0))
                 )
             return pd.Series(out)
 

@@ -46,6 +46,11 @@ _INLINE_EI = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 # safely between justification micro-kerns (|v| < ~100) and word gaps.
 KERN_SPACE_TJ = 180.0
 
+# Form-XObject nesting bound: real documents rarely nest past 2-3 levels;
+# the cap (with the object-number cycle guard) makes hostile self-
+# referential form graphs terminate instead of recursing.
+_FORM_MAX_DEPTH = 8
+
 
 def _pdf_text(b: bytes) -> str:
     """PDF text-string decode: UTF-16 by BOM (the spec's Unicode form for
@@ -734,23 +739,76 @@ class _Doc:
     def page_image_names(self, page: dict) -> frozenset:
         """Names of /Resources/XObject entries with /Subtype /Image — the
         lookup set for ``Do`` placements during content interpretation."""
-        try:
-            res = self.resolve(page.get("Resources")) or {}
-            xobjs = self.resolve(res.get("XObject")) or {}
-            names = set()
-            for name, ref in xobjs.items():
-                obj = self.resolve(ref)
-                if isinstance(obj, tuple) and obj[0] == "stream":
-                    obj = obj[1]
-                if isinstance(obj, dict) and str(obj.get("Subtype", "")) == "Image":
-                    names.add(str(name))
-            return frozenset(names)
-        except Exception:
-            return frozenset()
+        return self.page_paint(page)[0]
 
     def page_fonts(self, page: dict) -> dict:
-        """Map of /Resources/Font names → :class:`pdf_fonts.FontDecoder` for
-        fonts that need custom byte→text decoding (ToUnicode CMaps,
+        """Map of /Resources/Font names → :class:`pdf_fonts.FontDecoder`."""
+        return self.page_paint(page)[1]
+
+    def page_paint(self, page: dict) -> tuple:
+        """Painting context for a page: ``(image_names, fonts, forms)``.
+
+        ``forms`` maps /Resources/XObject names with /Subtype /Form to
+        ``{content, matrix, image_names, fonts, forms}`` — everything
+        :func:`_interpret_content` needs to execute the form's content
+        stream inline at a ``Do``, recursively (nested forms), with a
+        depth cap and object-number cycle guard. A form without its own
+        /Resources inherits the invoking context's (``None`` markers)."""
+        res = self.page_attr(page, "Resources")
+        return self._paint_from_res(res, frozenset(), 0)
+
+    def _paint_from_res(self, res, seen: frozenset, depth: int) -> tuple:
+        images: set = set()
+        forms: dict = {}
+        fonts = self._fonts_from_res(res)
+        try:
+            res = self.resolve(res) or {}
+            xobjs = self.resolve(res.get("XObject")) or {}
+            for name, ref in xobjs.items():
+                key = ref.num if isinstance(ref, _Ref) else id(ref)
+                obj = self.resolve(ref)
+                if not (isinstance(obj, tuple) and obj[0] == "stream"):
+                    continue
+                sdict = obj[1]
+                sub = str(sdict.get("Subtype", ""))
+                if sub == "Image":
+                    images.add(str(name))
+                elif sub == "Form" and depth < _FORM_MAX_DEPTH and key not in seen:
+                    try:
+                        content = _decode_stream(sdict, obj[2])
+                    except Exception:
+                        continue
+                    mat = self.resolve(sdict.get("Matrix"))
+                    try:
+                        matrix = (
+                            tuple(float(v) for v in mat)
+                            if isinstance(mat, list) and len(mat) == 6
+                            else None
+                        )
+                    except Exception:
+                        matrix = None
+                    fres = sdict.get("Resources")
+                    if fres is not None:
+                        fi, ff, fforms = self._paint_from_res(
+                            fres, seen | {key}, depth + 1
+                        )
+                    else:
+                        # inherit the invoking context's resources at run time
+                        fi = ff = fforms = None
+                    forms[str(name)] = {
+                        "content": content,
+                        "matrix": matrix,
+                        "image_names": fi,
+                        "fonts": ff,
+                        "forms": fforms,
+                    }
+        except Exception:
+            pass
+        return frozenset(images), fonts, forms
+
+    def _fonts_from_res(self, res) -> dict:
+        """Map of /Font names → :class:`pdf_fonts.FontDecoder` for fonts
+        that need custom byte→text decoding (ToUnicode CMaps,
         Type0/Identity-H, /Encoding /Differences). Fonts that decode fine
         through the legacy heuristic path are omitted. Decoders are cached
         per font object so a 500-page doc parses each CMap once."""
@@ -758,7 +816,7 @@ class _Doc:
 
         out: dict = {}
         try:
-            res = self.resolve(page.get("Resources")) or {}
+            res = self.resolve(res) or {}
             fonts = self.resolve(res.get("Font")) or {}
             if not isinstance(fonts, dict):
                 return out
@@ -809,6 +867,11 @@ class _Doc:
 
 
 # -- content-stream interpretation ---------------------------------------------
+
+
+def _apply(m, x: float, y: float) -> tuple:
+    """Map a point through an affine (a, b, c, d, e, f)."""
+    return m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5]
 
 
 def _mat_mult(m, ctm):
@@ -866,6 +929,10 @@ def _interpret_content(
     content: bytes,
     image_names: frozenset = frozenset(),
     fonts: dict | None = None,
+    forms: dict | None = None,
+    _ctm0: tuple | None = None,
+    _out: tuple | None = None,
+    _depth: int = 0,
 ):
     """Run a content stream; return (runs, hlines, vlines, rects, images).
 
@@ -881,12 +948,17 @@ def _interpret_content(
     ``Tf`` switches the active decoder and show-text operators route string
     bytes through it (subset-font glyph codes → Unicode). Fonts absent from
     the map use the legacy BOM/UTF-8/Latin-1 heuristic.
+
+    ``forms`` maps XObject names with /Subtype /Form to their painting
+    context (see :meth:`_Doc.page_paint`); a ``name Do`` on one executes
+    the form's content stream inline — its /Matrix composed into the CTM,
+    its own resources scoping the recursion (``None`` markers inherit the
+    invoking context's), all geometry landing in the shared output lists.
     """
-    runs: list[tuple] = []
-    hlines: list[tuple] = []
-    vlines: list[tuple] = []
-    rects: list[tuple] = []
-    images: list[tuple] = []
+    if _out is not None:
+        runs, hlines, vlines, rects, images = _out
+    else:
+        runs, hlines, vlines, rects, images = [], [], [], [], []
     lex = _Lexer(content, 0)
     stack: list = []
     _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -912,7 +984,8 @@ def _interpret_content(
         tm = _mat_mult((1.0, 0.0, 0.0, 1.0, 0.5 * size * len(txt), 0.0), tm)
     cur_pt = None
     path_start = None
-    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm = _ctm0 if _ctm0 is not None else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    forms = forms or {}
     gs_stack: list[tuple] = []
     n = len(content)
     while lex.p < n:
@@ -992,11 +1065,13 @@ def _interpret_content(
                 if txt:
                     _emit(txt)
             elif op == b"m" and len(stack) >= 2:
-                cur_pt = (float(stack[-2]), float(stack[-1]))
+                # path geometry is device-space: points go through the CTM
+                # (identity on a bare page; a form's /Matrix otherwise)
+                cur_pt = _apply(ctm, float(stack[-2]), float(stack[-1]))
                 path_start = cur_pt
             elif op == b"l" and len(stack) >= 2 and cur_pt is not None:
                 x0, y0 = cur_pt
-                x1, y1 = float(stack[-2]), float(stack[-1])
+                x1, y1 = _apply(ctm, float(stack[-2]), float(stack[-1]))
                 if abs(y1 - y0) <= 0.5 and abs(x1 - x0) > 0.5:
                     hlines.append((min(x0, x1), y0, max(x0, x1), y1))
                 elif abs(x1 - x0) <= 0.5 and abs(y1 - y0) > 0.5:
@@ -1004,7 +1079,13 @@ def _interpret_content(
                 cur_pt = (x1, y1)
             elif op == b"re" and len(stack) >= 4:
                 x, y, w, h = (float(v) for v in stack[-4:])
-                rects.append((x, y, w, h))
+                pts = (_apply(ctm, x, y), _apply(ctm, x + w, y),
+                       _apply(ctm, x, y + h), _apply(ctm, x + w, y + h))
+                bx0 = min(p[0] for p in pts)
+                by0 = min(p[1] for p in pts)
+                rects.append((bx0, by0,
+                              max(p[0] for p in pts) - bx0,
+                              max(p[1] for p in pts) - by0))
             elif op == b"h" and path_start is not None:
                 cur_pt = path_start
             elif op == b"q":
@@ -1015,11 +1096,28 @@ def _interpret_content(
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mult(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"Do" and stack and isinstance(stack[-1], _Name):
-                if str(stack[-1]) in image_names:
+                xname = str(stack[-1])
+                if xname in image_names:
                     a, b_, c_, d, e, f = ctm
                     xs = (e, a + e, c_ + e, a + c_ + e)
                     ys = (f, b_ + f, d + f, b_ + d + f)
                     images.append((min(xs), min(ys), max(xs), max(ys)))
+                elif xname in forms and _depth < _FORM_MAX_DEPTH:
+                    fm = forms[xname]
+                    sub_ctm = (
+                        _mat_mult(fm["matrix"], ctm) if fm["matrix"] else ctm
+                    )
+                    _interpret_content(
+                        fm["content"],
+                        image_names
+                        if fm["image_names"] is None
+                        else fm["image_names"],
+                        fonts=fonts if fm["fonts"] is None else fm["fonts"],
+                        forms=forms if fm["forms"] is None else fm["forms"],
+                        _ctm0=sub_ctm,
+                        _out=(runs, hlines, vlines, rects, images),
+                        _depth=_depth + 1,
+                    )
             elif op == b"BI":
                 # inline image: "BI <dict> ID <raw binary> EI" — the binary
                 # is NOT operator soup; skip to the whitespace-delimited EI
@@ -1157,8 +1255,9 @@ def extract_table_cells(payload: bytes) -> list[dict]:
             content = doc.page_content(page)
             if not content:
                 continue
+            img_names, fts, frms = doc.page_paint(page)
             runs, hl, vl, rects, _ = _interpret_content(
-                content, fonts=doc.page_fonts(page)
+                content, img_names, fonts=fts, forms=frms
             )
             rot = doc.page_rotate(page)
             if rot:
@@ -1294,8 +1393,9 @@ def extract_pdf(payload: bytes) -> dict:
             content = doc.page_content(page)
             if not content:
                 continue
+            img_names, fts, frms = doc.page_paint(page)
             runs, hl, vl, rects, images = _interpret_content(
-                content, doc.page_image_names(page), fonts=doc.page_fonts(page)
+                content, img_names, fonts=fts, forms=frms
             )
             rot = doc.page_rotate(page)
             if rot:

@@ -82,16 +82,22 @@ _ROT_INV = {
     180: (-1.0, 0.0, 0.0, -1.0, PAGE_W, PAGE_H),
     270: (0.0, -1.0, 1.0, 0.0, 0.0, PAGE_W),
 }
+# Form-XObject fixture frame: page content lives in a form-local space
+# shifted by this offset and is placed back by the form's /Matrix — the
+# extractor must compose the matrix into the CTM to recover display
+# coordinates (LaTeX/stamping-tool layout).
+FORM_DX, FORM_DY = 48.0, -36.0
 _TD_OP = re.compile(r"Tf ([\d.]+) ([\d.]+) Td")
 _ML_OP = re.compile(r"([\d.]+) ([\d.]+) (m|l)\b")
 _CM_OP = re.compile(r"q ([\d.]+) 0 0 ([\d.]+) ([\d.]+) ([\d.]+) cm")
 
 
-def _rotate_page_ops(page_ops: str, rotate: int) -> str:
-    """Re-express display-space content ops in the rotated content space of
-    a /Rotate page: Td translations become full rotation Tm matrices, path
-    points and image placement CTMs are mapped through the same inverse."""
-    a, b, c, d, e, f = _ROT_INV[rotate]
+def _map_page_ops(page_ops: str, affine: tuple) -> str:
+    """Re-express display-space content ops through an affine inverse (used
+    for /Rotate pages and Form-XObject local frames): Td translations become
+    full Tm matrices, path points and image-placement CTMs are mapped
+    through the same transform."""
+    a, b, c, d, e, f = affine
 
     def pt(x: float, y: float) -> tuple[float, float]:
         return a * x + c * y + e, b * x + d * y + f
@@ -348,7 +354,7 @@ def _content_table(rows: list[list[str]], show=None) -> str:
 def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
     with_image: bool = False, objstm: bool = False, make_font=None,
-    encryptor=None, rotate: int = 0,
+    encryptor=None, rotate: int = 0, form_xobject: bool = False,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -388,21 +394,43 @@ def _assemble(
             + b"\nstream\n" + pixels + b"\nendstream"
         )
         res_extra = " /XObject << /Im1 %d 0 R >>" % img_num
+    form_base = max(max(objs), 3 + 2 * npages) + 1 if form_xobject else 0
+
+    def _stream_obj(body: str, head_extra: str = "") -> bytes:
+        data = body.encode("latin-1")
+        if compress:
+            data = zlib.compress(data, 6)
+            head = b"<< %s/Length %d /Filter /FlateDecode >>" % (
+                head_extra.encode(), len(data))
+        else:
+            head = b"<< %s/Length %d >>" % (head_extra.encode(), len(data))
+        return head + b"\nstream\n" + data + b"\nendstream"
+
     for i, stream in enumerate(page_streams):
         pg, ct = 4 + 2 * i, 5 + 2 * i
         mbox = "" if rotate else " /MediaBox [0 0 %g %g]" % (PAGE_W, PAGE_H)
+        page_res = res_extra
+        if form_xobject:
+            fx = form_base + i
+            # the page's XObject dict points at the form; the image (if any)
+            # moves inside the form's own resources, where its Do now runs
+            page_res = " /XObject << /Fx1 %d 0 R >>" % fx
+            bw, bh = (PAGE_H, PAGE_W) if rotate in (90, 270) else (PAGE_W, PAGE_H)
+            objs[fx] = _stream_obj(
+                stream,
+                "/Type /XObject /Subtype /Form /BBox [%g %g %g %g] "
+                "/Matrix [1 0 0 1 %g %g] "
+                "/Resources << /Font << /F1 3 0 R >>%s >> "
+                % (-FORM_DX, -FORM_DY, bw - FORM_DX, bh - FORM_DY,
+                   FORM_DX, FORM_DY, res_extra),
+            )
+            stream = "/Fx1 Do"
         objs[pg] = (
             "<< /Type /Page /Parent 2 0 R%s "
             "/Resources << /Font << /F1 3 0 R >>%s >> /Contents %d 0 R >>"
-            % (mbox, res_extra, ct)
+            % (mbox, page_res, ct)
         ).encode()
-        data = stream.encode("latin-1")
-        if compress:
-            data = zlib.compress(data, 6)
-            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-        else:
-            head = b"<< /Length %d >>" % len(data)
-        objs[ct] = head + b"\nstream\n" + data + b"\nendstream"
+        objs[ct] = _stream_obj(stream)
 
     packed: dict[int, int] = {}  # obj num -> index within the ObjStm
     if objstm:
@@ -546,6 +574,7 @@ def build_pdf(
     encrypt: str | None = None,
     tj_kerning: bool = False,
     rotate: int = 0,
+    form_xobject: bool = False,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -576,6 +605,13 @@ def build_pdf(
     the rotated coordinate frame (rotation Tm matrices, mapped path/cm ops)
     with the inheritable /Rotate + /MediaBox on the Pages node, displaying —
     and extracting — exactly like the unrotated document.
+
+    ``form_xobject`` moves every page's painting into a /Subtype /Form
+    XObject invoked by a one-op ``/Fx1 Do`` contents stream: content ops in
+    a form-local frame shifted by (FORM_DX, FORM_DY), restored by the
+    form's /Matrix, with the form carrying its own /Resources (the layout
+    LaTeX and stamping tools emit). Composes with ``rotate`` and every
+    ``encoding``; extraction must be byte-identical to the plain build.
     """
     body = wrap_words(text, COL_LINE_CHARS if columns == 2 else LINE_CHARS) if text else []
     if list_items:
@@ -617,8 +653,14 @@ def build_pdf(
         if not pages:
             pages = [""]
         pages[0] = (pages[0] + "\n" if pages[0] else pages[0]) + "\n".join(extras)
-    if rotate:
-        pages = [_rotate_page_ops(pg, rotate) for pg in pages]
+    if rotate or form_xobject:
+        inv = _ROT_INV.get(rotate, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+        if form_xobject:
+            # compose the form-local shift into the display->content inverse
+            # so the ops are regex-mapped exactly once
+            inv = (inv[0], inv[1], inv[2], inv[3],
+                   inv[4] - FORM_DX, inv[5] - FORM_DY)
+        pages = [_map_page_ops(pg, inv) for pg in pages]
     encryptor = None
     if encrypt is not None:
         import hashlib
@@ -631,6 +673,7 @@ def build_pdf(
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
+        form_xobject=form_xobject,
     )
 
 

@@ -494,3 +494,62 @@ def test_rotated_table_grid_detection():
         assert got and got[0]["n_rows"] == base[0]["n_rows"]
         assert got[0]["n_cols"] == base[0]["n_cols"]
         assert got[0]["cells"] == base[0]["cells"]
+
+
+def test_form_xobject_extracts_identically():
+    """Pages whose painting lives in a /Subtype /Form XObject (one-op
+    ``/Fx1 Do`` contents, /Matrix-placed local frame, own /Resources) must
+    extract byte-identically to the plain build, composed with layouts,
+    encodings, rotation, encryption, and ObjStm packing."""
+    text = ("form xobject placement with nested resources check " * 10).strip()
+    for kwargs in ({}, {"columns": 2}, {"tj_kerning": True},
+                   {"compress": True, "encoding": "type0"},
+                   {"figure": True, "caption": "Fig. 1 nearby"},
+                   {"rotate": 90}, {"encrypt": "aes-128", "compress": True},
+                   {"xref_stream": True, "objstm": True}):
+        base = extract_pdf(build_pdf(text, title="FormDoc", **kwargs))
+        got = extract_pdf(build_pdf(text, title="FormDoc", form_xobject=True,
+                                    **kwargs))
+        assert got["error"] is None
+        assert got["text"] == base["text"]
+        assert [s[0] for s in got["spans"]] == [s[0] for s in base["spans"]]
+
+
+def test_form_xobject_table_grid():
+    """Ruled-grid detection sees path geometry drawn inside a form: the
+    /Matrix must be composed into m/l/re points."""
+    from pdf_extraction_spark.kernels.pdf_extract import extract_table_cells
+
+    rows = [["name", "value"], ["alpha", "one"], ["beta", "two"]]
+    base = extract_table_cells(build_pdf("", table_rows=rows))
+    for kw in ({"form_xobject": True}, {"form_xobject": True, "rotate": 90}):
+        got = extract_table_cells(build_pdf("", table_rows=rows, **kw))
+        assert got and got[0]["cells"] == base[0]["cells"]
+
+
+def test_form_without_resources_inherits_page_context():
+    """A form that omits /Resources runs against the invoking context's
+    image names and fonts (PDF spec inheritance)."""
+    from pdf_extraction_spark.kernels.pdf_extract import _interpret_content
+
+    forms = {"Fx": {"content": b"BT /F1 10 Tf 5 5 Td (in) Tj ET q 4 0 0 4 0 0 cm /Im1 Do Q",
+                    "matrix": (1.0, 0.0, 0.0, 1.0, 100.0, 200.0),
+                    "image_names": None, "fonts": None, "forms": None}}
+    runs, _hl, _vl, _re, images = _interpret_content(
+        b"/Fx Do", image_names=frozenset({"Im1"}), forms=forms)
+    assert runs == [(105.0, 205.0, 10.0, "in")]
+    assert images == [(100.0, 200.0, 104.0, 204.0)]
+
+
+def test_form_self_reference_terminates():
+    """A form invoking itself must hit the depth guard, not recurse forever."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        _FORM_MAX_DEPTH,
+        _interpret_content,
+    )
+
+    forms = {"F": {"content": b"/F Do BT /F1 10 Tf 0 0 Td (x) Tj ET",
+                   "matrix": None, "image_names": None, "fonts": None,
+                   "forms": None}}
+    runs, *_ = _interpret_content(b"/F Do", forms=forms)
+    assert len(runs) == _FORM_MAX_DEPTH
