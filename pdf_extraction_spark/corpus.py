@@ -118,13 +118,15 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             kern = i % 4 == 0
             rot = (90, 180, 270)[i % 3] if i % 5 == 0 else 0
             form = i % 6 == 0
+            # every 9th splits lines into metric-advanced run fragments
+            split = i % 9 == 0
             if variant == 0:
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, tj_kerning=kern, rotate=rot, form_xobject=form
+                    body_text, title=title, tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split
                 )
             elif variant == 1:
                 payload = pdf_write.build_pdf(
-                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot, form_xobject=form
+                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split
                 )
             elif variant == 2:
                 payload = pdf_write.build_pdf(
@@ -139,7 +141,7 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                 # subset-font emulation: Identity-H glyph codes + ToUnicode
                 payload = pdf_write.build_pdf(
                     body_text, title=title, compress=True, encoding="type0",
-                    tj_kerning=kern, rotate=rot, form_xobject=form,
+                    tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split,
                 )
             elif variant == 5:
                 payload = pdf_write.build_pdf(
@@ -150,7 +152,7 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                 # standard security handler, empty user password (AES-128)
                 payload = pdf_write.build_pdf(
                     body_text, title=title, compress=True, encrypt="aes-128",
-                    tj_kerning=kern, rotate=rot, form_xobject=form,
+                    tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split,
                 )
             else:
                 payload = pdf_write.build_truncated_pdf(body_text)
@@ -248,7 +250,8 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                                         tj_kerning=(i % 17 == 0),
                                         rotate=(90, 180, 270)[i % 3]
                                         if i % 19 == 0 else 0,
-                                        form_xobject=(i % 23 == 0))
+                                        form_xobject=(i % 23 == 0),
+                                        split_runs=(i % 29 == 0))
                 )
             return pd.Series(out)
 

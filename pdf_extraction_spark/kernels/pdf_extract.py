@@ -30,6 +30,8 @@ import math
 import re
 import zlib
 
+from . import afm
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _LIT_SPECIAL = re.compile(rb"[\\()]")
@@ -909,7 +911,8 @@ def _normalize_rotation(rotate, pw, ph, runs, hl, vl, rects, images):
         bx, by = pt(x1, y1)
         return (min(ax, bx), min(ay, by), max(ax, bx), max(ay, by))
 
-    runs = [(*pt(x, y), size, txt) for x, y, size, txt in runs]
+    # rotation preserves length, so run widths carry through unchanged
+    runs = [(*pt(x, y), size, txt, w) for x, y, size, txt, w in runs]
     segs_h = [seg(*s) for s in hl]
     segs_v = [seg(*s) for s in vl]
     if rotate in (90, 270):
@@ -966,22 +969,49 @@ def _interpret_content(
     tm = _ID   # text matrix (current show position)
     size = 0.0
     leading = 0.0
+    tc = 0.0   # Tc character spacing (text-space units)
+    tw = 0.0   # Tw word spacing (1-byte code 32 only)
+    tz = 100.0  # Tz horizontal scaling (percent)
     fonts = fonts or {}
     cur_font = None  # active FontDecoder, or None for the heuristic path
 
     def _show(b: bytes) -> str:
-        return cur_font.decode(b) if cur_font is not None else _pdf_text(b)
+        # mapping-trivial decoders exist only for their width table; their
+        # text still goes through the BOM/UTF-8/Latin-1 heuristic
+        if cur_font is None or cur_font.mapping_trivial:
+            return _pdf_text(b)
+        return cur_font.decode(b)
 
-    def _emit(txt: str) -> None:
+    def _adv(raw: bytes, txt: str) -> float:
+        """Text-space displacement of one show string (PDF 32000-1 §9.4.4):
+        glyph widths /1000 × Tfs, plus Tc per glyph and Tw per 1-byte
+        code-32 glyph, all × Tz/100. Explicit per-code /Widths (or CIDFont
+        /W) when the font carries them, builtin Helvetica metrics over the
+        decoded text otherwise — the same public AFM table the fixture
+        writer positions split runs by."""
+        if cur_font is not None and cur_font.widths is not None:
+            units = cur_font.advance_units(raw)
+            nglyphs = len(raw) // cur_font.code_width
+            nspaces = cur_font.space_count(raw)
+        else:
+            units = float(afm.text_units(txt))
+            nglyphs = len(txt)
+            nspaces = txt.count(" ")
+        return (units / 1000.0 * size + nglyphs * tc + nspaces * tw) * (
+            tz / 100.0
+        )
+
+    def _emit(txt: str, adv: float) -> None:
         """Record a run at the device-space origin of the current text
-        matrix; effective size carries the matrix's vertical scale so a
-        Tm-scaled show keeps its visual size for layout decisions."""
+        matrix (effective size carries the matrix's vertical scale) and
+        advance the text matrix by the show's computed displacement."""
         nonlocal tm
         trm = _mat_mult(tm, ctm)
-        eff = size * math.hypot(trm[2], trm[3])
-        runs.append((trm[4], trm[5], eff, txt))
-        # crude advance estimate, applied in text space
-        tm = _mat_mult((1.0, 0.0, 0.0, 1.0, 0.5 * size * len(txt), 0.0), tm)
+        if txt:
+            eff = size * math.hypot(trm[2], trm[3])
+            wdev = adv * math.hypot(trm[0], trm[1])
+            runs.append((trm[4], trm[5], eff, txt, wdev))
+        tm = _mat_mult((1.0, 0.0, 0.0, 1.0, adv, 0.0), tm)
     cur_pt = None
     path_start = None
     ctm = _ctm0 if _ctm0 is not None else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -1037,33 +1067,42 @@ def _interpret_content(
                 tlm = tm = _ID
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 txt = _show(stack[-1])
-                if txt:
-                    _emit(txt)
+                _emit(txt, _adv(stack[-1], txt))
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 parts = []
+                adv = 0.0
                 for el in stack[-1]:
                     if isinstance(el, bytes):
-                        parts.append(_show(el))
-                    elif (
-                        isinstance(el, (int, float))
-                        and float(el) <= -KERN_SPACE_TJ
-                    ):
-                        # a kern past the space-width threshold is a word gap
-                        # the producer chose not to spend a space glyph on
-                        # (justified text, subset fonts with no space glyph)
-                        parts.append(" ")
-                txt = "".join(parts)
-                if txt:
-                    _emit(txt)
+                        t = _show(el)
+                        parts.append(t)
+                        adv += _adv(el, t)
+                    elif isinstance(el, (int, float)):
+                        adv -= float(el) / 1000.0 * size * (tz / 100.0)
+                        if float(el) <= -KERN_SPACE_TJ:
+                            # a kern past the space-width threshold is a word
+                            # gap the producer chose not to spend a space
+                            # glyph on (justified text, subset fonts with no
+                            # space glyph)
+                            parts.append(" ")
+                _emit("".join(parts), adv)
             elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
                 tlm = _mat_mult(
                     (1.0, 0.0, 0.0, 1.0, 0.0, -(leading if leading else size * 1.2)),
                     tlm,
                 )
                 tm = tlm
+                if op == b'"' and len(stack) >= 3:
+                    # aw ac string ": sets word and char spacing, then shows
+                    tw = float(stack[-3])
+                    tc = float(stack[-2])
                 txt = _show(stack[-1])
-                if txt:
-                    _emit(txt)
+                _emit(txt, _adv(stack[-1], txt))
+            elif op == b"Tc" and stack:
+                tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                tz = float(stack[-1])
             elif op == b"m" and len(stack) >= 2:
                 # path geometry is device-space: points go through the CTM
                 # (identity on a bare page; a form's /Matrix otherwise)
@@ -1089,10 +1128,10 @@ def _interpret_content(
             elif op == b"h" and path_start is not None:
                 cur_pt = path_start
             elif op == b"q":
-                gs_stack.append(ctm)
+                gs_stack.append((ctm, tc, tw, tz))
             elif op == b"Q":
                 if gs_stack:
-                    ctm = gs_stack.pop()
+                    ctm, tc, tw, tz = gs_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mult(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"Do" and stack and isinstance(stack[-1], _Name):
@@ -1149,7 +1188,7 @@ def _group_lines(runs: list[tuple]) -> list[dict]:
     """Group runs into visual lines by y (tolerance Y_TOL), runs sorted by x."""
     by_y: list[dict] = []
     for run in sorted(runs, key=lambda r: (-r[1], r[0])):
-        x, y, size, txt = run
+        x, y, size, txt, _w = run
         placed = None
         for line in by_y:
             if abs(line["y"] - y) <= Y_TOL:
@@ -1164,7 +1203,7 @@ def _group_lines(runs: list[tuple]) -> list[dict]:
         line["x"] = line["runs"][0][0]
         line["size"] = max(r[2] for r in line["runs"])
         line["text"] = _join_runs(line["runs"])
-        line["x1"] = max(r[0] + 0.5 * r[2] * len(r[3]) for r in line["runs"])
+        line["x1"] = max(r[0] + r[4] for r in line["runs"])
     by_y.sort(key=lambda L: -L["y"])
     return by_y
 
@@ -1172,11 +1211,11 @@ def _group_lines(runs: list[tuple]) -> list[dict]:
 def _join_runs(runs_in_line: list[tuple]) -> str:
     out = []
     prev_end = None
-    for x, y, size, txt in runs_in_line:
+    for x, y, size, txt, w in runs_in_line:
         if prev_end is not None and x - prev_end > max(1.0, 0.15 * size):
             out.append(" ")
         out.append(txt)
-        prev_end = x + 0.5 * size * len(txt)
+        prev_end = x + w
     return "".join(out)
 
 
@@ -1277,7 +1316,7 @@ def extract_table_cells(payload: bytes) -> list[dict]:
                     continue
                 # row 0 is the TOP row: row_bounds ascend in y-up PDF coords
                 cells: dict[tuple[int, int], list[tuple]] = {}
-                for x, y, size, txt in runs:
+                for x, y, size, txt, _w in runs:
                     if not (gx0 <= x <= gx1 and gy0 <= y <= gy1):
                         continue
                     r = c = None
@@ -1290,7 +1329,7 @@ def extract_table_cells(payload: bytes) -> list[dict]:
                             c = j
                             break
                     if r is not None and c is not None:
-                        cells.setdefault((r, c), []).append((x, y, size, txt))
+                        cells.setdefault((r, c), []).append((x, y, size, txt, _w))
                 reg = 0.5 * (
                     _spacing_regularity(row_bounds) + _spacing_regularity(col_bounds)
                 )

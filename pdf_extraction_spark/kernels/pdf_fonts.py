@@ -198,13 +198,24 @@ class FontDecoder:
     UTF-16 would pair adjacent units) keep the safe per-code loop.
     """
 
-    __slots__ = ("code_width", "cmap", "diffs", "_table", "_fast2")
+    __slots__ = ("code_width", "cmap", "diffs", "_table", "_fast2",
+                 "widths", "default_width")
 
     def __init__(self, code_width: int = 1, cmap: dict | None = None,
-                 diffs: dict | None = None):
+                 diffs: dict | None = None, widths: dict | None = None,
+                 default_width: float | None = None):
         self.code_width = 2 if code_width == 2 else 1
         self.cmap = cmap or {}
         self.diffs = diffs or {}
+        # per-CODE glyph-space widths (/Widths for simple fonts, /W for
+        # CIDFonts); None ⇒ fall back to builtin core-font metrics over the
+        # DECODED text (pdf_extract handles that path)
+        self.widths = widths
+        self.default_width = (
+            default_width
+            if default_width is not None
+            else (1000.0 if self.code_width == 2 else 500.0)
+        )
         merged = {**self.diffs, **self.cmap}  # cmap wins
         if self.code_width == 1:
             self._table = merged  # unmapped: translate identity == latin-1
@@ -215,7 +226,31 @@ class FontDecoder:
 
     @property
     def trivial(self) -> bool:
+        return self.mapping_trivial and self.widths is None
+
+    @property
+    def mapping_trivial(self) -> bool:
+        """True when decode() would be a plain Latin-1 passthrough — the
+        caller should keep its BOM/UTF-8 heuristic for such fonts even if
+        the decoder exists for its width table."""
         return self.code_width == 1 and not self.cmap and not self.diffs
+
+    def advance_units(self, b: bytes) -> float:
+        """Glyph-space advance (1/1000 em) of a show string's codes via the
+        font's explicit width table. Caller guarantees ``widths`` is set."""
+        w = self.widths
+        dw = self.default_width
+        if self.code_width == 1:
+            return float(sum(w.get(c, dw) for c in b))
+        total = 0.0
+        for i in range(0, len(b) - 1, 2):
+            total += w.get((b[i] << 8) | b[i + 1], dw)
+        return total
+
+    def space_count(self, b: bytes) -> int:
+        """Number of 1-byte code-32 glyphs (the only codes Tw applies to,
+        PDF 32000-1 §9.3.3); always 0 for 2-byte-code fonts."""
+        return 0 if self.code_width == 2 else b.count(32)
 
     def decode(self, b: bytes) -> str:
         if self.code_width == 1:
@@ -303,7 +338,73 @@ def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None
                         if ch is not None:
                             diffs[code] = ch
                         code += 1
-        dec = FontDecoder(width, cmap, diffs)
+        widths, dw = _parse_widths(font, resolve, subtype)
+        dec = FontDecoder(width, cmap, diffs, widths, dw)
         return None if dec.trivial else dec
     except Exception:
         return None
+
+
+def _parse_widths(font: dict, resolve, subtype: str):
+    """Per-code glyph-width table of a /Font dict.
+
+    Simple fonts: /FirstChar + /Widths (PDF 32000-1 §9.6.2), /MissingWidth
+    from the /FontDescriptor. Type0: the descendant CIDFont's /W array
+    (§9.7.4.3, both ``c [w1 w2 ...]`` and ``c1 c2 w`` forms) with /DW as
+    the default. Returns ``(widths_or_None, default_or_None)``."""
+    try:
+        if subtype == "Type0":
+            desc = resolve(font.get("DescendantFonts"))
+            if not isinstance(desc, list) or not desc:
+                return None, None
+            cid = resolve(desc[0])
+            if isinstance(cid, tuple) and cid[0] == "stream":
+                cid = cid[1]
+            if not isinstance(cid, dict):
+                return None, None
+            dw = resolve(cid.get("DW"))
+            dw = float(dw) if isinstance(dw, (int, float)) else 1000.0
+            warr = resolve(cid.get("W"))
+            if not isinstance(warr, list):
+                return None, None
+            widths: dict[int, float] = {}
+            i = 0
+            while i < len(warr):
+                c = resolve(warr[i])
+                if not isinstance(c, (int, float)):
+                    break
+                nxt = resolve(warr[i + 1]) if i + 1 < len(warr) else None
+                if isinstance(nxt, list):
+                    for j, w in enumerate(nxt):
+                        widths[int(c) + j] = float(resolve(w))
+                    i += 2
+                elif isinstance(nxt, (int, float)) and i + 2 < len(warr):
+                    w = float(resolve(warr[i + 2]))
+                    c1 = int(c)
+                    c2 = int(nxt)
+                    if c2 < c1 or c2 - c1 > 0xFFFF:
+                        break
+                    for code in range(c1, c2 + 1):
+                        widths[code] = w
+                    i += 3
+                else:
+                    break
+            return (widths or None), dw
+        first = resolve(font.get("FirstChar"))
+        arr = resolve(font.get("Widths"))
+        if not isinstance(first, (int, float)) or not isinstance(arr, list):
+            return None, None
+        mw = None
+        fd = resolve(font.get("FontDescriptor"))
+        if isinstance(fd, dict):
+            mwv = resolve(fd.get("MissingWidth"))
+            if isinstance(mwv, (int, float)):
+                mw = float(mwv)
+        widths = {
+            int(first) + i: float(resolve(w))
+            for i, w in enumerate(arr)
+            if isinstance(resolve(w), (int, float))
+        }
+        return (widths or None), mw
+    except Exception:
+        return None, None

@@ -16,6 +16,8 @@ from __future__ import annotations
 import re
 import zlib
 
+from . import afm
+
 PAGE_W = 612.0
 PAGE_H = 792.0
 MARGIN = 72.0
@@ -50,6 +52,49 @@ def _enc_literal(s: str) -> str:
 def _show_plain(enc):
     """Show-op builder: one string token + ``Tj``."""
     return lambda s: enc(s) + " Tj"
+
+
+def _emit_plain(show):
+    """Line emitter: one BT block, one show op."""
+    return lambda size, x, y, text: (
+        "BT /F1 %g Tf %g %g Td %s ET" % (size, x, y, show(text))
+    )
+
+
+def _emit_split(enc, tw_applies: bool):
+    """Line emitter for the split-run layout real producers emit (style
+    changes, shaping boundaries): each line becomes two fragments flowing
+    inside one BT block — the viewer advances between them by glyph
+    metrics — plus a third fragment positioned absolutely at the metric
+    offset the writer computes from the same public Helvetica AFM table the
+    extractor uses (:mod:`afm`). Every 4th line adds Tc char spacing, every
+    other 4th Tw word spacing (1-byte-code encodings only, per spec), so
+    byte-identical extraction pins the full §9.4.4 displacement formula.
+    """
+
+    def emit(size: float, x: float, y: float, text: str) -> str:
+        if len(text) < 9:
+            return "BT /F1 %g Tf %g %g Td %s Tj ET" % (size, x, y, enc(text))
+        i, j = len(text) // 3, 2 * len(text) // 3
+        f1, f2, f3 = text[:i], text[i:j], text[j:]
+        h = len(text) % 4
+        tc = 0.25 if h == 1 else 0.0
+        tw = 1.5 if (h == 2 and tw_applies) else 0.0
+        pre = f1 + f2
+        adv = afm.text_units(pre) / 1000.0 * size
+        adv += len(pre) * tc + pre.count(" ") * tw
+        ops = "BT /F1 %g Tf %g %g Td " % (size, x, y)
+        if tc:
+            ops += "%g Tc " % tc
+        if tw:
+            ops += "%g Tw " % tw
+        ops += "%s Tj %s Tj ET" % (enc(f1), enc(f2))
+        if tc or tw:
+            ops += " 0 Tc 0 Tw"
+        ops += " BT /F1 %g Tf %g %g Td %s Tj ET" % (size, x + adv, y, enc(f3))
+        return ops
+
+    return emit
 
 
 def _show_kerned(enc):
@@ -190,11 +235,18 @@ class _Type0Encoder:
             "/Encoding /Identity-H /DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
             % (desc, tounico)
         ).encode()
+        # real per-CID metrics (/W, array form) from the shared AFM table:
+        # codes are 1..N in sorted-charset order
+        warr = " ".join(
+            "%d" % afm.char_width(ch) for ch, _ in sorted(self.code.items(),
+                                                          key=lambda kv: kv[1])
+        )
         extra = {
             desc: (
                 b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SUBSET+Synth "
                 b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-                b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+                b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 1000 "
+                b"/W [1 [" + warr.encode() + b"]] >>"
             ),
             tounico: (
                 b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
@@ -256,10 +308,20 @@ class _DifferencesEncoder:
         return "(" + "".join(out) + ")"
 
     def font_objects(self, next_free: int):
+        # explicit /Widths covering ASCII passthrough and the remap range,
+        # from the shared AFM table (remapped codes get the mapped char's
+        # real metric)
+        by_code = {c: ch for ch, c in self.code.items()}
+        last = max([126] + list(by_code))
+        widths = " ".join(
+            "%d" % afm.char_width(by_code.get(c, chr(c) if c <= 126 else " "))
+            for c in range(32, last + 1)
+        )
         obj3 = (
             "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            "/FirstChar 32 /LastChar %d /Widths [%s] "
             "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
-            "/Differences %s >> >>" % self._diff_array
+            "/Differences %s >> >>" % (last, widths, self._diff_array)
         ).encode()
         return obj3, {}
 
@@ -284,30 +346,34 @@ def wrap_words(text: str, width: int) -> list[str]:
     return lines
 
 
-def _content_single(lines: list[str], title: str | None, show=None) -> list[str]:
-    show = show or _show_plain(_enc_literal)
+def _content_single(
+    lines: list[str], title: str | None, show=None, emit=None
+) -> list[str]:
     """One content stream per page, single column top-down."""
+    emit = emit or _emit_plain(show or _show_plain(_enc_literal))
     pages: list[str] = []
     ops: list[str] = []
     y = PAGE_H - MARGIN
     if title is not None:
-        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (TITLE_SIZE, MARGIN, y, show(title)))
+        ops.append(emit(TITLE_SIZE, MARGIN, y, title))
         y -= 2 * LEADING
     for ln in lines:
         if y < MARGIN:
             pages.append("\n".join(ops))
             ops = []
             y = PAGE_H - MARGIN
-        ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, MARGIN, y, show(ln)))
+        ops.append(emit(BODY_SIZE, MARGIN, y, ln))
         y -= LEADING
     if ops:
         pages.append("\n".join(ops))
     return pages
 
 
-def _content_two_col(lines: list[str], title: str | None, show=None) -> list[str]:
-    show = show or _show_plain(_enc_literal)
+def _content_two_col(
+    lines: list[str], title: str | None, show=None, emit=None
+) -> list[str]:
     """Two columns per page: fill left column top-down, then right."""
+    emit = emit or _emit_plain(show or _show_plain(_enc_literal))
     pages: list[str] = []
     i = 0
     first = True
@@ -315,13 +381,13 @@ def _content_two_col(lines: list[str], title: str | None, show=None) -> list[str
         ops: list[str] = []
         top = PAGE_H - MARGIN
         if first and title is not None:
-            ops.append("BT /F1 %g Tf %g %g Td %s ET" % (TITLE_SIZE, MARGIN, top, show(title)))
+            ops.append(emit(TITLE_SIZE, MARGIN, top, title))
             top -= 2 * LEADING
         first = False
         for x in (MARGIN, COL2_X):
             y = top
             while i < len(lines) and y >= MARGIN:
-                ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, x, y, show(lines[i])))
+                ops.append(emit(BODY_SIZE, x, y, lines[i]))
                 y -= LEADING
                 i += 1
         pages.append("\n".join(ops))
@@ -575,6 +641,7 @@ def build_pdf(
     tj_kerning: bool = False,
     rotate: int = 0,
     form_xobject: bool = False,
+    split_runs: bool = False,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -605,6 +672,15 @@ def build_pdf(
     the rotated coordinate frame (rotation Tm matrices, mapped path/cm ops)
     with the inheritable /Rotate + /MediaBox on the Pages node, displaying —
     and extracting — exactly like the unrotated document.
+
+    ``split_runs`` splits every body/title line into three fragments the
+    way real producers do at style/shaping boundaries: two flow inside one
+    BT block (the viewer advances between them by glyph metrics), the third
+    is positioned absolutely at the metric offset computed from the shared
+    public Helvetica AFM table (:mod:`afm`), with deterministic Tc/Tw
+    spacing mixed in — so byte-identical extraction requires the parser to
+    reproduce the spec §9.4.4 advance formula over explicit /Widths, CID
+    /W arrays, or builtin metrics. Supersedes ``tj_kerning`` on body lines.
 
     ``form_xobject`` moves every page's painting into a /Subtype /Form
     XObject invoked by a one-op ``/Fx1 Do`` contents stream: content ops in
@@ -642,12 +718,18 @@ def build_pdf(
         enc = encoder.show
         make_font = encoder.font_objects
     show = _show_kerned(enc) if tj_kerning else _show_plain(enc)
+    # split_runs supersedes tj_kerning for body lines (the fixtures exercise
+    # one show-op layout per line); Tw only ever applies to 1-byte code 32,
+    # so 2-byte Type0 shows must not carry it — including the silent
+    # differences→type0 charset-overflow fallback above
+    two_byte = encoding != "simple" and isinstance(encoder, _Type0Encoder)
+    emit = _emit_split(enc, tw_applies=not two_byte) if split_runs else None
     if table_rows is not None:
         pages = [_content_table(table_rows, show)]
     elif columns == 2:
-        pages = _content_two_col(body, title, show)
+        pages = _content_two_col(body, title, show, emit=emit)
     else:
-        pages = _content_single(body, title, show)
+        pages = _content_single(body, title, show, emit=emit)
     extras = _content_extras(header, footer, caption, figure, table_rows, show)
     if extras:
         if not pages:

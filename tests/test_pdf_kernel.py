@@ -537,7 +537,7 @@ def test_form_without_resources_inherits_page_context():
                     "image_names": None, "fonts": None, "forms": None}}
     runs, _hl, _vl, _re, images = _interpret_content(
         b"/Fx Do", image_names=frozenset({"Im1"}), forms=forms)
-    assert runs == [(105.0, 205.0, 10.0, "in")]
+    assert [r[:4] for r in runs] == [(105.0, 205.0, 10.0, "in")]
     assert images == [(100.0, 200.0, 104.0, 204.0)]
 
 
@@ -553,3 +553,59 @@ def test_form_self_reference_terminates():
                    "forms": None}}
     runs, *_ = _interpret_content(b"/F Do", forms=forms)
     assert len(runs) == _FORM_MAX_DEPTH
+
+
+def test_split_runs_extract_identically():
+    """Split-run pages (fragments flowing by glyph metrics inside one BT,
+    plus a fragment positioned absolutely at the writer-computed metric
+    offset, with Tc/Tw mixed in) must extract byte-identically to the plain
+    build across encodings, rotation, forms, and encryption."""
+    text = ("metric advance split run reassembly with character and word "
+            "spacing checks in every layout " * 6).strip()
+    for kwargs in ({}, {"columns": 2}, {"encoding": "type0", "compress": True},
+                   {"encoding": "differences"}, {"rotate": 90},
+                   {"form_xobject": True}, {"encrypt": "rc4-128"},
+                   {"xref_stream": True, "objstm": True}):
+        base = extract_pdf(build_pdf(text, title="SplitDoc", **kwargs))
+        got = extract_pdf(build_pdf(text, title="SplitDoc", split_runs=True,
+                                    **kwargs))
+        assert got["error"] is None
+        assert got["text"] == base["text"], kwargs
+
+
+def test_split_runs_non_latin_charset():
+    """Out-of-AFM characters fall back to shared default metrics on both
+    sides, so CJK documents still reassemble byte-identically."""
+    ko = ("데이터 분석 추출 문서 표 그림 수식 제목 단락 목록 " * 8).strip()
+    for enc in ("type0", "differences"):
+        base = extract_pdf(build_pdf(ko, title="한국어 문서", encoding=enc))
+        got = extract_pdf(build_pdf(ko, title="한국어 문서", encoding=enc,
+                                    split_runs=True))
+        assert got["error"] is None
+        assert got["text"] == base["text"]
+
+
+def test_advance_formula_operators():
+    """Tc/Tw/Tz displacement semantics (PDF 32000-1 §9.4.4) pinned directly:
+    run width reflects char spacing, word spacing on code 32, and horizontal
+    scaling; q/Q save and restore all three."""
+    from pdf_extraction_spark.kernels.pdf_extract import _interpret_content
+    from pdf_extraction_spark.kernels import afm
+
+    base_units = afm.text_units("a b") / 1000.0 * 10.0
+    runs, *_ = _interpret_content(b"BT /F1 10 Tf 0 0 Td (a b) Tj ET")
+    assert abs(runs[0][4] - base_units) < 1e-9
+
+    runs, *_ = _interpret_content(b"2 Tc BT /F1 10 Tf 0 0 Td (a b) Tj ET")
+    assert abs(runs[0][4] - (base_units + 3 * 2)) < 1e-9
+
+    runs, *_ = _interpret_content(b"5 Tw BT /F1 10 Tf 0 0 Td (a b) Tj ET")
+    assert abs(runs[0][4] - (base_units + 5)) < 1e-9
+
+    runs, *_ = _interpret_content(b"50 Tz BT /F1 10 Tf 0 0 Td (a b) Tj ET")
+    assert abs(runs[0][4] - base_units * 0.5) < 1e-9
+
+    # q/Q restores spacing state
+    runs, *_ = _interpret_content(
+        b"q 2 Tc Q BT /F1 10 Tf 0 0 Td (a b) Tj ET")
+    assert abs(runs[0][4] - base_units) < 1e-9
