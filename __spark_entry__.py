@@ -19,6 +19,7 @@ from pdf_extraction_spark.operators import (
     corpusops,
     dedup,
     elements,
+    links,
     multimodal,
     relational,
     similarity,
@@ -124,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textops.q_top_terms,
         "regex_counts": textops.q_regex_counts,
         "rag_retrieval": textops.q_rag_retrieval,
+        # link graph
+        "extract_outlinks": links.q_extract_outlinks,
+        "link_host_degree": links.q_link_host_degree,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
         "domain_cap": corpusops.q_domain_cap,
@@ -185,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textops.SQL_TOP_TERMS,
         "regex_counts": textops.SQL_REGEX_COUNTS,
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
+        "extract_outlinks": links.SQL_EXTRACT_OUTLINKS,
+        "link_host_degree": links.SQL_LINK_HOST_DEGREE,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,
         "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,

@@ -181,12 +181,14 @@ class _BlockParser:
 
     def __init__(self) -> None:
         self.blocks: list[Block] = []
+        self.links: list[dict] = []  # {href, text, chrome} per <a href=...>
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
         self._main_depth = 0
         self._link_depth = 0
         self._figure_depth = 0
+        self._open_a: list[tuple] = []  # (href, anchor_parts, in_chrome)
         self._cur: Block | None = None
         self.saw_main = False
 
@@ -241,6 +243,11 @@ class _BlockParser:
             self._figure_depth += 1
         if tag == "a":
             self._link_depth += 1
+            href = next(
+                (str(v) for k, v in attrs if k == "href" and v), None
+            )
+            if href is not None:
+                self._open_a.append((href, [], self._chrome_depth > 0))
         if tag in _BLOCK_TAGS:
             self._open_block(tag)
 
@@ -265,6 +272,13 @@ class _BlockParser:
                     self._figure_depth = max(0, self._figure_depth - 1)
                 if bare == "a":
                     self._link_depth = max(0, self._link_depth - 1)
+                    if self._open_a:
+                        href, parts, chrome = self._open_a.pop()
+                        self.links.append({
+                            "href": href,
+                            "text": _norm("".join(parts)),
+                            "chrome": chrome,
+                        })
                 if bare in _BLOCK_TAGS:
                     self._close_block()
             if bare == tag:
@@ -281,9 +295,17 @@ class _BlockParser:
         self._cur.parts.append(data)
         if self._link_depth > 0:
             self._cur.link_parts.append(data)
+        if self._open_a:
+            self._open_a[-1][1].append(data)
 
     def close(self):
         self._close_block()
+        # flush anchors left open by malformed markup
+        while self._open_a:
+            href, parts, chrome = self._open_a.pop()
+            self.links.append(
+                {"href": href, "text": _norm("".join(parts)), "chrome": chrome}
+            )
 
 
 _TAG_WS = " \t\n\r\f"
@@ -448,7 +470,8 @@ def extract_html(payload: bytes | str) -> dict:
 
     Returns ``{"text": str, "spans": [(elem_type, page, start, end, bbox,
     hierarchy_level, parent_id)], "n_elements": int, "method": "html",
-    "error": str|None}``.
+    "error": str|None, "links": [{href, text, chrome}]}`` — links in
+    document order with their anchor text and a boilerplate flag.
     Never raises; on catastrophic failure returns empty text with the error
     recorded (posture of advanced_layout_extractor.py:690-691, logged not
     silenced).
@@ -483,6 +506,7 @@ def extract_html(payload: bytes | str) -> dict:
             "n_elements": len(spans),
             "method": "html",
             "error": None,
+            "links": parser.links,
         }
     except Exception as exc:  # totality: malformed input must degrade
         return {
@@ -491,4 +515,5 @@ def extract_html(payload: bytes | str) -> dict:
             "n_elements": 0,
             "method": "html",
             "error": f"{type(exc).__name__}: {exc}",
+            "links": [],
         }

@@ -1424,6 +1424,7 @@ def extract_pdf(payload: bytes) -> dict:
                 "n_elements": 0,
                 "method": "pdf",
                 "error": "encrypted",
+                "links": [],
             }
         pages = doc.pages()
         blocks: list[dict] = []  # {kind, page, texts: [line...], bbox}
@@ -1551,7 +1552,37 @@ def extract_pdf(payload: bytes) -> dict:
             "n_elements": len(spans),
             "method": "pdf",
             "error": err,
+            "links": _annot_links(doc, pages),
         }
     except Exception as exc:
         return {"text": "", "spans": [], "n_elements": 0, "method": "pdf",
-                "error": f"{type(exc).__name__}: {exc}"}
+                "error": f"{type(exc).__name__}: {exc}", "links": []}
+
+
+def _annot_links(doc: _Doc, pages: list[dict]) -> list[dict]:
+    """/Annots URI link targets, document order (PDF 32000-1 §12.5.6.5:
+    /Subtype /Link with an /A action of /S /URI). PDFs carry no anchor
+    text binding, so ``text`` stays empty; ``chrome`` is always False."""
+    links: list[dict] = []
+    try:
+        for page in pages:
+            annots = doc.resolve(page.get("Annots"))
+            if not isinstance(annots, list):
+                continue
+            for ref in annots:
+                a = doc.resolve(ref)
+                if isinstance(a, tuple) and a[0] == "stream":
+                    a = a[1]
+                if not isinstance(a, dict) or str(a.get("Subtype", "")) != "Link":
+                    continue
+                act = doc.resolve(a.get("A"))
+                if not isinstance(act, dict) or str(act.get("S", "")) != "URI":
+                    continue
+                uri = doc.resolve(act.get("URI"))
+                if isinstance(uri, bytes):
+                    links.append(
+                        {"href": _pdf_text(uri), "text": "", "chrome": False}
+                    )
+    except Exception:
+        pass
+    return links

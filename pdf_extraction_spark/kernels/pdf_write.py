@@ -421,6 +421,7 @@ def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
     with_image: bool = False, objstm: bool = False, make_font=None,
     encryptor=None, rotate: int = 0, form_xobject: bool = False,
+    links: list[str] | None = None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -461,6 +462,32 @@ def _assemble(
         )
         res_extra = " /XObject << /Im1 %d 0 R >>" % img_num
     form_base = max(max(objs), 3 + 2 * npages) + 1 if form_xobject else 0
+    annot_base = 0
+    annots_entry = ""
+    if links:
+        # /Link annotations with /URI actions on page 1 (§12.5.6.5)
+        annot_base = max(max(objs), 3 + 2 * npages) + (npages if form_xobject else 0) + 1
+        for k, uri in enumerate(links):
+            if encryptor is not None and not objstm:
+                # the standard handler encrypts ALL strings with the owning
+                # object's key — except inside an ObjStm, whose container
+                # stream is encrypted wholesale instead (§7.5.7)
+                cipher = encryptor.encrypt(
+                    annot_base + k, 0, uri.encode("latin-1", "replace")
+                )
+                tok = "<%s>" % cipher.hex().upper()
+            else:
+                esc = (uri.replace("\\", r"\\").replace("(", r"\(")
+                       .replace(")", r"\)"))
+                tok = "(%s)" % esc
+            objs[annot_base + k] = (
+                "<< /Type /Annot /Subtype /Link /Rect [72 %g 240 %g] "
+                "/Border [0 0 0] /A << /S /URI /URI %s >> >>"
+                % (40.0 + 14 * k, 52.0 + 14 * k, tok)
+            ).encode()
+        annots_entry = " /Annots [%s]" % " ".join(
+            "%d 0 R" % (annot_base + k) for k in range(len(links))
+        )
 
     def _stream_obj(body: str, head_extra: str = "") -> bytes:
         data = body.encode("latin-1")
@@ -492,9 +519,9 @@ def _assemble(
             )
             stream = "/Fx1 Do"
         objs[pg] = (
-            "<< /Type /Page /Parent 2 0 R%s "
+            "<< /Type /Page /Parent 2 0 R%s%s "
             "/Resources << /Font << /F1 3 0 R >>%s >> /Contents %d 0 R >>"
-            % (mbox, page_res, ct)
+            % (mbox, annots_entry if i == 0 else "", page_res, ct)
         ).encode()
         objs[ct] = _stream_obj(stream)
 
@@ -642,6 +669,7 @@ def build_pdf(
     rotate: int = 0,
     form_xobject: bool = False,
     split_runs: bool = False,
+    links: list[str] | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -755,7 +783,7 @@ def build_pdf(
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
-        form_xobject=form_xobject,
+        form_xobject=form_xobject, links=links,
     )
 
 

@@ -1,0 +1,101 @@
+"""Outlink extraction + link-graph operators.
+
+Web-scale pipelines mine outlinks for crawl frontiers, host-level link
+graphs (quality/spam features a la OPIC/harmonic centrality), and URL
+dedup. The reference has no link path at all (its inputs are local files);
+this is the Spark-first rebuild over the corpus table:
+
+* the Arrow-batched anchor/annotation kernel runs inside ``mapInPandas``
+  (one Python worker pass, no per-row UDF);
+* URL resolution (:mod:`..kernels.urlnorm`) happens in the same batch, so
+  the shuffle only ever carries resolved targets;
+* the host-graph rollup is a plain map-side-combinable groupBy — at 10^12
+  documents the shuffle key is (src_host, dst_host), bounded by the host
+  vocabulary, not the document count.
+
+100 TB scale notes: extraction is embarrassingly parallel over input
+splits; the only shuffle is the final host-pair aggregate whose
+cardinality is sub-linear in corpus size. No driver-side collection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import corpus_from_documents
+
+_LINKS_SCHEMA = "url string, href string, resolved string, chrome boolean"
+
+
+def outlinks(corpus: DataFrame) -> DataFrame:
+    """(url, href, resolved, chrome) per anchor/URI-annotation, document
+    order within each page; non-fetchable targets (javascript:, mailto:,
+    fragments) are dropped after resolution."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.dispatch import extract_document
+        from ..kernels.urlnorm import resolve_link
+
+        for pdf in batches:
+            urls, hrefs, resolved, chrome = [], [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                for lk in extract_document(payload)["links"]:
+                    tgt = resolve_link(url, lk["href"])
+                    if tgt is None:
+                        continue
+                    urls.append(url)
+                    hrefs.append(lk["href"])
+                    resolved.append(tgt)
+                    chrome.append(bool(lk["chrome"]))
+            yield pd.DataFrame(
+                {"url": urls, "href": hrefs, "resolved": resolved,
+                 "chrome": chrome}
+            )
+
+    return corpus.select("url", "html").mapInPandas(gen, _LINKS_SCHEMA)
+
+
+def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor outlink rows over the HTML corpus; the article template
+    carries the three chrome nav anchors, so the oracle reconstructs every
+    row by cross-joining documents with the template link set."""
+    corpus = corpus_from_documents(spark, sf_dir, payload="html")
+    return outlinks(corpus)
+
+
+SQL_EXTRACT_OUTLINKS = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       u.href AS href,
+       'https://' || source || '.example.com' || u.href AS resolved,
+       TRUE AS chrome
+FROM documents
+CROSS JOIN (VALUES ('/'), ('/about'), ('/contact')) AS u(href)
+"""
+
+
+def q_link_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-pair link-graph rollup: (src_host, dst_host, n_links) — the
+    map-side-combinable aggregate whose key space is the host vocabulary."""
+    lk = q_extract_outlinks(spark, sf_dir)
+    host = r"https://([^/]+)/"
+    return (
+        lk.select(
+            F.regexp_extract("url", host, 1).alias("src_host"),
+            F.regexp_extract("resolved", host, 1).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+SQL_LINK_HOST_DEGREE = """
+SELECT source || '.example.com' AS src_host,
+       source || '.example.com' AS dst_host,
+       3 * count(*) AS n_links
+FROM documents
+GROUP BY source
+"""

@@ -183,3 +183,43 @@ def test_gzipped_payload_is_unwrapped_at_dispatch():
     # corrupt gzip: total, classified binary by the ratio gate
     r2 = extract_document(b"\x1f\x8b\x08" + b"\x00\xff" * 64)
     assert r2["method"] == "binary" and isinstance(r2["text"], str)
+
+
+def test_anchor_links_collected():
+    """<a href> anchors come back in document order with anchor text and
+    the chrome (boilerplate-region) flag."""
+    html = (
+        "<html><body><nav><a href='/'>Home</a></nav>"
+        "<main><p>See <a href='/doc/2'>the next doc</a> and "
+        "<a href='https://other.example.org/x?q=1#frag'>external</a>.</p>"
+        "</main></body></html>"
+    )
+    r = extract_html(html)
+    assert r["links"] == [
+        {"href": "/", "text": "Home", "chrome": True},
+        {"href": "/doc/2", "text": "the next doc", "chrome": False},
+        {"href": "https://other.example.org/x?q=1#frag", "text": "external",
+         "chrome": False},
+    ]
+
+
+def test_anchor_links_malformed_and_hrefless():
+    """Unclosed anchors still flush; <a> without href contributes nothing;
+    extraction text is unaffected by link collection."""
+    r = extract_html(
+        "<p>surrounding prose keeps the block below the link-density gate "
+        "<a name='x'>plain</a> <a href='/y'>dangling</p>")
+    assert [l["href"] for l in r["links"]] == ["/y"]
+    assert "plain" in r["text"] and "dangling" in r["text"]
+
+
+def test_resolve_link_normalization():
+    from pdf_extraction_spark.kernels.urlnorm import resolve_link
+
+    base = "https://h.example.com/a/b"
+    assert resolve_link(base, "../c") == "https://h.example.com/c"
+    assert resolve_link(base, "//other.com/z") == "https://other.com/z"
+    assert resolve_link(base, "HTTP://UP.COM:80/P?q#f") == "http://up.com/P?q"
+    assert resolve_link(base, "https://x.com:8443/p") == "https://x.com:8443/p"
+    for bad in ("javascript:void(0)", "mailto:x@y.z", "#frag", "", "data:,x"):
+        assert resolve_link(base, bad) is None

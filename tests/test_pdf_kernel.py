@@ -609,3 +609,14 @@ def test_advance_formula_operators():
     runs, *_ = _interpret_content(
         b"q 2 Tc Q BT /F1 10 Tf 0 0 Td (a b) Tj ET")
     assert abs(runs[0][4] - base_units) < 1e-9
+
+
+def test_annot_uri_links():
+    """/Annots /Link /URI targets surface in document order, across
+    compression, ObjStm packing, and empty-password encryption."""
+    urls = ["https://a.example.com/x", "/rel/path?q=1"]
+    for kwargs in ({}, {"compress": True, "xref_stream": True, "objstm": True},
+                   {"encrypt": "aes-128", "compress": True}):
+        r = extract_pdf(build_pdf("body words " * 20, links=urls, **kwargs))
+        assert r["error"] is None
+        assert [l["href"] for l in r["links"]] == urls
