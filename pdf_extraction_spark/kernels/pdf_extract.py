@@ -37,6 +37,9 @@ _DELIM = b"()<>[]{}/%"
 _LIT_SPECIAL = re.compile(rb"[\\()]")
 _LIT_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 _WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_WS_OR_PCT = bytearray(256)
+for _b in b"\x00\t\n\x0c\r %":
+    _WS_OR_PCT[_b] = 1
 _COMMENT_RUN = re.compile(rb"%[^\r\n]*")
 _NUM_RUN = re.compile(rb"[+\-.0-9eE]+")
 _DIGIT_RUN = re.compile(rb"[0-9]+")
@@ -131,6 +134,10 @@ class _Lexer:
     def _skip_ws(self):
         # run-match whitespace and comments at C speed instead of per-byte
         d, p, n = self.d, self.p, len(self.d)
+        # fast path: already at a token byte (about half the calls — parse()
+        # re-skips right after the caller's skip)
+        if p < n and not _WS_OR_PCT[d[p]]:
+            return
         while True:
             m = _WS_RUN.match(d, p)
             if m is not None:
