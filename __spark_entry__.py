@@ -18,6 +18,7 @@ from pdf_extraction_spark.corpus import corpus_from_documents
 from pdf_extraction_spark.operators import (
     corpusops,
     dedup,
+    docmeta,
     elements,
     links,
     multimodal,
@@ -128,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link graph
         "extract_outlinks": links.q_extract_outlinks,
         "link_host_degree": links.q_link_host_degree,
+        "html_head_meta": docmeta.q_html_head_meta,
+        "pdf_info_meta": docmeta.q_pdf_info_meta,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
         "domain_cap": corpusops.q_domain_cap,
@@ -191,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "extract_outlinks": links.SQL_EXTRACT_OUTLINKS,
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
+        "html_head_meta": docmeta.SQL_HTML_HEAD_META,
+        "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,
         "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,

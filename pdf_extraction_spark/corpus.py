@@ -251,7 +251,9 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                                         rotate=(90, 180, 270)[i % 3]
                                         if i % 19 == 0 else 0,
                                         form_xobject=(i % 23 == 0),
-                                        split_runs=(i % 29 == 0))
+                                        split_runs=(i % 29 == 0),
+                                        info={"Title": "Doc %d" % i,
+                                              "Author": "synthcorp"})
                 )
             return pd.Series(out)
 

@@ -182,6 +182,8 @@ class _BlockParser:
     def __init__(self) -> None:
         self.blocks: list[Block] = []
         self.links: list[dict] = []  # {href, text, chrome} per <a href=...>
+        self.title: str | None = None  # head <title> (first wins)
+        self.meta: dict[str, str] = {}  # <meta name=... content=...>
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
@@ -221,6 +223,15 @@ class _BlockParser:
         if tag in _VOID_TAGS:
             if tag == "br" and self._cur is not None:
                 self._cur.parts.append(" ")
+            elif tag == "meta":
+                name = content = None
+                for k, v in attrs:
+                    if k in ("name", "property") and v:
+                        name = str(v).lower()
+                    elif k == "content" and v is not None:
+                        content = str(v)
+                if name and content is not None and name not in self.meta:
+                    self.meta[name] = _norm(content)
             return
         if tag in _DROP_TAGS or self._drop_depth > 0:
             self._stack.append(tag)
@@ -297,6 +308,12 @@ class _BlockParser:
             self._cur.link_parts.append(data)
         if self._open_a:
             self._open_a[-1][1].append(data)
+
+    def handle_title(self, body: str) -> None:
+        if self.title is None:
+            t = _norm(unescape(body) if "&" in body else body)
+            if t:
+                self.title = t
 
     def close(self):
         self._close_block()
@@ -423,6 +440,10 @@ def _scan(html: str, h: "_BlockParser") -> None:
             m = _RAWTEXT_CLOSE[name].search(html, i)
             if m is None:
                 break  # raw text runs to EOF; content is dropped anyway
+            if name == "title":
+                # RCDATA body contributes no main-content text but IS the
+                # document title metadata
+                h.handle_title(html[i:m.start()])
             i = m.start()  # the </script> end tag is handled next loop
 
 
@@ -507,6 +528,11 @@ def extract_html(payload: bytes | str) -> dict:
             "method": "html",
             "error": None,
             "links": parser.links,
+            "meta": {
+                "title": parser.title,
+                "author": parser.meta.get("author"),
+                "robots": parser.meta.get("robots"),
+            },
         }
     except Exception as exc:  # totality: malformed input must degrade
         return {
@@ -516,4 +542,5 @@ def extract_html(payload: bytes | str) -> dict:
             "method": "html",
             "error": f"{type(exc).__name__}: {exc}",
             "links": [],
+            "meta": {},
         }

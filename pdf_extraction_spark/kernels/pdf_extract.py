@@ -849,6 +849,25 @@ class _Doc:
             pass
         return out
 
+    def info(self) -> dict:
+        """Decoded document-information strings from the trailer /Info
+        dictionary (§14.3.3) — the metadata PyMuPDF exposes as
+        ``doc.metadata`` in the reference's stack."""
+        out: dict = {}
+        try:
+            inf = self.resolve(self.trailer.get("Info"))
+            if isinstance(inf, tuple) and inf[0] == "stream":
+                inf = inf[1]
+            if isinstance(inf, dict):
+                for k in ("Title", "Author", "Subject", "Producer",
+                          "CreationDate"):
+                    v = self.resolve(inf.get(k))
+                    if isinstance(v, bytes):
+                        out[k.lower()] = _pdf_text(v)
+        except Exception:
+            pass
+        return out
+
     def page_attr(self, page: dict, name: str):
         """Resolve an inheritable page attribute (/MediaBox, /Rotate,
         /Resources): the page dict itself, then up the /Parent chain."""
@@ -1432,6 +1451,7 @@ def extract_pdf(payload: bytes) -> dict:
                 "method": "pdf",
                 "error": "encrypted",
                 "links": [],
+                "meta": {},
             }
         pages = doc.pages()
         blocks: list[dict] = []  # {kind, page, texts: [line...], bbox}
@@ -1560,10 +1580,12 @@ def extract_pdf(payload: bytes) -> dict:
             "method": "pdf",
             "error": err,
             "links": _annot_links(doc, pages),
+            "meta": doc.info(),
         }
     except Exception as exc:
         return {"text": "", "spans": [], "n_elements": 0, "method": "pdf",
-                "error": f"{type(exc).__name__}: {exc}", "links": []}
+                "error": f"{type(exc).__name__}: {exc}", "links": [],
+                "meta": {}}
 
 
 def _annot_links(doc: _Doc, pages: list[dict]) -> list[dict]:

@@ -421,7 +421,7 @@ def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
     with_image: bool = False, objstm: bool = False, make_font=None,
     encryptor=None, rotate: int = 0, form_xobject: bool = False,
-    links: list[str] | None = None,
+    links: list[str] | None = None, info: dict | None = None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -525,11 +525,38 @@ def _assemble(
         ).encode()
         objs[ct] = _stream_obj(stream)
 
+    info_num = None
+    if info:
+        # trailer /Info document-information dictionary (§14.3.3); strings
+        # encrypted per the standard handler — except when the dict is
+        # packed into an ObjStm below, whose container stream is encrypted
+        # wholesale instead
+        info_num = max(list(objs) + [3 + 2 * npages]) + 1
+
+        def _info_body(encrypted: bool) -> bytes:
+            parts = []
+            for k, v in sorted(info.items()):
+                if encrypted:
+                    cipher = encryptor.encrypt(
+                        info_num, 0, str(v).encode("latin-1", "replace")
+                    )
+                    parts.append("/%s <%s>" % (k, cipher.hex().upper()))
+                else:
+                    esc = (str(v).replace("\\", r"\\").replace("(", r"\(")
+                           .replace(")", r"\)"))
+                    parts.append("/%s (%s)" % (k, esc))
+            return ("<< %s >>" % " ".join(parts)).encode()
+
+        # under objstm the dict is always packed (the packer keys on the
+        # exact b"\nstream\n" marker) and the container encryption covers
+        # its strings; otherwise encrypt them individually
+        objs[info_num] = _info_body(encryptor is not None and not objstm)
+
     packed: dict[int, int] = {}  # obj num -> index within the ObjStm
     if objstm:
         xref_stream = True
         # dict-only objects go into the container; stream objects cannot
-        dict_nums = sorted(n for n, b in objs.items() if b"stream" not in b)
+        dict_nums = sorted(n for n, b in objs.items() if b"\nstream\n" not in b)
         body = bytearray()
         header = []
         for idx, n in enumerate(dict_nums):
@@ -578,8 +605,10 @@ def _assemble(
 
     maxnum = max(list(objs) + list(packed))
     enc_trailer = b""
+    if info_num is not None:
+        enc_trailer += b" /Info %d 0 R" % info_num
     if enc_num is not None:
-        enc_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+        enc_trailer += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             enc_num,
             encryptor.id0.hex().upper().encode(),
             encryptor.id0.hex().upper().encode(),
@@ -670,6 +699,7 @@ def build_pdf(
     form_xobject: bool = False,
     split_runs: bool = False,
     links: list[str] | None = None,
+    info: dict | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -783,7 +813,7 @@ def build_pdf(
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
-        form_xobject=form_xobject, links=links,
+        form_xobject=form_xobject, links=links, info=info,
     )
 
 

@@ -1,0 +1,68 @@
+"""Document-metadata extraction queries.
+
+Webtext pipelines surface per-document metadata alongside the extracted
+text: the head ``<title>`` and robots/author ``<meta>`` tags for HTML, the
+trailer /Info dictionary for PDF (what PyMuPDF exposes as ``doc.metadata``
+in the reference's stack — the reference itself never reads it). Both run
+as one Arrow-batched ``mapInPandas`` pass over the corpus; at 10^12 docs
+this is embarrassingly parallel with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import corpus_from_documents
+
+_META_SCHEMA = "url string, title string, author string, robots string"
+
+
+def _meta_df(corpus: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.dispatch import extract_document
+
+        for pdf in batches:
+            rows = {"url": [], "title": [], "author": [], "robots": []}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                meta = extract_document(payload)["meta"]
+                rows["url"].append(url)
+                rows["title"].append(meta.get("title"))
+                rows["author"].append(meta.get("author"))
+                rows["robots"].append(meta.get("robots"))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(gen, _META_SCHEMA)
+
+
+def q_html_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head <title>/<meta> per HTML document; the article template carries
+    a fixed head title and no robots/author meta, which the oracle pins."""
+    return _meta_df(corpus_from_documents(spark, sf_dir, payload="html"))
+
+
+SQL_HTML_HEAD_META = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       't' AS title,
+       CAST(NULL AS VARCHAR) AS author,
+       CAST(NULL AS VARCHAR) AS robots
+FROM documents
+"""
+
+
+def q_pdf_info_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailer /Info per PDF document — deterministic Title/Author written
+    by the fixture builder, value-checked across font/encryption/layout
+    variants (incl. per-object string decryption of the /Info values)."""
+    return _meta_df(corpus_from_documents(spark, sf_dir, payload="pdf"))
+
+
+SQL_PDF_INFO_META = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'synthcorp' AS author,
+       CAST(NULL AS VARCHAR) AS robots
+FROM documents
+"""

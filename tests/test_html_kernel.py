@@ -223,3 +223,20 @@ def test_resolve_link_normalization():
     assert resolve_link(base, "https://x.com:8443/p") == "https://x.com:8443/p"
     for bad in ("javascript:void(0)", "mailto:x@y.z", "#frag", "", "data:,x"):
         assert resolve_link(base, bad) is None
+
+
+def test_head_title_and_meta():
+    """Head <title> (RCDATA, entity-unescaped, first wins) and <meta>
+    name/content pairs surface as document metadata without contributing
+    main-content text."""
+    html = (
+        "<html><head><title>My &amp; Title</title>"
+        "<meta name='robots' content='noindex, nofollow'>"
+        "<meta name='author' content='A. Writer'/>"
+        "<meta property='og:title' content='OG'></head>"
+        "<body><main><p>body words only here</p></main></body></html>"
+    )
+    r = extract_html(html)
+    assert r["meta"] == {"title": "My & Title", "author": "A. Writer",
+                         "robots": "noindex, nofollow"}
+    assert "Title" not in r["text"]

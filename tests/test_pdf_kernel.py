@@ -620,3 +620,17 @@ def test_annot_uri_links():
         r = extract_pdf(build_pdf("body words " * 20, links=urls, **kwargs))
         assert r["error"] is None
         assert [l["href"] for l in r["links"]] == urls
+
+
+def test_info_dictionary_roundtrip():
+    """Trailer /Info Title/Author decode across xref forms, ObjStm packing
+    (strings covered by the container encryption) and per-object string
+    encryption under the standard handler."""
+    info = {"Title": "Doc 42 (draft)", "Author": "synthcorp"}
+    for kw in ({}, {"xref_stream": True, "objstm": True},
+               {"encrypt": "aes-128", "compress": True},
+               {"encrypt": "rc4-40", "xref_stream": True, "objstm": True}):
+        r = extract_pdf(build_pdf("body words " * 30, info=info, **kw))
+        assert r["error"] is None
+        assert r["meta"]["title"] == "Doc 42 (draft)"
+        assert r["meta"]["author"] == "synthcorp"
