@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_degree": links.q_link_host_degree,
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
+        "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
         "domain_cap": corpusops.q_domain_cap,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
+        "paragraph_dedup": corpusops.SQL_PARAGRAPH_DEDUP,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,
         "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,

@@ -749,3 +749,66 @@ SELECT doc_id,
 FROM words JOIN freq USING (word) CROSS JOIN total
 GROUP BY doc_id
 """
+
+
+# -- paragraph-level dedup (CCNet) ------------------------------------------------
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph/line-level dedup signal (Wenzek et al. 2020
+    dedupe normalized paragraphs across shards before LM filtering): split
+    each document into sentence-ish units, normalize (trim + lowercase),
+    and report per doc how many of its distinct units also occur in some
+    OTHER document.
+
+    Scale shape: the cross-doc occurrence count groups on
+    ``xxhash64(unit)`` — an 8-byte combinable shuffle key, never the
+    string; per-doc rollup groups on doc_id. No window, no driver state.
+    The oracle groups on the unit string itself — the surfaced values are
+    counts, so both groupings agree exactly.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    units = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", r"\. ")).alias("u"),
+        )
+        .select("doc_id", F.lower(F.trim("u")).alias("u"))
+        .filter(F.length("u") >= 20)
+        .select("doc_id", F.xxhash64("u").alias("uh"))
+        .distinct()
+    )
+    freq = units.groupBy("uh").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        units.join(freq, "uh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_units"),
+        )
+        .select(
+            "doc_id",
+            "n_units",
+            "n_dup_units",
+            F.round(F.col("n_dup_units") / F.col("n_units"), 6).alias("dup_frac"),
+        )
+    )
+    return per_doc
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH units AS (
+  SELECT DISTINCT doc_id, lower(trim(u)) AS u
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS u
+        FROM documents)
+  WHERE length(lower(trim(u))) >= 20
+), freq AS (
+  SELECT u, count(*) AS n_docs FROM units GROUP BY u
+)
+SELECT un.doc_id,
+       count(*) AS n_units,
+       CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_units,
+       round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM units un JOIN freq f ON un.u = f.u
+GROUP BY un.doc_id
+"""
