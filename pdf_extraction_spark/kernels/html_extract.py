@@ -184,6 +184,7 @@ class _BlockParser:
         self.links: list[dict] = []  # {href, text, chrome} per <a href=...>
         self.title: str | None = None  # head <title> (first wins)
         self.meta: dict[str, str] = {}  # <meta name=... content=...>
+        self.base_href: str | None = None  # <base href> (first wins)
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
@@ -232,6 +233,12 @@ class _BlockParser:
                         content = str(v)
                 if name and content is not None and name not in self.meta:
                     self.meta[name] = _norm(content)
+            elif tag == "base" and self.base_href is None:
+                href = next(
+                    (str(v) for k, v in attrs if k == "href" and v), None
+                )
+                if href:
+                    self.base_href = href.strip()
             return
         if tag in _DROP_TAGS or self._drop_depth > 0:
             self._stack.append(tag)
@@ -532,6 +539,7 @@ def extract_html(payload: bytes | str) -> dict:
                 "title": parser.title,
                 "author": parser.meta.get("author"),
                 "robots": parser.meta.get("robots"),
+                "base": parser.base_href,
             },
         }
     except Exception as exc:  # totality: malformed input must degrade

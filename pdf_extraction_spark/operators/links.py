@@ -43,8 +43,13 @@ def outlinks(corpus: DataFrame) -> DataFrame:
         for pdf in batches:
             urls, hrefs, resolved, chrome = [], [], [], []
             for url, payload in zip(pdf["url"], pdf["html"]):
-                for lk in extract_document(payload)["links"]:
-                    tgt = resolve_link(url, lk["href"])
+                res = extract_document(payload)
+                # <base href> redirects relative resolution (itself resolved
+                # against the document URL, per HTML spec)
+                base = res["meta"].get("base") if res["meta"] else None
+                eff_base = (resolve_link(url, base) or url) if base else url
+                for lk in res["links"]:
+                    tgt = resolve_link(eff_base, lk["href"])
                     if tgt is None:
                         continue
                     urls.append(url)

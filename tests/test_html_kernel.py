@@ -238,5 +238,16 @@ def test_head_title_and_meta():
     )
     r = extract_html(html)
     assert r["meta"] == {"title": "My & Title", "author": "A. Writer",
-                         "robots": "noindex, nofollow"}
+                         "robots": "noindex, nofollow", "base": None}
     assert "Title" not in r["text"]
+
+
+def test_base_href_captured():
+    """<base href> surfaces in meta (first wins) for link resolution."""
+    html = ("<html><head><base href='https://cdn.example.net/sub/'>"
+            "<base href='https://ignored.example/'></head>"
+            "<body><main><p>content body words</p></main></body></html>")
+    r = extract_html(html)
+    assert r["meta"]["base"] == "https://cdn.example.net/sub/"
+    r2 = extract_html("<p>no base here at all words</p>")
+    assert r2["meta"]["base"] is None
