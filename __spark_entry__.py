@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elements_spatial_relations": elements.q_spatial_relations,
         "elements_hierarchy": elements.q_element_hierarchy,
         "table_cells": elements.q_table_cells,
+        "html_table_cells": elements.q_html_table_cells,
         # relational operator inventory (SURVEY.md §2)
         "pricing_summary": relational.q_pricing_summary,
         "group_median": relational.q_group_median,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
         "elements_hierarchy": elements.SQL_ELEMENT_HIERARCHY,
         "table_cells": elements.SQL_TABLE_CELLS,
+        "html_table_cells": elements.SQL_HTML_TABLE_CELLS,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "group_median": relational.SQL_GROUP_MEDIAN,
         "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,

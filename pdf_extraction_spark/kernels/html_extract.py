@@ -162,6 +162,18 @@ class Block:
         return len(_norm("".join(self.link_parts)))
 
 
+def _span_attr(attrs, name: str) -> int:
+    """colspan/rowspan per WHATWG table processing: non-numeric or missing
+    → 1; clamped to [1, 1000] (the spec's colspan ceiling)."""
+    for k, v in attrs:
+        if k == name and v is not None:
+            s = str(v).strip()
+            if s.isdigit():
+                return max(1, min(1000, int(s)))
+            return 1
+    return 1
+
+
 def _kind_for_tag(tag: str) -> str:
     if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
         return "title"
@@ -194,6 +206,10 @@ class _BlockParser:
         self._open_a: list[tuple] = []  # (href, anchor_parts, in_chrome)
         self._cur: Block | None = None
         self.saw_main = False
+        # table grid capture (runs alongside, independent of block scoring)
+        self.tables: list[dict] = []
+        self._table_stack: list[dict] = []  # innermost last
+        self._table_seq = 0
 
     # -- block lifecycle ---------------------------------------------------
 
@@ -266,8 +282,72 @@ class _BlockParser:
             )
             if href is not None:
                 self._open_a.append((href, [], self._chrome_depth > 0))
+        if tag == "table":
+            self._table_seq += 1
+            self._table_stack.append(
+                {"rows": [], "row": None, "cell": None, "seq": self._table_seq,
+                 "chrome": self._chrome_depth > 0}
+            )
+        elif tag == "tr" and self._table_stack:
+            t = self._table_stack[-1]
+            self._close_table_cell(t)
+            t["row"] = []
+            t["rows"].append(t["row"])
+        elif tag in ("td", "th") and self._table_stack:
+            t = self._table_stack[-1]
+            self._close_table_cell(t)
+            if t["row"] is None:  # lenient: cell without an open <tr>
+                t["row"] = []
+                t["rows"].append(t["row"])
+            t["cell"] = {
+                "parts": [],
+                "header": tag == "th",
+                "colspan": _span_attr(attrs, "colspan"),
+                "rowspan": _span_attr(attrs, "rowspan"),
+            }
         if tag in _BLOCK_TAGS:
             self._open_block(tag)
+
+    # -- table capture helpers ---------------------------------------------
+
+    @staticmethod
+    def _close_table_cell(t: dict) -> None:
+        if t["cell"] is not None:
+            t["row"].append(t["cell"])
+            t["cell"] = None
+
+    def _close_table(self) -> None:
+        """Finalize the innermost open table into a (row, col) grid with
+        WHATWG-style span occupancy: cells slide right past slots claimed by
+        earlier rowspans; rowspans are clipped at the table's last row."""
+        t = self._table_stack.pop()
+        self._close_table_cell(t)
+        n_rows = len(t["rows"])
+        occupied: set = set()
+        cells: list[dict] = []
+        n_cols = 0
+        for r, row in enumerate(t["rows"]):
+            c = 0
+            for cell in row:
+                while (r, c) in occupied:
+                    c += 1
+                rs = min(cell["rowspan"], n_rows - r)
+                cs = cell["colspan"]
+                for dr in range(rs):
+                    for dc in range(cs):
+                        occupied.add((r + dr, c + dc))
+                cells.append(
+                    {"row": r, "col": c, "rowspan": rs, "colspan": cs,
+                     "header": cell["header"],
+                     "text": _norm("".join(cell["parts"]))}
+                )
+                c += cs
+                n_cols = max(n_cols, c)
+        if cells:
+            self.tables.append(
+                {"seq": t["seq"], "n_rows": n_rows,
+                 "n_cols": n_cols, "chrome": t["chrome"], "cells": cells}
+            )
 
     def handle_endtag(self, tag):
         # tag arrives already lowercased from _scan
@@ -297,6 +377,14 @@ class _BlockParser:
                             "text": _norm("".join(parts)),
                             "chrome": chrome,
                         })
+                if bare in ("td", "th") and self._table_stack:
+                    self._close_table_cell(self._table_stack[-1])
+                elif bare == "tr" and self._table_stack:
+                    t = self._table_stack[-1]
+                    self._close_table_cell(t)
+                    t["row"] = None
+                elif bare == "table" and self._table_stack:
+                    self._close_table()
                 if bare in _BLOCK_TAGS:
                     self._close_block()
             if bare == tag:
@@ -315,6 +403,12 @@ class _BlockParser:
             self._cur.link_parts.append(data)
         if self._open_a:
             self._open_a[-1][1].append(data)
+        # innermost open cell wins (text between a nested <table> and its
+        # first <td> has no cell of its own and falls to the enclosing cell)
+        for t in reversed(self._table_stack):
+            if t["cell"] is not None:
+                t["cell"]["parts"].append(data)
+                break
 
     def handle_title(self, body: str) -> None:
         if self.title is None:
@@ -330,6 +424,14 @@ class _BlockParser:
             self.links.append(
                 {"href": href, "text": _norm("".join(parts)), "chrome": chrome}
             )
+        # finalize tables left open by malformed markup (innermost first),
+        # then restore document (open-tag) order
+        while self._table_stack:
+            self._close_table()
+        self.tables.sort(key=lambda t: t["seq"])
+        for i, t in enumerate(self.tables):
+            t.pop("seq")
+            t["table_idx"] = i
 
 
 _TAG_WS = " \t\n\r\f"
@@ -552,3 +654,29 @@ def extract_html(payload: bytes | str) -> dict:
             "links": [],
             "meta": {},
         }
+
+
+def extract_html_tables(payload: bytes | str) -> list[dict]:
+    """Decompose every <table> in the payload into a (row, col) cell grid.
+
+    Returns ``[{"table_idx", "n_rows", "n_cols", "chrome", "cells": [{"row",
+    "col", "rowspan", "colspan", "header", "text"}, ...]}, ...]`` in document
+    (open-tag) order. Span occupancy follows the WHATWG table-processing
+    model: cells slide right past slots claimed by earlier rowspans, spans
+    clamp to [1, 1000], and rowspans clip at the table's last row. Mirrors
+    the PDF side's ruled-grid decomposition (extract_table_cells; reference
+    parity: pdf_vector_utils.py:169-192 builds the same row/col matrix from
+    detected boundaries). Never raises; malformed markup degrades to the
+    tables recoverable from the leniently-unwound tag stack.
+    """
+    try:
+        if isinstance(payload, bytes):
+            html = payload.decode(detect_charset(payload), errors="replace")
+        else:
+            html = payload
+        parser = _BlockParser()
+        _scan(html, parser)
+        parser.close()
+        return parser.tables
+    except Exception:
+        return []

@@ -297,3 +297,87 @@ SQL_ELEMENTS_SPATIAL_RELATIONS = """
 SELECT doc_id, TRUE AS has_above, CAST(0 AS BIGINT) AS n_later_page_pairs
 FROM documents
 """
+
+
+def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> cell decomposition, value-checked end to end — the HTML
+    twin of :func:`q_table_cells` (reference grid parity:
+    pdf_vector_utils.py:169-192). Each doc's first 9 words are rendered as a
+    markup table and parsed back with
+    :func:`html_extract.extract_html_tables`; docs with ``doc_id % 3 == 0``
+    use a rowspan/colspan variant so WHATWG span occupancy (cells sliding
+    past rowspan-claimed slots, spans clamped) is exercised under the DuckDB
+    oracle, not just unit goldens."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def _cells(batches):
+        from ..kernels import html_extract as hx
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "cell_row": [], "cell_col": [],
+                "rowspan": [], "colspan": [], "is_header": [], "cell_text": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:9]
+                if i % 3 == 0:
+                    body = (
+                        f"<tr><th rowspan=2>{w[0]}</th><th>{w[1]}</th>"
+                        f"<th>{w[2]}</th></tr>"
+                        f"<tr><td>{w[3]}</td><td>{w[4]}</td></tr>"
+                        f"<tr><td colspan=\"2\">{w[5]}</td><td>{w[6]}</td></tr>"
+                    )
+                else:
+                    rows = [w[0:3], w[3:6], w[6:9]]
+                    body = "".join(
+                        "<tr>"
+                        + "".join(
+                            f"<{'th' if r == 0 else 'td'}>{c}</{'th' if r == 0 else 'td'}>"
+                            for c in row
+                        )
+                        + "</tr>"
+                        for r, row in enumerate(rows)
+                    )
+                html = f"<html><body><table>{body}</table></body></html>"
+                for t in hx.extract_html_tables(html):
+                    for c in t["cells"]:
+                        out["doc_id"].append(i)
+                        out["cell_row"].append(c["row"])
+                        out["cell_col"].append(c["col"])
+                        out["rowspan"].append(c["rowspan"])
+                        out["colspan"].append(c["colspan"])
+                        out["is_header"].append(c["header"])
+                        out["cell_text"].append(c["text"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _cells,
+        schema=(
+            "doc_id long, cell_row int, cell_col int, rowspan int, "
+            "colspan int, is_header boolean, cell_text string"
+        ),
+    )
+
+
+SQL_HTML_TABLE_CELLS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ga(r, c, i, rs, cs, hdr) AS (VALUES
+ (0,0,1,1,1,TRUE),(0,1,2,1,1,TRUE),(0,2,3,1,1,TRUE),
+ (1,0,4,1,1,FALSE),(1,1,5,1,1,FALSE),(1,2,6,1,1,FALSE),
+ (2,0,7,1,1,FALSE),(2,1,8,1,1,FALSE),(2,2,9,1,1,FALSE)),
+gb(r, c, i, rs, cs, hdr) AS (VALUES
+ (0,0,1,2,1,TRUE),(0,1,2,1,1,TRUE),(0,2,3,1,1,TRUE),
+ (1,1,4,1,1,FALSE),(1,2,5,1,1,FALSE),
+ (2,0,6,1,2,FALSE),(2,2,7,1,1,FALSE))
+SELECT doc_id, CAST(r AS INT) AS cell_row, CAST(c AS INT) AS cell_col,
+       CAST(rs AS INT) AS rowspan, CAST(cs AS INT) AS colspan,
+       hdr AS is_header, w[i] AS cell_text
+FROM w, ga WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT doc_id, CAST(r AS INT), CAST(c AS INT), CAST(rs AS INT),
+       CAST(cs AS INT), hdr, w[i]
+FROM w, gb WHERE doc_id % 3 = 0
+"""
