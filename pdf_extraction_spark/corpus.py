@@ -50,7 +50,7 @@ def _sentence(rng: random.Random, n: int, lang: str) -> str:
 
 _CHROME = (
     "<header><div class='logo'>SiteName</div>"
-    "<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/contact'>Contact</a></nav>"
+    "<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/contact' rel='nofollow'>Contact</a></nav>"
     "</header>"
 )
 _FOOTER = "<footer><p>Copyright 2025 SiteName. All rights reserved.</p></footer>"
@@ -192,7 +192,8 @@ def compute_goldens(rows: list[dict]) -> list[dict]:
 # -- Spark-side corpus from the driver's documents table -------------------------
 
 ARTICLE_PREFIX = (
-    "<!DOCTYPE html><html><head><title>t</title></head><body>"
+    "<!DOCTYPE html><html><head><title>t</title>"
+    "<link rel='canonical' href='/canonical'></head><body>"
     + _CHROME
     + "<main><p>"
 )

@@ -197,6 +197,7 @@ class _BlockParser:
         self.title: str | None = None  # head <title> (first wins)
         self.meta: dict[str, str] = {}  # <meta name=... content=...>
         self.base_href: str | None = None  # <base href> (first wins)
+        self.canonical: str | None = None  # <link rel=canonical> (first wins)
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
@@ -249,6 +250,15 @@ class _BlockParser:
                         content = str(v)
                 if name and content is not None and name not in self.meta:
                     self.meta[name] = _norm(content)
+            elif tag == "link" and self.canonical is None:
+                rel = href = None
+                for k, v in attrs:
+                    if k == "rel" and v:
+                        rel = str(v).lower().split()
+                    elif k == "href" and v:
+                        href = str(v)
+                if rel and "canonical" in rel and href:
+                    self.canonical = href.strip()
             elif tag == "base" and self.base_href is None:
                 href = next(
                     (str(v) for k, v in attrs if k == "href" and v), None
@@ -277,11 +287,17 @@ class _BlockParser:
             self._figure_depth += 1
         if tag == "a":
             self._link_depth += 1
-            href = next(
-                (str(v) for k, v in attrs if k == "href" and v), None
-            )
+            href = rel = None
+            for k, v in attrs:
+                if k == "href" and v:
+                    href = str(v)
+                elif k == "rel" and v:
+                    rel = str(v).lower()
             if href is not None:
-                self._open_a.append((href, [], self._chrome_depth > 0))
+                nofollow = rel is not None and "nofollow" in rel.split()
+                self._open_a.append(
+                    (href, [], self._chrome_depth > 0, nofollow)
+                )
         if tag == "table":
             self._table_seq += 1
             self._table_stack.append(
@@ -371,11 +387,12 @@ class _BlockParser:
                 if bare == "a":
                     self._link_depth = max(0, self._link_depth - 1)
                     if self._open_a:
-                        href, parts, chrome = self._open_a.pop()
+                        href, parts, chrome, nofollow = self._open_a.pop()
                         self.links.append({
                             "href": href,
                             "text": _norm("".join(parts)),
                             "chrome": chrome,
+                            "nofollow": nofollow,
                         })
                 if bare in ("td", "th") and self._table_stack:
                     self._close_table_cell(self._table_stack[-1])
@@ -420,9 +437,10 @@ class _BlockParser:
         self._close_block()
         # flush anchors left open by malformed markup
         while self._open_a:
-            href, parts, chrome = self._open_a.pop()
+            href, parts, chrome, nofollow = self._open_a.pop()
             self.links.append(
-                {"href": href, "text": _norm("".join(parts)), "chrome": chrome}
+                {"href": href, "text": _norm("".join(parts)),
+                 "chrome": chrome, "nofollow": nofollow}
             )
         # finalize tables left open by malformed markup (innermost first),
         # then restore document (open-tag) order
@@ -642,6 +660,7 @@ def extract_html(payload: bytes | str) -> dict:
                 "author": parser.meta.get("author"),
                 "robots": parser.meta.get("robots"),
                 "base": parser.base_href,
+                "canonical": parser.canonical,
             },
         }
     except Exception as exc:  # totality: malformed input must degrade

@@ -17,21 +17,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..corpus import corpus_from_documents
 
-_META_SCHEMA = "url string, title string, author string, robots string"
+_META_SCHEMA = ("url string, title string, author string, "
+                "robots string, canonical string")
 
 
 def _meta_df(corpus: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.dispatch import extract_document
+        from ..kernels.urlnorm import resolve_link
 
         for pdf in batches:
-            rows = {"url": [], "title": [], "author": [], "robots": []}
+            rows = {"url": [], "title": [], "author": [], "robots": [],
+                    "canonical": []}
             for url, payload in zip(pdf["url"], pdf["html"]):
                 meta = extract_document(payload)["meta"]
                 rows["url"].append(url)
                 rows["title"].append(meta.get("title"))
                 rows["author"].append(meta.get("author"))
                 rows["robots"].append(meta.get("robots"))
+                # rel=canonical resolves against the document URL (with any
+                # <base href> honored first, like anchors)
+                base = meta.get("base")
+                eff = (resolve_link(url, base) or url) if base else url
+                canon = meta.get("canonical")
+                rows["canonical"].append(
+                    resolve_link(eff, canon) if canon else None
+                )
             yield pd.DataFrame(rows)
 
     return corpus.select("url", "html").mapInPandas(gen, _META_SCHEMA)
@@ -47,7 +58,8 @@ SQL_HTML_HEAD_META = """
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
        't' AS title,
        CAST(NULL AS VARCHAR) AS author,
-       CAST(NULL AS VARCHAR) AS robots
+       CAST(NULL AS VARCHAR) AS robots,
+       'https://' || source || '.example.com/canonical' AS canonical
 FROM documents
 """
 
@@ -63,6 +75,7 @@ SQL_PDF_INFO_META = """
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        'synthcorp' AS author,
-       CAST(NULL AS VARCHAR) AS robots
+       CAST(NULL AS VARCHAR) AS robots,
+       CAST(NULL AS VARCHAR) AS canonical
 FROM documents
 """

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..corpus import corpus_from_documents
 
-_LINKS_SCHEMA = "url string, href string, resolved string, chrome boolean"
+_LINKS_SCHEMA = ("url string, href string, resolved string, "
+                 "chrome boolean, nofollow boolean")
 
 
 def outlinks(corpus: DataFrame) -> DataFrame:
@@ -41,7 +42,7 @@ def outlinks(corpus: DataFrame) -> DataFrame:
         from ..kernels.urlnorm import resolve_link
 
         for pdf in batches:
-            urls, hrefs, resolved, chrome = [], [], [], []
+            urls, hrefs, resolved, chrome, nofollow = [], [], [], [], []
             for url, payload in zip(pdf["url"], pdf["html"]):
                 res = extract_document(payload)
                 # <base href> redirects relative resolution (itself resolved
@@ -56,9 +57,11 @@ def outlinks(corpus: DataFrame) -> DataFrame:
                     hrefs.append(lk["href"])
                     resolved.append(tgt)
                     chrome.append(bool(lk["chrome"]))
+                    # PDF /Annots links carry no rel semantics -> False
+                    nofollow.append(bool(lk.get("nofollow", False)))
             yield pd.DataFrame(
                 {"url": urls, "href": hrefs, "resolved": resolved,
-                 "chrome": chrome}
+                 "chrome": chrome, "nofollow": nofollow}
             )
 
     return corpus.select("url", "html").mapInPandas(gen, _LINKS_SCHEMA)
@@ -76,9 +79,10 @@ SQL_EXTRACT_OUTLINKS = """
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
        u.href AS href,
        'https://' || source || '.example.com' || u.href AS resolved,
-       TRUE AS chrome
+       TRUE AS chrome,
+       u.nf AS nofollow
 FROM documents
-CROSS JOIN (VALUES ('/'), ('/about'), ('/contact')) AS u(href)
+CROSS JOIN (VALUES ('/', FALSE), ('/about', FALSE), ('/contact', TRUE)) AS u(href, nf)
 """
 
 

@@ -196,10 +196,11 @@ def test_anchor_links_collected():
     )
     r = extract_html(html)
     assert r["links"] == [
-        {"href": "/", "text": "Home", "chrome": True},
-        {"href": "/doc/2", "text": "the next doc", "chrome": False},
+        {"href": "/", "text": "Home", "chrome": True, "nofollow": False},
+        {"href": "/doc/2", "text": "the next doc", "chrome": False,
+         "nofollow": False},
         {"href": "https://other.example.org/x?q=1#frag", "text": "external",
-         "chrome": False},
+         "chrome": False, "nofollow": False},
     ]
 
 
@@ -238,7 +239,8 @@ def test_head_title_and_meta():
     )
     r = extract_html(html)
     assert r["meta"] == {"title": "My & Title", "author": "A. Writer",
-                         "robots": "noindex, nofollow", "base": None}
+                         "robots": "noindex, nofollow", "base": None,
+                         "canonical": None}
     assert "Title" not in r["text"]
 
 
@@ -251,3 +253,32 @@ def test_base_href_captured():
     assert r["meta"]["base"] == "https://cdn.example.net/sub/"
     r2 = extract_html("<p>no base here at all words</p>")
     assert r2["meta"]["base"] is None
+
+
+def test_anchor_rel_nofollow_flag():
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    res = extract_html(
+        "<body><a href='/x' rel='nofollow noopener'>a</a>"
+        "<a href='/y' rel='NOFOLLOW'>b</a>"
+        "<a href='/z' rel='noopener'>c</a><a href='/w'>d</a></body>"
+    )
+    flags = {l["href"]: l["nofollow"] for l in res["links"]}
+    assert flags == {"/x": True, "/y": True, "/z": False, "/w": False}
+
+
+def test_link_rel_canonical_first_wins():
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    res = extract_html(
+        "<head><link rel='stylesheet' href='/s.css'>"
+        "<link rel='canonical' href='/one'>"
+        "<link rel='canonical' href='/two'></head><body><p>x</p></body>"
+    )
+    assert res["meta"]["canonical"] == "/one"
+
+
+def test_no_canonical_is_none():
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    assert extract_html("<body><p>x</p></body>")["meta"]["canonical"] is None
