@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
         "dedup_components": dedup.q_dedup_components,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
         "embedding_cosine_pairs": similarity.q_embedding_cosine_pairs,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.SQL_DEDUP_MINHASH_LSH,
         "dedup_components": dedup.SQL_DEDUP_COMPONENTS,
+        "dedup_keep_best": dedup.SQL_DEDUP_KEEP_BEST,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
         "dedup_ngram_jaccard": dedup.SQL_DEDUP_NGRAM_JACCARD,
         "embedding_cosine_pairs": similarity.SQL_EMBEDDING_COSINE_PAIRS,

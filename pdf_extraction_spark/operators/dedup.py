@@ -290,15 +290,15 @@ WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= {JA
 CC_MAX_ITERS = 40  # with pointer doubling this covers diameter ~2^40
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
-    """Connected components over an undirected pair graph (columns
+def component_labels(pairs: DataFrame) -> DataFrame:
+    """Per-node component labels over an undirected pair graph (columns
     ``id_a``/``id_b``): min-label propagation **with pointer doubling** to a
     fixpoint, so adversarial diameters converge in O(log d) rounds, not
     O(d) (VERDICT r2 item 7 — the r2 version's flat 12-round cap silently
     mislabeled a >12-diameter chain). Each round is the neighbor
     propagation equi-join + min-agg, then one label-shortcut self-join
     (lbl := min(lbl, lbl[lbl])). The driver sees only a scalar change-count
-    per round, never rows. Returns (component_root, n_members)."""
+    per round, never rows. Returns (node, lbl)."""
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
@@ -343,11 +343,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    comps = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
     edges.unpersist()
-    return comps.select(
-        F.col("lbl").cast("long").alias("component_root"),
-        F.col("n_members").cast("long").alias("n_members"),
+    return labels
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Per-component rollup of :func:`component_labels`:
+    (component_root, n_members)."""
+    labels = component_labels(pairs)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            F.col("lbl").cast("long").alias("component_root"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     )
 
 
@@ -517,4 +527,84 @@ FROM inter i
 JOIN sizes sa ON i.id_a = sa.doc_id
 JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= 0.2
+"""
+
+
+# -- canonical-document selection per duplicate cluster -------------------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-duplicate cluster, keep
+    the highest-quality member (what production dedup actually ships — the
+    pair list and the cluster rollup are intermediates; the pipeline output
+    is one keeper per cluster plus a drop list).
+
+    Composition: verified MinHash-LSH pairs → :func:`component_labels` →
+    join per-doc quality features → per-cluster argmax window
+    (quality DESC, doc_id ASC tie-break, fully deterministic).
+
+    100 TB shape: the quality join shuffles on doc_id (hash-partitioned,
+    combinable); the argmax window partitions by cluster label, whose
+    cardinality is the cluster count and whose partition sizes are cluster
+    sizes — bounded by the LSH candidate generation, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    from .textops import q_quality_score
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    labels = component_labels(pairs)
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = labels.join(quality, labels.node == quality.doc_id).select(
+        "lbl", "doc_id", "quality"
+    )
+    w = Window.partitionBy("lbl").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("lbl")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("lbl").cast("long").alias("component_root"),
+            F.col("doc_id").cast("long").alias("keeper_id"),
+            F.col("quality").alias("keeper_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+               + (len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','of','and','to')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+               - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE)) * 1.0, 4) AS quality
+  FROM documents
+),
+r AS (
+  SELECT l.lbl, l.node, q.quality,
+         row_number() OVER (PARTITION BY l.lbl
+                            ORDER BY q.quality DESC, l.node ASC) AS rn,
+         count(*) OVER (PARTITION BY l.lbl) AS nm
+  FROM lab l JOIN q ON q.doc_id = l.node
+)
+SELECT CAST(lbl AS BIGINT) AS component_root,
+       CAST(node AS BIGINT) AS keeper_id,
+       quality AS keeper_quality,
+       CAST(nm AS BIGINT) AS n_members
+FROM r WHERE rn = 1
 """

@@ -89,3 +89,38 @@ def test_winnow_kernel_matches_reference(text):
         assert out.empty
     else:
         assert (int(out.n_fp[0]), int(out.min_fp[0])) == ref
+
+
+def test_component_labels_per_node(spark):
+    """component_labels returns one (node, lbl) row per node with the
+    component-min label."""
+    out = {
+        r["node"]: r["lbl"]
+        for r in dedup.component_labels(
+            _pairs_df(spark, [(1, 2), (2, 3), (10, 11)])
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_keep_best_argmax_is_deterministic(spark):
+    """Keeper = highest quality, doc_id ascending on ties."""
+    from pyspark.sql import Window
+
+    labels = dedup.component_labels(_pairs_df(spark, [(1, 2), (2, 3), (7, 8)]))
+    quality = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 7, 8], "quality": [0.5, 0.9, 0.9, 0.4, 0.4]}
+        )
+    )
+    j = labels.join(quality, labels.node == quality.doc_id)
+    w = Window.partitionBy("lbl").orderBy(F.desc("quality"), F.asc("doc_id"))
+    keep = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("lbl", "doc_id")
+        .collect()
+    )
+    got = {r["lbl"]: r["doc_id"] for r in keep}
+    # cluster {1,2,3}: 2 and 3 tie on quality -> 2 wins; cluster {7,8} -> 7
+    assert got == {1: 2, 7: 7}
