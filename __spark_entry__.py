@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_degree": links.q_link_host_degree,
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
+        "pdf_toc": docmeta.q_pdf_toc,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
+        "pdf_toc": docmeta.SQL_PDF_TOC,
         "paragraph_dedup": corpusops.SQL_PARAGRAPH_DEDUP,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,

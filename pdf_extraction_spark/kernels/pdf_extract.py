@@ -868,6 +868,85 @@ class _Doc:
             pass
         return out
 
+    def page_num_map(self) -> dict[int, int]:
+        """Object number → page index, in page-tree order (for /Dest
+        resolution)."""
+        out: dict[int, int] = {}
+        try:
+            root = self.resolve(self.trailer.get("Root"))
+            if isinstance(root, dict):
+                self._walk_page_nums(root.get("Pages"), out, set())
+        except Exception:
+            pass
+        return out
+
+    def _walk_page_nums(self, ref, out: dict, seen: set) -> None:
+        num = ref.num if isinstance(ref, _Ref) else None
+        node = self.resolve(ref)
+        if not isinstance(node, dict) or id(node) in seen or len(out) > 10000:
+            return
+        seen.add(id(node))
+        if str(node.get("Type", "")) == "Page":
+            if num is not None:
+                out[num] = len(out)
+            return
+        for kid in node.get("Kids", []) or []:
+            self._walk_page_nums(kid, out, seen)
+
+    def outline(self) -> list[dict]:
+        """Flattened /Outlines (bookmark) tree: ``[{level, title, page}]``
+        in depth-first document order — what PyMuPDF exposes as
+        ``doc.get_toc()`` in the reference's stack (§12.3.3). ``page`` is
+        the 0-based index of the /Dest (or /A /GoTo) target page, -1 when
+        unresolvable. Cycle-guarded and bounded; titles go through the
+        standard string decode (so encrypted documents come back decrypted,
+        BOM/UTF-8 strings decoded)."""
+        items: list[dict] = []
+        try:
+            root = self.resolve(self.trailer.get("Root"))
+            if not isinstance(root, dict):
+                return []
+            ol = self.resolve(root.get("Outlines"))
+            if isinstance(ol, tuple) and ol[0] == "stream":
+                ol = ol[1]
+            if not isinstance(ol, dict):
+                return []
+            pgmap = self.page_num_map()
+            seen: set = set()
+
+            def dest_page(node: dict) -> int:
+                dest = self.resolve(node.get("Dest"))
+                if dest is None:
+                    act = self.resolve(node.get("A"))
+                    if isinstance(act, dict) and str(act.get("S", "")) == "GoTo":
+                        dest = self.resolve(act.get("D"))
+                if isinstance(dest, dict):  # named-dest dict form
+                    dest = self.resolve(dest.get("D"))
+                if isinstance(dest, list) and dest and isinstance(dest[0], _Ref):
+                    return pgmap.get(dest[0].num, -1)
+                return -1
+
+            def walk(ref, level: int) -> None:
+                node = self.resolve(ref)
+                while isinstance(node, dict) and len(items) < 10000:
+                    if id(node) in seen:
+                        return
+                    seen.add(id(node))
+                    title = self.resolve(node.get("Title"))
+                    items.append({
+                        "level": level,
+                        "title": _pdf_text(title) if isinstance(title, bytes) else "",
+                        "page": dest_page(node),
+                    })
+                    if node.get("First") is not None and level < 64:
+                        walk(node.get("First"), level + 1)
+                    node = self.resolve(node.get("Next"))
+
+            walk(ol.get("First"), 1)
+        except Exception:
+            pass
+        return items
+
     def page_attr(self, page: dict, name: str):
         """Resolve an inheritable page attribute (/MediaBox, /Rotate,
         /Resources): the page dict itself, then up the /Parent chain."""
@@ -1615,3 +1694,17 @@ def _annot_links(doc: _Doc, pages: list[dict]) -> list[dict]:
     except Exception:
         pass
     return links
+
+
+def extract_pdf_outline(payload: bytes) -> list[dict]:
+    """Flattened /Outlines bookmark tree for one PDF payload (the
+    ``get_toc()`` surface of the reference's PyMuPDF stack): ``[{level,
+    title, page}]`` depth-first. Never raises; undecryptable or malformed
+    documents yield []."""
+    try:
+        doc = _Doc(payload)
+        if not doc.try_decrypt():
+            return []
+        return doc.outline()
+    except Exception:
+        return []

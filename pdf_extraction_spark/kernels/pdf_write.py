@@ -417,11 +417,87 @@ def _content_table(rows: list[list[str]], show=None) -> str:
     return "\n".join(ops)
 
 
+def _outline_objects(
+    base: int, items: list, npages: int, encryptor, objstm: bool,
+) -> dict[int, bytes]:
+    """Emit a /Outlines tree (§12.3.3) from flat ``(level, title, page_idx)``
+    rows: root at object ``base``, item i at ``base+1+i``. All nodes open
+    (positive /Count). Titles are per-object encrypted under the standard
+    handler — except when ObjStm-packed, where the container stream covers
+    them (same rule as /Info and URI strings)."""
+    n = len(items)
+    levels = [max(1, int(it[0])) for it in items]
+    parent = [None] * n
+    first_child: list = [None] * n
+    last_child: list = [None] * n
+    prev: list = [None] * n
+    nxt: list = [None] * n
+    root_kids: list[int] = []
+    stack: list[int] = []
+    for i in range(n):
+        while stack and levels[stack[-1]] >= levels[i]:
+            stack.pop()
+        if stack:
+            p = stack[-1]
+            parent[i] = p
+            if first_child[p] is None:
+                first_child[p] = i
+            else:
+                prev[i] = last_child[p]
+                nxt[last_child[p]] = i
+            last_child[p] = i
+        else:
+            if root_kids:
+                prev[i] = root_kids[-1]
+                nxt[root_kids[-1]] = i
+            root_kids.append(i)
+        stack.append(i)
+    desc = [0] * n  # open descendant count (/Count, positive = open)
+    for i in reversed(range(n)):
+        if parent[i] is not None:
+            desc[parent[i]] += 1 + desc[i]
+
+    def num(i: int) -> int:
+        return base + 1 + i
+
+    objs: dict[int, bytes] = {}
+    objs[base] = (
+        "<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+        % (num(root_kids[0]), num(root_kids[-1]), n)
+    ).encode()
+    for i, (lvl, title, pg) in enumerate(items):
+        if encryptor is not None and not objstm:
+            cipher = encryptor.encrypt(
+                num(i), 0, str(title).encode("latin-1", "replace")
+            )
+            tok = "<%s>" % cipher.hex().upper()
+        else:
+            tok = "(%s)" % (str(title).replace("\\", r"\\")
+                            .replace("(", r"\(").replace(")", r"\)"))
+        page_obj = 4 + 2 * max(0, min(int(pg), npages - 1))
+        parts = [
+            "/Title %s" % tok,
+            "/Parent %d 0 R" % (num(parent[i]) if parent[i] is not None else base),
+            "/Dest [%d 0 R /XYZ 0 %g 0]" % (page_obj, PAGE_H),
+        ]
+        if prev[i] is not None:
+            parts.append("/Prev %d 0 R" % num(prev[i]))
+        if nxt[i] is not None:
+            parts.append("/Next %d 0 R" % num(nxt[i]))
+        if first_child[i] is not None:
+            parts.append("/First %d 0 R" % num(first_child[i]))
+            parts.append("/Last %d 0 R" % num(last_child[i]))
+            parts.append("/Count %d" % desc[i])
+        objs[num(i)] = ("<< %s >>" % " ".join(parts)).encode()
+    return objs
+
+
 def _assemble(
     page_streams: list[str], compress: bool, xref_stream: bool,
     with_image: bool = False, objstm: bool = False, make_font=None,
     encryptor=None, rotate: int = 0, form_xobject: bool = False,
     links: list[str] | None = None, info: dict | None = None,
+    outline: list | None = None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -524,6 +600,15 @@ def _assemble(
             % (mbox, annots_entry if i == 0 else "", page_res, ct)
         ).encode()
         objs[ct] = _stream_obj(stream)
+
+    if outline:
+        out_base = max(list(objs) + [3 + 2 * npages]) + 1
+        objs.update(
+            _outline_objects(out_base, outline, npages, encryptor, objstm)
+        )
+        objs[1] = (
+            b"<< /Type /Catalog /Pages 2 0 R /Outlines %d 0 R >>" % out_base
+        )
 
     info_num = None
     if info:
@@ -700,6 +785,7 @@ def build_pdf(
     split_runs: bool = False,
     links: list[str] | None = None,
     info: dict | None = None,
+    outline: list | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -813,7 +899,7 @@ def build_pdf(
     return _assemble(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
-        form_xobject=form_xobject, links=links, info=info,
+        form_xobject=form_xobject, links=links, info=info, outline=outline,
     )
 
 

@@ -79,3 +79,56 @@ SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS
        CAST(NULL AS VARCHAR) AS canonical
 FROM documents
 """
+
+
+def q_pdf_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF /Outlines (bookmark) extraction, value-checked end to end — the
+    ``get_toc()`` surface of the reference's PyMuPDF stack (§12.3.3). Each
+    doc's first 4 words become a 2-level outline tree written into a real
+    PDF and parsed back: depth-first order, nesting levels, and decoded
+    titles all land in the DuckDB oracle. One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels import pdf_write
+    from ..kernels.pdf_extract import extract_pdf_outline
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "level": [], "title": [],
+                    "page": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:4]
+                outline = [(1, w[0], 0), (2, w[1], 0), (2, w[2], 0),
+                           (1, w[3], 0)]
+                payload = pdf_write.build_pdf(
+                    " ".join(w), outline=outline,
+                    compress=(i % 2 == 0), objstm=(i % 5 == 0),
+                    encrypt=("aes-128" if i % 13 == 0 else None),
+                )
+                for pos, item in enumerate(extract_pdf_outline(payload)):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["level"].append(item["level"])
+                    rows["title"].append(item["title"])
+                    rows["page"].append(item["page"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, pos int, level int, title string, page int"
+    )
+
+
+SQL_PDF_TOC = """
+SELECT doc_id,
+       CAST(g.pos AS INT) AS pos,
+       CAST(g.lvl AS INT) AS level,
+       string_split(text, ' ')[g.i] AS title,
+       CAST(0 AS INT) AS page
+FROM documents,
+     (VALUES (0, 1, 1), (1, 2, 2), (2, 2, 3), (3, 1, 4)) AS g(pos, lvl, i)
+"""

@@ -1,0 +1,79 @@
+"""PDF /Outlines (bookmark tree) extraction — the get_toc() surface of the
+reference's PyMuPDF stack (advanced_layout_extractor.py uses fitz documents;
+doc.get_toc() is the public form of §12.3.3 outline walking)."""
+
+from pdf_extraction_spark.kernels import pdf_write
+from pdf_extraction_spark.kernels.pdf_extract import (
+    extract_pdf,
+    extract_pdf_outline,
+)
+
+OUTLINE = [
+    (1, "Intro", 0),
+    (2, "Background", 0),
+    (2, "Scope (a)", 1),
+    (3, "Deep \\ one", 1),
+    (1, "Methods", 1),
+]
+TWO_PAGES = "alpha beta gamma delta " * 250  # > 54 lines -> 2 pages
+WANT = [{"level": lv, "title": t, "page": p} for lv, t, p in OUTLINE]
+
+
+def test_outline_roundtrip_across_layout_variants():
+    for kw in (
+        {},
+        {"compress": True},
+        {"xref_stream": True},
+        {"objstm": True},
+        {"columns": 2},
+        {"rotate": 90},
+        {"encoding": "type0"},
+    ):
+        pdf = pdf_write.build_pdf(TWO_PAGES, outline=OUTLINE, **kw)
+        assert extract_pdf_outline(pdf) == WANT, kw
+
+
+def test_outline_titles_decrypt_under_standard_handler():
+    for kw in (
+        {"encrypt": "aes-128"},
+        {"encrypt": "rc4-40"},
+        {"encrypt": "rc4-128", "compress": True},
+        {"encrypt": "aes-128", "objstm": True},  # container-covered strings
+    ):
+        pdf = pdf_write.build_pdf(TWO_PAGES, outline=OUTLINE, **kw)
+        assert extract_pdf_outline(pdf) == WANT, kw
+
+
+def test_outline_does_not_change_extracted_text():
+    plain = extract_pdf(pdf_write.build_pdf(TWO_PAGES))
+    with_ol = extract_pdf(pdf_write.build_pdf(TWO_PAGES, outline=OUTLINE))
+    assert with_ol["error"] is None
+    assert with_ol["text"] == plain["text"]
+
+
+def test_no_outline_yields_empty():
+    assert extract_pdf_outline(pdf_write.build_pdf("x y z")) == []
+    assert extract_pdf_outline(b"not a pdf at all") == []
+    assert extract_pdf_outline(pdf_write.build_truncated_pdf("words here")) == []
+
+
+def test_dest_page_clamped_to_document():
+    pdf = pdf_write.build_pdf("one two three", outline=[(1, "T", 7)])
+    assert extract_pdf_outline(pdf) == [{"level": 1, "title": "T", "page": 0}]
+
+
+def test_sibling_cycle_terminates():
+    """A corrupt /Next pointing back at an earlier sibling must not loop."""
+    pdf = pdf_write.build_pdf("one two three", outline=[(1, "AA", 0), (1, "BB", 0)])
+    # items are plain text (uncompressed dict objects): rewriting BB's /Prev
+    # into /Next (same byte length -> xref offsets stay valid) makes
+    # AA -> BB -> AA
+    patched = pdf.replace(b"(BB) /Parent", b"(BB) /Parent", 1)
+    i = patched.find(b"(BB)")
+    assert i != -1
+    j = patched.find(b"/Prev", i)
+    assert j != -1
+    patched = patched[:j] + b"/Next" + patched[j + 5 :]
+    got = extract_pdf_outline(patched)
+    # bounded: each node visited once
+    assert [x["title"] for x in got] == ["AA", "BB"]
