@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
         "pdf_toc": docmeta.q_pdf_toc,
+        "html_toc": docmeta.q_html_toc,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
         "pdf_toc": docmeta.SQL_PDF_TOC,
+        "html_toc": docmeta.SQL_HTML_TOC,
         "paragraph_dedup": corpusops.SQL_PARAGRAPH_DEDUP,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,

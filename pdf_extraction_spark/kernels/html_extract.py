@@ -574,8 +574,9 @@ def _scan(html: str, h: "_BlockParser") -> None:
             i = m.start()  # the </script> end tag is handled next loop
 
 
-def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str]]:
-    """Select content blocks; return [(elem_type, text)] in document order.
+def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int]]:
+    """Select content blocks; return [(elem_type, text, heading_level)] in
+    document order (heading_level is 1..6 for h1-h6 titles, else 0).
 
     Density cascade mirrors the reference's cheap-predicate-first ordering
     (advanced_layout_extractor.py:636-691): structural gates first, then
@@ -598,10 +599,10 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str]]:
         ld = blk.link_chars() / n if n else 1.0
         if blk.heading:
             if ld <= LINK_DENSITY_MAX_SHORT:
-                kept.append(("title", text))
+                kept.append(("title", text, blk.heading))
             continue
         if blk.kind == "caption":
-            kept.append(("caption", text))
+            kept.append(("caption", text, 0))
             continue
         if ld > LINK_DENSITY_MAX:
             continue
@@ -609,7 +610,7 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str]]:
             continue
         if n < MIN_CONTENT_CHARS and blk.kind == "paragraph":
             continue
-        kept.append((blk.kind, text))
+        kept.append((blk.kind, text, 0))
     return kept
 
 
@@ -636,7 +637,10 @@ def extract_html(payload: bytes | str) -> dict:
         texts: list[str] = []
         spans: list = []
         pos = 0
-        for elem_type, text in kept:
+        headings: list[tuple[int, str]] = [
+            (lvl, t) for k, t, lvl in kept if k == "title" and lvl > 0
+        ]
+        for elem_type, text, _lvl in kept:
             if texts:
                 pos += 2  # "\n\n" separator
             start = pos
@@ -655,6 +659,7 @@ def extract_html(payload: bytes | str) -> dict:
             "method": "html",
             "error": None,
             "links": parser.links,
+            "headings": headings,
             "meta": {
                 "title": parser.title,
                 "author": parser.meta.get("author"),
@@ -671,6 +676,7 @@ def extract_html(payload: bytes | str) -> dict:
             "method": "html",
             "error": f"{type(exc).__name__}: {exc}",
             "links": [],
+            "headings": [],
             "meta": {},
         }
 

@@ -132,3 +132,52 @@ SELECT doc_id,
 FROM documents,
      (VALUES (0, 1, 1), (1, 2, 2), (2, 2, 3), (3, 1, 4)) AS g(pos, lvl, i)
 """
+
+
+def q_html_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline extraction for HTML — the markup twin of
+    :func:`q_pdf_toc`: h1–h6 blocks that survive the boilerplate gates come
+    back as a (pos, level, title) table of contents per document, exactly
+    the structure readers/search snippets build from heading hierarchies.
+    One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.html_extract import extract_html
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "level": [], "title": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:4]
+                html = (
+                    "<html><body><main>"
+                    f"<h1>{w[0]}</h1><p>padding paragraph body long enough"
+                    f" to clear the content gates in place</p>"
+                    f"<h2>{w[1]}</h2><h3>{w[2]}</h3><h2>{w[3]}</h2>"
+                    "</main></body></html>"
+                )
+                for pos, (lvl, title) in enumerate(extract_html(html)["headings"]):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["level"].append(lvl)
+                    rows["title"].append(title)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, pos int, level int, title string"
+    )
+
+
+SQL_HTML_TOC = """
+SELECT doc_id,
+       CAST(g.pos AS INT) AS pos,
+       CAST(g.lvl AS INT) AS level,
+       string_split(text, ' ')[g.i] AS title
+FROM documents,
+     (VALUES (0, 1, 1), (1, 2, 2), (2, 3, 3), (3, 2, 4)) AS g(pos, lvl, i)
+"""

@@ -282,3 +282,16 @@ def test_no_canonical_is_none():
     from pdf_extraction_spark.kernels.html_extract import extract_html
 
     assert extract_html("<body><p>x</p></body>")["meta"]["canonical"] is None
+
+
+def test_headings_outline_levels_and_gates():
+    """h1-h6 blocks surface as a (level, text) outline; chrome headings and
+    link-farm headings are gated out like any title block."""
+    r = extract_html(
+        "<body><header><h1>Site Banner</h1></header><main>"
+        "<h1>Top</h1><p>long enough paragraph body text right here ok</p>"
+        "<h2>Sub one</h2><h3>Deeper</h3><h2>Sub two</h2></main></body>"
+    )
+    assert r["headings"] == [(1, "Top"), (2, "Sub one"), (3, "Deeper"),
+                             (2, "Sub two")]
+    assert extract_html("<p>no headings at all</p>")["headings"] == []
