@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link graph
         "extract_outlinks": links.q_extract_outlinks,
         "link_host_degree": links.q_link_host_degree,
+        "meta_refresh": links.q_meta_refresh,
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
         "pdf_toc": docmeta.q_pdf_toc,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "extract_outlinks": links.SQL_EXTRACT_OUTLINKS,
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
+        "meta_refresh": links.SQL_META_REFRESH,
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
         "pdf_toc": docmeta.SQL_PDF_TOC,

@@ -33,7 +33,7 @@ def extract_document(payload: bytes | None) -> dict:
     """Extract one document; returns the common record shape
     ``{text, spans, n_elements, method, error}``."""
     if payload is None:
-        return {"text": "", "spans": [], "n_elements": 0, "method": "empty", "error": "null payload", "links": [], "meta": {}}
+        return {"text": "", "spans": [], "n_elements": 0, "method": "empty", "error": "null payload", "links": [], "headings": [], "meta": {}}
     if isinstance(payload, str):
         payload = payload.encode("utf-8", errors="replace")
     # transparently unwrap a payload that arrived still gzip-compressed
@@ -57,5 +57,6 @@ def extract_document(payload: bytes | None) -> dict:
     if _binary_ratio(payload[:4096]) > 0.10:
         return {"text": "", "spans": [], "n_elements": 0, "method": "binary",
                 "error": "non-text payload (binary-ratio gate)", "links": [],
+                "headings": [],
                 "meta": {}}
     return extract_html(payload)

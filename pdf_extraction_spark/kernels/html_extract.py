@@ -174,6 +174,24 @@ def _span_attr(attrs, name: str) -> int:
     return 1
 
 
+_REFRESH_RE = re.compile(
+    r"""^\s*(\d+)\s*(?:[;,]\s*(?:url\s*=\s*)?['"]?([^'"\s]+)['"]?)?\s*$""",
+    re.IGNORECASE,
+)
+
+
+def _parse_refresh(content: str) -> tuple | None:
+    """WHATWG-style `<meta http-equiv=refresh>` content: a delay in whole
+    seconds, optionally followed by ';'/',' and a (possibly quoted,
+    possibly `url=`-prefixed) target. Returns (delay, url|None) or None on
+    junk."""
+    m = _REFRESH_RE.match(content)
+    if not m:
+        return None
+    url = m.group(2)
+    return (int(m.group(1)), url if url else None)
+
+
 def _kind_for_tag(tag: str) -> str:
     if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
         return "title"
@@ -198,6 +216,7 @@ class _BlockParser:
         self.meta: dict[str, str] = {}  # <meta name=... content=...>
         self.base_href: str | None = None  # <base href> (first wins)
         self.canonical: str | None = None  # <link rel=canonical> (first wins)
+        self.refresh: tuple | None = None  # (delay_s, url|None), first wins
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
@@ -242,14 +261,21 @@ class _BlockParser:
             if tag == "br" and self._cur is not None:
                 self._cur.parts.append(" ")
             elif tag == "meta":
-                name = content = None
+                name = content = equiv = None
                 for k, v in attrs:
                     if k in ("name", "property") and v:
                         name = str(v).lower()
+                    elif k == "http-equiv" and v:
+                        equiv = str(v).lower()
                     elif k == "content" and v is not None:
                         content = str(v)
                 if name and content is not None and name not in self.meta:
                     self.meta[name] = _norm(content)
+                if (equiv == "refresh" and content is not None
+                        and self.refresh is None):
+                    parsed = _parse_refresh(content)
+                    if parsed is not None:
+                        self.refresh = parsed
             elif tag == "link" and self.canonical is None:
                 rel = href = None
                 for k, v in attrs:
@@ -666,6 +692,8 @@ def extract_html(payload: bytes | str) -> dict:
                 "robots": parser.meta.get("robots"),
                 "base": parser.base_href,
                 "canonical": parser.canonical,
+                "refresh_delay": parser.refresh[0] if parser.refresh else None,
+                "refresh_url": parser.refresh[1] if parser.refresh else None,
             },
         }
     except Exception as exc:  # totality: malformed input must degrade

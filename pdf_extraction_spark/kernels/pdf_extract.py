@@ -1530,6 +1530,7 @@ def extract_pdf(payload: bytes) -> dict:
                 "method": "pdf",
                 "error": "encrypted",
                 "links": [],
+                "headings": [],
                 "meta": {},
             }
         pages = doc.pages()
@@ -1659,12 +1660,13 @@ def extract_pdf(payload: bytes) -> dict:
             "method": "pdf",
             "error": err,
             "links": _annot_links(doc, pages),
+            "headings": [],
             "meta": doc.info(),
         }
     except Exception as exc:
         return {"text": "", "spans": [], "n_elements": 0, "method": "pdf",
                 "error": f"{type(exc).__name__}: {exc}", "links": [],
-                "meta": {}}
+                "headings": [], "meta": {}}
 
 
 def _annot_links(doc: _Doc, pages: list[dict]) -> list[dict]:

@@ -108,3 +108,56 @@ SELECT source || '.example.com' AS src_host,
 FROM documents
 GROUP BY source
 """
+
+
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side redirect edges: `<meta http-equiv=refresh>` targets,
+    resolved against the document URL — crawlers follow these like 3xx
+    responses (and dedup pipelines collapse the redirecting shell page onto
+    its target). Docs with ``doc_id % 4 == 0`` carry no refresh and must
+    emit nothing. One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.html_extract import extract_html
+    from ..kernels.urlnorm import resolve_link
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "delay_s": [], "target": []}
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
+                                            pdf["source"]):
+                i = int(doc_id)
+                url = f"https://{source}.example.com/doc/{i}"
+                w0 = str(text).split(" ", 1)[0]
+                frag = (
+                    "" if i % 4 == 0 else
+                    f"<meta http-equiv='refresh' content='{i % 7};url=/next/{w0}'>"
+                )
+                html = (
+                    f"<html><head>{frag}</head>"
+                    "<body><p>shell page body text</p></body></html>"
+                )
+                meta = extract_html(html)["meta"]
+                if meta.get("refresh_url") is None:
+                    continue
+                rows["doc_id"].append(i)
+                rows["delay_s"].append(meta["refresh_delay"])
+                rows["target"].append(resolve_link(url, meta["refresh_url"]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, delay_s int, target string"
+    )
+
+
+SQL_META_REFRESH = """
+SELECT doc_id,
+       CAST(doc_id % 7 AS INT) AS delay_s,
+       'https://' || source || '.example.com/next/' || string_split(text, ' ')[1] AS target
+FROM documents
+WHERE doc_id % 4 <> 0
+"""

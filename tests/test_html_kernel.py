@@ -240,7 +240,8 @@ def test_head_title_and_meta():
     r = extract_html(html)
     assert r["meta"] == {"title": "My & Title", "author": "A. Writer",
                          "robots": "noindex, nofollow", "base": None,
-                         "canonical": None}
+                         "canonical": None, "refresh_delay": None,
+                         "refresh_url": None}
     assert "Title" not in r["text"]
 
 
@@ -295,3 +296,16 @@ def test_headings_outline_levels_and_gates():
     assert r["headings"] == [(1, "Top"), (2, "Sub one"), (3, "Deeper"),
                              (2, "Sub two")]
     assert extract_html("<p>no headings at all</p>")["headings"] == []
+
+
+def test_meta_refresh_parsed_and_null_on_junk():
+    r = extract_html(
+        "<head><meta http-equiv='refresh' content='3;url=/n'></head>"
+        "<body><p>x</p></body>"
+    )
+    assert (r["meta"]["refresh_delay"], r["meta"]["refresh_url"]) == (3, "/n")
+    r2 = extract_html(
+        "<head><meta http-equiv='refresh' content='not a delay'></head>"
+        "<body><p>x</p></body>"
+    )
+    assert r2["meta"]["refresh_url"] is None and r2["meta"]["refresh_delay"] is None

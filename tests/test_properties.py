@@ -10,7 +10,8 @@ from pdf_extraction_spark.kernels.html_extract import extract_html
 from pdf_extraction_spark.kernels.pdf_extract import extract_pdf
 from pdf_extraction_spark.sources.warc import parse_warc_bytes
 
-RESULT_KEYS = {"text", "spans", "n_elements", "method", "error", "links", "meta"}
+RESULT_KEYS = {"text", "spans", "n_elements", "method", "error", "links",
+               "headings", "meta"}
 
 
 def check_result_shape(res):
