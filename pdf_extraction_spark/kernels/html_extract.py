@@ -375,6 +375,11 @@ class _BlockParser:
                     c += 1
                 rs = min(cell["rowspan"], n_rows - r)
                 cs = cell["colspan"]
+                # hostile-input guard: occupancy is O(rowspan*colspan) per
+                # cell; past 1M claimed slots further spans degrade to 1x1
+                # (deterministic, keeps the walk linear in cell count)
+                if len(occupied) > 1_000_000:
+                    rs = cs = 1
                 for dr in range(rs):
                     for dc in range(cs):
                         occupied.add((r + dr, c + dc))

@@ -105,3 +105,50 @@ def test_recursive_chunks_invariants(text):
     for (a1, b1), (a2, b2) in zip(ch, ch[1:]):
         assert a1 < a2 <= b1          # ordered, no gaps
         assert b1 - a2 <= CHUNK_OVERLAP
+
+
+# table-soup generator: table markup with random spans, unbalanced on purpose
+_tbl_frag = st.one_of(
+    st.text(alphabet="ab ", max_size=8),
+    st.sampled_from(["<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+                     "<th>", "</th>"]),
+    st.integers(min_value=0, max_value=2000).map(
+        lambda n: f"<td colspan={n}>"
+    ),
+    st.integers(min_value=0, max_value=2000).map(
+        lambda n: f"<td rowspan='{n}'>"
+    ),
+    st.sampled_from(["<td colspan=abc>", "<table><table>", "</td></td>"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_tbl_frag, max_size=80).map("".join))
+def test_table_grid_invariants_on_soup(soup):
+    """extract_html_tables is total, and every emitted grid is coherent:
+    unique (row, col) anchors, non-negative positions, spans within the
+    clamp, anchors inside the reported grid bounds."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html_tables
+
+    tables = extract_html_tables(soup)
+    assert isinstance(tables, list)
+    for t in tables:
+        anchors = set()
+        assert t["n_rows"] >= 1 and t["n_cols"] >= 1
+        for c in t["cells"]:
+            key = (c["row"], c["col"])
+            assert key not in anchors
+            anchors.add(key)
+            assert 0 <= c["row"] < t["n_rows"]
+            assert 0 <= c["col"] < t["n_cols"]
+            assert 1 <= c["rowspan"] <= 1000
+            assert 1 <= c["colspan"] <= 1000
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_pdf_outline_total_on_garbage(tail):
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf_outline
+
+    out = extract_pdf_outline(b"%PDF-1.5\n" + tail)
+    assert isinstance(out, list)
