@@ -1264,13 +1264,19 @@ def _interpret_content(
                     )
             elif op == b"BI":
                 # inline image: "BI <dict> ID <raw binary> EI" — the binary
-                # is NOT operator soup; skip to the whitespace-delimited EI
+                # is NOT operator soup; skip to the whitespace-delimited EI.
+                # Like an XObject Do, the image paints the CTM-mapped unit
+                # square, so it lands in the figure-placement list (§8.9.7).
                 idp = content.find(b"ID", lex.p)
                 if idp == -1:
                     lex.p = n
                 else:
                     m = _INLINE_EI.search(content, idp + 2)
                     lex.p = n if m is None else m.end()
+                    a, b_, c_, d, e, f = ctm
+                    xs = (e, a + e, c_ + e, a + c_ + e)
+                    ys = (f, b_ + f, d + f, b_ + d + f)
+                    images.append((min(xs), min(ys), max(xs), max(ys)))
         except Exception:
             pass
         stack = []

@@ -742,6 +742,7 @@ FIG_X, FIG_Y, FIG_W, FIG_H = 380.0, 560.0, 160.0, 100.0
 def _content_extras(
     header: str | None, footer: str | None, caption: str | None,
     figure: bool, table_rows: list[list[str]] | None, show=None,
+    inline_figure: bool = False,
 ) -> list[str]:
     show = show or _show_plain(_enc_literal)
     ops: list[str] = []
@@ -749,10 +750,18 @@ def _content_extras(
         ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, MARGIN, HEADER_Y, show(header)))
     if footer:
         ops.append("BT /F1 %g Tf %g %g Td %s ET" % (BODY_SIZE, MARGIN, FOOTER_Y, show(footer)))
-    if figure:
+    if inline_figure:
+        # BI..ID..EI inline image (§8.9.7): same 4x4 gray ramp, painted at
+        # the same CTM as the XObject figure — extraction must not differ
+        pixels = "".join(chr(i) for i in range(16))
+        ops.append(
+            "q %g 0 0 %g %g %g cm BI /W 4 /H 4 /BPC 8 /CS /G ID %s EI Q"
+            % (FIG_W, FIG_H, FIG_X, FIG_Y, pixels)
+        )
+    elif figure:
         ops.append("q %g 0 0 %g %g %g cm /Im1 Do Q" % (FIG_W, FIG_H, FIG_X, FIG_Y))
     if caption:
-        if figure:
+        if figure or inline_figure:
             cx, cy = FIG_X, FIG_Y - 15.0
         elif table_rows is not None:
             cx, cy = MARGIN, (PAGE_H - MARGIN) - len(table_rows) * 24.0 - 15.0
@@ -777,6 +786,7 @@ def build_pdf(
     list_items: list[str] | None = None,
     equations: list[str] | None = None,
     references: list[str] | None = None,
+    inline_figure: bool = False,
     encoding: str = "simple",
     encrypt: str | None = None,
     tj_kerning: bool = False,
@@ -874,7 +884,8 @@ def build_pdf(
         pages = _content_two_col(body, title, show, emit=emit)
     else:
         pages = _content_single(body, title, show, emit=emit)
-    extras = _content_extras(header, footer, caption, figure, table_rows, show)
+    extras = _content_extras(header, footer, caption, figure, table_rows,
+                             show, inline_figure=inline_figure)
     if extras:
         if not pages:
             pages = [""]

@@ -634,3 +634,23 @@ def test_info_dictionary_roundtrip():
         assert r["error"] is None
         assert r["meta"]["title"] == "Doc 42 (draft)"
         assert r["meta"]["author"] == "synthcorp"
+
+
+def test_inline_image_emits_figure_placement():
+    """BI..ID..EI paints the CTM-mapped unit square exactly like an XObject
+    Do (§8.9.7): extraction must be byte-identical between the two figure
+    forms, and the binary body still never tokenizes."""
+    from pdf_extraction_spark.kernels import pdf_write
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+
+    text = "alpha beta gamma delta " * 40
+    xobj = extract_pdf(pdf_write.build_pdf(text, figure=True, caption="Figure 1: r"))
+    inline = extract_pdf(pdf_write.build_pdf(text, inline_figure=True, caption="Figure 1: r"))
+    assert inline["error"] is None
+    assert inline["text"] == xobj["text"]
+    assert [s[0] for s in inline["spans"]] == [s[0] for s in xobj["spans"]]
+    assert "figure" in [s[0] for s in inline["spans"]]
+    for kw in ({"compress": True}, {"rotate": 90}, {"encrypt": "aes-128"},
+               {"encoding": "type0"}, {"form_xobject": True}):
+        r = extract_pdf(pdf_write.build_pdf(text, inline_figure=True, **kw))
+        assert r["error"] is None and "figure" in [s[0] for s in r["spans"]], kw
