@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_fraction": corpusops.q_span_dup_fraction,
         "repetition_score": corpusops.q_repetition_score,
         "filter_funnel": corpusops.q_filter_funnel,
+        "indexable_filter": corpusops.q_indexable_filter,
         "url_dedup": corpusops.q_url_dedup,
         "stratified_sample": corpusops.q_stratified_sample,
         "dup_span_extract": corpusops.q_dup_span_extract,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_fraction": corpusops.SQL_SPAN_DUP_FRACTION,
         "repetition_score": corpusops.SQL_REPETITION_SCORE,
         "filter_funnel": corpusops.SQL_FILTER_FUNNEL,
+        "indexable_filter": corpusops.SQL_INDEXABLE_FILTER,
         "url_dedup": corpusops.SQL_URL_DEDUP,
         "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
         "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,

@@ -812,3 +812,71 @@ SELECT un.doc_id,
 FROM units un JOIN freq f ON un.u = f.u
 GROUP BY un.doc_id
 """
+
+
+def q_indexable_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-policy curation gate: the two signals crawl pipelines honor
+    before a page may enter a corpus — ``<meta name=robots>`` noindex and
+    rel=canonical pointing elsewhere (the shell page collapses onto its
+    canonical target; only the canonical copy is kept). The metadata comes
+    out of one Arrow extraction pass; the verdict itself is JVM column
+    algebra, so at 10^12 docs this is a narrow map with zero shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..kernels.html_extract import extract_html
+    from ..kernels.urlnorm import resolve_link
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "url": [], "robots": [], "canonical": []}
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                i = int(doc_id)
+                url = f"https://{source}.example.com/doc/{i}"
+                if i % 5 == 0:
+                    head = "<meta name='robots' content='noindex, follow'>"
+                elif i % 7 == 0:
+                    head = "<link rel='canonical' href='/other'>"
+                else:
+                    head = f"<link rel='canonical' href='/doc/{i}'>"
+                meta = extract_html(
+                    f"<html><head>{head}</head><body><p>x</p></body></html>"
+                )["meta"]
+                canon = meta.get("canonical")
+                rows["doc_id"].append(i)
+                rows["url"].append(url)
+                rows["robots"].append(meta.get("robots"))
+                rows["canonical"].append(
+                    resolve_link(url, canon) if canon else None
+                )
+            yield pd.DataFrame(rows)
+
+    m = docs.mapInPandas(
+        gen, schema="doc_id long, url string, robots string, canonical string"
+    )
+    noindex = F.coalesce(F.col("robots"), F.lit("")).contains("noindex")
+    non_canon = F.col("canonical").isNotNull() & (
+        F.col("canonical") != F.col("url")
+    )
+    return m.select(
+        "doc_id",
+        F.when(noindex, F.lit("noindex"))
+        .when(non_canon, F.lit("non_canonical"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+        (~noindex & ~non_canon).alias("indexable"),
+    )
+
+
+SQL_INDEXABLE_FILTER = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'noindex'
+            WHEN doc_id % 7 = 0 THEN 'non_canonical'
+            ELSE 'ok' END AS reason,
+       doc_id % 5 <> 0 AND doc_id % 7 <> 0 AS indexable
+FROM documents
+"""
