@@ -880,3 +880,46 @@ SELECT doc_id,
        doc_id % 5 <> 0 AND doc_id % 7 <> 0 AS indexable
 FROM documents
 """
+
+
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality prior: per-source doc count, mean quality score,
+    and exact-duplicate fraction — the host rollup curation pipelines use
+    to drop whole low-quality domains before per-doc filtering (host
+    blocklists, FineWeb-style domain priors). One combinable groupBy whose
+    key space is the host vocabulary, sub-linear in corpus size."""
+    from .textops import q_quality_score
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = docs.join(q, "doc_id")
+    dup = F.count(F.lit(1)) - F.countDistinct(F.md5("text"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+            F.round(dup / F.count(F.lit(1)), 4).alias("dup_fraction"),
+        )
+    )
+
+
+SQL_HOST_QUALITY = """
+WITH q AS (
+  SELECT doc_id, source, text,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+               + (len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','of','and','to')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+               - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE)) * 1.0, 4) AS quality
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality), 4) AS mean_quality,
+       round((count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+FROM q
+GROUP BY source
+ORDER BY source
+"""
