@@ -200,3 +200,73 @@ def stream_host_stats(
         .outputMode("append")
         .start()
     )
+
+
+# -- streaming exact dedup ------------------------------------------------------
+
+DEDUP_OUTPUT = "content_key long, url string, batch_dups int"
+DEDUP_STATE = "seen int"
+
+
+def _update_dedup(key, pdfs, state):
+    """applyInPandasWithState update for dedup-on-ingest: the first document
+    ever seen for a content key is the keeper; everything after it — in the
+    same micro-batch, a later batch, or after a restart (state store
+    checkpointing) — is a duplicate and is dropped. Emits one row per key
+    per batch only when the keeper is in that batch."""
+    import pandas as pd
+
+    rows = []
+    dups = 0
+    for pdf in pdfs:
+        for url in pdf["url"]:
+            rows.append(str(url))
+    if state.exists:
+        # keeper already emitted in an earlier batch: everything is a dup
+        state.update((int(state.get[0]) + len(rows),))
+        yield pd.DataFrame({"content_key": [], "url": [], "batch_dups": []})
+        return
+    state.update((len(rows) - 1,))
+    yield pd.DataFrame(
+        {
+            "content_key": [key[0]],
+            "url": [rows[0]],
+            "batch_dups": [len(rows) - 1],
+        }
+    )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Start an AvailableNow dedup-on-ingest stream: exactly one keeper per
+    distinct text ever enters the sink, across micro-batches AND restarts.
+
+    The batch engine's `dedup_exact` needs the whole corpus in one job; a
+    continuously-ingesting pipeline needs the seen-set to live in the
+    stream's state store instead — keyed by a 64-bit content hash so state
+    is 8 bytes + counters per distinct document, never the text itself
+    (the 100 TB-friendly shape)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    corpus = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
+    keyed = corpus.select(F.xxhash64("text").alias("content_key"), "url")
+    kept = keyed.groupBy("content_key").applyInPandasWithState(
+        _update_dedup,
+        outputStructType=DEDUP_OUTPUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        kept.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -141,3 +141,43 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     # every emitted window is append-mode-final: no duplicate (window, host)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == len({(r["window_start"], r["host"]) for r in rows})
+
+
+def test_stream_dedup_exact_across_drains(spark, tmp_path):
+    """Dedup-on-ingest: one keeper per distinct text across micro-batches
+    and restarts; later drains drop duplicates of anything ever seen."""
+    from pdf_extraction_spark.streaming import stream_dedup_exact
+
+    rows1 = synth_rows(30, seed=21)
+    # duplicate texts inside batch 1 (distinct urls)
+    for k in range(5):
+        dup = dict(rows1[k])
+        dup["url"] += "?mirror=1"
+        rows1.append(dup)
+    (tmp_path / "in").mkdir()
+    _write_rows(rows1, str(tmp_path / "in" / "part-0001.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_dedup_exact(spark, str(tmp_path / "in"), out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    texts = {r["text"] for r in rows1}
+    assert got.count() == len(texts)
+    # the 5 in-batch duplicates are accounted on their keeper rows
+    assert (
+        got.agg({"batch_dups": "sum"}).collect()[0][0] == 5
+    )
+
+    # batch 2: all repeats of batch 1 plus 3 genuinely new docs
+    rows2 = [dict(r) for r in rows1[:10]]
+    for r in rows2:
+        r["url"] += "?crawl=2"
+    fresh = synth_rows(3, seed=99)
+    for r in fresh:
+        r["url"] += "?crawl=2"
+        r["text"] += " unseen suffix"
+        r["html"] = r["html"][:-14] + r["text"][-13:].encode() + r["html"][-14:]
+    _write_rows(rows2 + fresh, str(tmp_path / "in" / "part-0002.parquet"))
+    q2 = stream_dedup_exact(spark, str(tmp_path / "in"), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(texts) + 3
