@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_stopwords": textops.q_lang_id_stopwords,
         "quality_score": textops.q_quality_score,
         "token_count": textops.q_token_count,
+        "normalize_text": textops.q_normalize_text,
         "fingerprint_winnow": textops.q_fingerprint_winnow,
         "chunk_split": textops.q_chunk_split,
         "chunk_split_recursive": textops.q_chunk_split_recursive,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_stopwords": textops.SQL_LANG_ID_STOPWORDS,
         "quality_score": textops.SQL_QUALITY_SCORE,
         "token_count": textops.SQL_TOKEN_COUNT,
+        "normalize_text": textops.SQL_NORMALIZE_TEXT,
         "fingerprint_winnow": textops.SQL_FINGERPRINT_WINNOW,
         "chunk_split": textops.SQL_CHUNK_SPLIT,
         "chunk_split_recursive": textops.SQL_CHUNK_SPLIT_RECURSIVE,

@@ -642,3 +642,64 @@ SELECT doc_id, CAST(rank AS INT) AS rank, term,
        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
 FROM ranked WHERE rank <= {TOPTERMS_K}
 """
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization — the first transform every training-data
+    pipeline applies to crawled text: NFC composition (combining marks →
+    precomposed), C0/DEL control stripping, NBSP → space, space-run
+    collapse, trim. Real crawl text is denormalized, so the fixture
+    *injects* the mess deterministically (combining acute, NBSP, BEL,
+    double spaces around each doc's words) and the DuckDB oracle rebuilds
+    the identical raw string with chr() and normalizes it with its own ICU
+    ``nfc_normalize`` — a true cross-engine check of the normal form, not
+    an identity pass.
+
+    NFC has no JVM builtin, so this is one of the few documented
+    Arrow-batch Python stages (``unicodedata.normalize`` over mapInPandas);
+    everything else stays in the batch. Zero shuffle."""
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ctrl = _re.compile("[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "norm_text": [], "changed": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = str(text).split(" ")[:3]
+                raw = ("a\u0301 " + w[0] + "\u00a0" + w[1] + "\x07"
+                       + "  " + w[2])
+                norm = unicodedata.normalize("NFC", raw)
+                norm = ctrl.sub("", norm)
+                norm = norm.replace("\u00a0", " ")
+                norm = _re.sub(" +", " ", norm).strip()
+                rows["doc_id"].append(int(doc_id))
+                rows["norm_text"].append(norm)
+                rows["changed"].append(norm != raw)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, norm_text string, changed boolean"
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+WITH raw AS (
+  SELECT doc_id,
+         'a' || chr(769) || ' ' || w[1] || chr(160) || w[2] || chr(7) || '  ' || w[3] AS r
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id,
+       trim(regexp_replace(
+           replace(
+               regexp_replace(nfc_normalize(r),
+                              '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               chr(160), ' '),
+           ' +', ' ', 'g')) AS norm_text,
+       TRUE AS changed
+FROM raw
+"""
