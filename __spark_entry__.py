@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": links.q_extract_outlinks,
         "link_host_degree": links.q_link_host_degree,
         "meta_refresh": links.q_meta_refresh,
+        "image_alt_pairs": links.q_image_alt_pairs,
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
         "pdf_toc": docmeta.q_pdf_toc,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": links.SQL_EXTRACT_OUTLINKS,
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
         "meta_refresh": links.SQL_META_REFRESH,
+        "image_alt_pairs": links.SQL_IMAGE_ALT_PAIRS,
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
         "pdf_toc": docmeta.SQL_PDF_TOC,

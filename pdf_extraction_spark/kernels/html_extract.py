@@ -226,6 +226,7 @@ class _BlockParser:
         self._open_a: list[tuple] = []  # (href, anchor_parts, in_chrome)
         self._cur: Block | None = None
         self.saw_main = False
+        self.assets: list[dict] = []  # {src, alt, chrome} per <img src=...>
         # table grid capture (runs alongside, independent of block scoring)
         self.tables: list[dict] = []
         self._table_stack: list[dict] = []  # innermost last
@@ -260,6 +261,19 @@ class _BlockParser:
         if tag in _VOID_TAGS:
             if tag == "br" and self._cur is not None:
                 self._cur.parts.append(" ")
+            elif tag == "img":
+                src_v = alt_v = None
+                for k, v in attrs:
+                    if k == "src" and v:
+                        src_v = str(v).strip()
+                    elif k == "alt" and v is not None:
+                        alt_v = str(v)
+                if src_v:
+                    self.assets.append({
+                        "src": src_v,
+                        "alt": _norm(alt_v) if alt_v else "",
+                        "chrome": self._chrome_depth > 0,
+                    })
             elif tag == "meta":
                 name = content = equiv = None
                 for k, v in attrs:
@@ -736,5 +750,24 @@ def extract_html_tables(payload: bytes | str) -> list[dict]:
         _scan(html, parser)
         parser.close()
         return parser.tables
+    except Exception:
+        return []
+
+
+def extract_html_assets(payload: bytes | str) -> list[dict]:
+    """Image assets in document order: ``[{src, alt, chrome}]`` per
+    ``<img src=...>`` — the harvesting surface image-text-pair corpora
+    (alt-text captioning) are built from. Dropped subtrees (script/
+    template/svg) contribute nothing; boilerplate regions are flagged, not
+    removed. Never raises."""
+    try:
+        if isinstance(payload, bytes):
+            html = payload.decode(detect_charset(payload), errors="replace")
+        else:
+            html = payload
+        parser = _BlockParser()
+        _scan(html, parser)
+        parser.close()
+        return parser.assets
     except Exception:
         return []

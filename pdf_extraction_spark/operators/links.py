@@ -161,3 +161,67 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id % 4 <> 0
 """
+
+
+def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair harvesting (the signal alt-text captioning corpora
+    are built from): every ``<img src>`` with its alt text and boilerplate
+    flag, src resolved against the document URL. Chrome images (logos,
+    banners) are flagged so downstream keeps only content figures. One
+    Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.html_extract import extract_html_assets
+    from ..kernels.urlnorm import resolve_link
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "src": [], "alt": [],
+                    "chrome": []}
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
+                                            pdf["source"]):
+                i = int(doc_id)
+                url = f"https://{source}.example.com/doc/{i}"
+                w = str(text).split(" ")[:4]
+                html = (
+                    "<html><body>"
+                    "<nav><img src='/logo.png' alt='logo'></nav>"
+                    f"<main><img src='/img/{i}.jpg' alt='{w[0]} {w[1]}'>"
+                    f"<img src='/img/{i}.png' alt='{w[2]} {w[3]}'></main>"
+                    "</body></html>"
+                )
+                for pos, a in enumerate(extract_html_assets(html)):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["src"].append(resolve_link(url, a["src"]))
+                    rows["alt"].append(a["alt"])
+                    rows["chrome"].append(a["chrome"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, pos int, src string, alt string, chrome boolean",
+    )
+
+
+SQL_IMAGE_ALT_PAIRS = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       'https://' || source || '.example.com/logo.png' AS src,
+       'logo' AS alt, TRUE AS chrome
+FROM w
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg',
+       w[1] || ' ' || w[2], FALSE
+FROM w
+UNION ALL
+SELECT doc_id, CAST(2 AS INT),
+       'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.png',
+       w[3] || ' ' || w[4], FALSE
+FROM w
+"""

@@ -309,3 +309,20 @@ def test_meta_refresh_parsed_and_null_on_junk():
         "<body><p>x</p></body>"
     )
     assert r2["meta"]["refresh_url"] is None and r2["meta"]["refresh_delay"] is None
+
+
+def test_image_assets_collected():
+    from pdf_extraction_spark.kernels.html_extract import extract_html_assets
+
+    a = extract_html_assets(
+        "<body><nav><img src='/logo.png' alt='Site  Logo'></nav>"
+        "<main><img src='fig1.jpg' alt='A  diagram'><img src='' alt='x'>"
+        "<script>var i='<img src=fake.png>';</script>"
+        "<img src='plain.gif'></main></body>"
+    )
+    assert a == [
+        {"src": "/logo.png", "alt": "Site Logo", "chrome": True},
+        {"src": "fig1.jpg", "alt": "A diagram", "chrome": False},
+        {"src": "plain.gif", "alt": "", "chrome": False},
+    ]
+    assert extract_html_assets(b"\xff\xfejunk") == []
