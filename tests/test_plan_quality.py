@@ -100,3 +100,23 @@ def test_job_output_hash_is_distributed():
     src = (pathlib.Path(__file__).parent.parent / "job.py").read_text()
     assert ".collect()" not in src
     assert "xxhash64" in src and "bit_xor" in src
+
+
+def test_host_quality_partial_agg_no_sort(spark):
+    """Host rollup: map-side partial aggregation before the host shuffle,
+    and no global sort anywhere (the output is host-vocabulary-sized but a
+    sort would still be a needless extra exchange at scale)."""
+    from pdf_extraction_spark.operators import corpusops
+
+    plan = plan_of(corpusops.q_host_quality(spark, SF), execute=True)
+    assert "partial_" in plan
+    assert "Sort [source" not in plan
+
+
+def test_keep_best_no_cartesian_no_python(spark):
+    """Canonical-doc selection: quality join + per-cluster window must stay
+    relational — no cartesian pairs, no Python in the plan."""
+    plan = plan_of(dedup.q_dedup_keep_best(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
