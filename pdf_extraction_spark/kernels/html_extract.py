@@ -227,6 +227,7 @@ class _BlockParser:
         self._cur: Block | None = None
         self.saw_main = False
         self.assets: list[dict] = []  # {src, alt, chrome} per <img src=...>
+        self.ldjson: list[str] = []  # raw <script type=application/ld+json> bodies
         # table grid capture (runs alongside, independent of block scoring)
         self.tables: list[dict] = []
         self._table_stack: list[dict] = []  # innermost last
@@ -472,6 +473,9 @@ class _BlockParser:
                 t["cell"]["parts"].append(data)
                 break
 
+    def handle_ldjson(self, body: str) -> None:
+        self.ldjson.append(body)
+
     def handle_title(self, body: str) -> None:
         if self.title is None:
             t = _norm(unescape(body) if "&" in body else body)
@@ -616,6 +620,12 @@ def _scan(html: str, h: "_BlockParser") -> None:
                 # RCDATA body contributes no main-content text but IS the
                 # document title metadata
                 h.handle_title(html[i:m.start()])
+            elif name == "script":
+                stype = next(
+                    (v for ak, v in attrs if ak == "type" and v), ""
+                )
+                if stype and stype.strip().lower() == "application/ld+json":
+                    h.handle_ldjson(html[i:m.start()])
             i = m.start()  # the </script> end tag is handled next loop
 
 
@@ -769,5 +779,39 @@ def extract_html_assets(payload: bytes | str) -> list[dict]:
         _scan(html, parser)
         parser.close()
         return parser.assets
+    except Exception:
+        return []
+
+
+def extract_jsonld(payload: bytes | str) -> list[dict]:
+    """Structured-data objects from ``<script type="application/ld+json">``
+    blocks (schema.org metadata: articles, products, breadcrumbs — the
+    machine-readable layer SEO tooling and metadata harvesters read).
+    Top-level arrays and ``@graph`` containers are flattened; unparseable
+    blocks are skipped (degrade, don't crash). Returns the parsed JSON
+    objects in document order."""
+    import json as _json
+
+    try:
+        if isinstance(payload, bytes):
+            html = payload.decode(detect_charset(payload), errors="replace")
+        else:
+            html = payload
+        parser = _BlockParser()
+        _scan(html, parser)
+        parser.close()
+        out: list[dict] = []
+        for raw in parser.ldjson:
+            try:
+                obj = _json.loads(raw)
+            except ValueError:
+                continue
+            items = obj if isinstance(obj, list) else [obj]
+            for it in items:
+                if isinstance(it, dict) and isinstance(it.get("@graph"), list):
+                    out.extend(g for g in it["@graph"] if isinstance(g, dict))
+                elif isinstance(it, dict):
+                    out.append(it)
+        return out
     except Exception:
         return []

@@ -326,3 +326,25 @@ def test_image_assets_collected():
         {"src": "plain.gif", "alt": "", "chrome": False},
     ]
     assert extract_html_assets(b"\xff\xfejunk") == []
+
+
+def test_jsonld_blocks_parsed_flattened_and_total():
+    from pdf_extraction_spark.kernels.html_extract import extract_jsonld
+
+    h = (
+        "<head>"
+        "<script type='application/ld+json'>"
+        '{"@type":"NewsArticle","headline":"Big News"}</script>'
+        "<script type='application/ld+json'>"
+        '[{"@type":"Product","name":"X"},{"@type":"Offer"}]</script>'
+        "<script type='application/ld+json'>"
+        '{"@graph":[{"@type":"WebSite"},{"@type":"Organization"}]}</script>'
+        "<script type='application/ld+json'>{broken</script>"
+        "<script>var x = 1;</script>"
+        "</head><body><p>body text stays unaffected here ok</p></body>"
+    )
+    types = [o.get("@type") for o in extract_jsonld(h)]
+    assert types == ["NewsArticle", "Product", "Offer", "WebSite",
+                     "Organization"]
+    assert extract_html(h)["text"] == "body text stays unaffected here ok"
+    assert extract_jsonld(b"\x00garbage") == []
