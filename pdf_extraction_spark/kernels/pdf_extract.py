@@ -868,6 +868,49 @@ class _Doc:
             pass
         return out
 
+    def named_dest(self, name):
+        """Resolve a named destination (§12.3.2.3): the PDF 1.1 catalog
+        /Dests dictionary first, else the catalog /Names → /Dests name tree
+        (§7.7.4) — leaf /Names pair arrays, interior /Kids, bounded walk.
+        String keys come back decrypted by the normal object parse."""
+        key = (
+            name
+            if isinstance(name, bytes)
+            else str(name).encode("latin-1", "replace")
+        )
+        try:
+            root = self.resolve(self.trailer.get("Root"))
+            if not isinstance(root, dict):
+                return None
+            dests = self.resolve(root.get("Dests"))
+            if isinstance(dests, dict):
+                v = self.resolve(dests.get(key.decode("latin-1")))
+                if v is not None:
+                    return v
+            names = self.resolve(root.get("Names"))
+            if isinstance(names, dict):
+                return self._name_tree_lookup(
+                    self.resolve(names.get("Dests")), key, 0
+                )
+        except Exception:
+            pass
+        return None
+
+    def _name_tree_lookup(self, node, key: bytes, depth: int):
+        if not isinstance(node, dict) or depth > 32:
+            return None
+        arr = self.resolve(node.get("Names"))
+        if isinstance(arr, list):
+            for j in range(0, len(arr) - 1, 2):
+                k = self.resolve(arr[j])
+                if isinstance(k, bytes) and k == key:
+                    return self.resolve(arr[j + 1])
+        for kid in self.resolve(node.get("Kids")) or []:
+            hit = self._name_tree_lookup(self.resolve(kid), key, depth + 1)
+            if hit is not None:
+                return hit
+        return None
+
     def page_num_map(self) -> dict[int, int]:
         """Object number → page index, in page-tree order (for /Dest
         resolution)."""
@@ -920,6 +963,10 @@ class _Doc:
                     act = self.resolve(node.get("A"))
                     if isinstance(act, dict) and str(act.get("S", "")) == "GoTo":
                         dest = self.resolve(act.get("D"))
+                if isinstance(dest, (bytes, _Name)):
+                    # named destination (§12.3.2.3): /Dests dict or the
+                    # /Names name tree
+                    dest = self.named_dest(dest)
                 if isinstance(dest, dict):  # named-dest dict form
                     dest = self.resolve(dest.get("D"))
                 if isinstance(dest, list) and dest and isinstance(dest[0], _Ref):

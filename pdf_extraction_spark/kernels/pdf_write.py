@@ -419,12 +419,19 @@ def _content_table(rows: list[list[str]], show=None) -> str:
 
 def _outline_objects(
     base: int, items: list, npages: int, encryptor, objstm: bool,
+    named: bool = False,
 ) -> dict[int, bytes]:
     """Emit a /Outlines tree (§12.3.3) from flat ``(level, title, page_idx)``
     rows: root at object ``base``, item i at ``base+1+i``. All nodes open
     (positive /Count). Titles are per-object encrypted under the standard
     handler — except when ObjStm-packed, where the container stream covers
-    them (same rule as /Info and URI strings)."""
+    them (same rule as /Info and URI strings).
+
+    With ``named=True`` every item's /Dest is a name STRING resolved
+    through a catalog /Names → /Dests name tree (§7.7.4) emitted after the
+    items — root at ``base+1+n`` with two leaf /Kids when n > 2 (so the
+    interior-node walk is exercised), else a single leaf. Name strings are
+    per-object encrypted like any other string."""
     n = len(items)
     levels = [max(1, int(it[0])) for it in items]
     parent = [None] * n
@@ -460,25 +467,30 @@ def _outline_objects(
     def num(i: int) -> int:
         return base + 1 + i
 
+    def _str_tok(s: str, owner: int) -> str:
+        if encryptor is not None and not objstm:
+            cipher = encryptor.encrypt(owner, 0, s.encode("latin-1", "replace"))
+            return "<%s>" % cipher.hex().upper()
+        return "(%s)" % (s.replace("\\", r"\\").replace("(", r"\(")
+                         .replace(")", r"\)"))
+
     objs: dict[int, bytes] = {}
     objs[base] = (
         "<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
         % (num(root_kids[0]), num(root_kids[-1]), n)
     ).encode()
     for i, (lvl, title, pg) in enumerate(items):
-        if encryptor is not None and not objstm:
-            cipher = encryptor.encrypt(
-                num(i), 0, str(title).encode("latin-1", "replace")
-            )
-            tok = "<%s>" % cipher.hex().upper()
-        else:
-            tok = "(%s)" % (str(title).replace("\\", r"\\")
-                            .replace("(", r"\(").replace(")", r"\)"))
+        tok = _str_tok(str(title), num(i))
         page_obj = 4 + 2 * max(0, min(int(pg), npages - 1))
+        dest = (
+            "/Dest %s" % _str_tok("d%d" % i, num(i))
+            if named
+            else "/Dest [%d 0 R /XYZ 0 %g 0]" % (page_obj, PAGE_H)
+        )
         parts = [
             "/Title %s" % tok,
             "/Parent %d 0 R" % (num(parent[i]) if parent[i] is not None else base),
-            "/Dest [%d 0 R /XYZ 0 %g 0]" % (page_obj, PAGE_H),
+            dest,
         ]
         if prev[i] is not None:
             parts.append("/Prev %d 0 R" % num(prev[i]))
@@ -489,6 +501,35 @@ def _outline_objects(
             parts.append("/Last %d 0 R" % num(last_child[i]))
             parts.append("/Count %d" % desc[i])
         objs[num(i)] = ("<< %s >>" % " ".join(parts)).encode()
+    if named:
+        # name tree: keys sorted ("d0" < "d1" < ... lexicographic for n<=10)
+        def dest_arr(i: int) -> str:
+            pg = 4 + 2 * max(0, min(int(items[i][2]), npages - 1))
+            return "[%d 0 R /XYZ 0 %g 0]" % (pg, PAGE_H)
+
+        ndroot = base + 1 + n
+        if n > 2:
+            half = n // 2
+            leaves = [(ndroot + 1, range(0, half)), (ndroot + 2, range(half, n))]
+            objs[ndroot] = (
+                "<< /Kids [%d 0 R %d 0 R] >>" % (ndroot + 1, ndroot + 2)
+            ).encode()
+            for onum, rng in leaves:
+                pairs = " ".join(
+                    "%s %s" % (_str_tok("d%d" % i, onum), dest_arr(i))
+                    for i in rng
+                )
+                lim = "/Limits [%s %s]" % (
+                    _str_tok("d%d" % rng[0], onum),
+                    _str_tok("d%d" % rng[-1], onum),
+                )
+                objs[onum] = ("<< %s /Names [%s] >>" % (lim, pairs)).encode()
+        else:
+            pairs = " ".join(
+                "%s %s" % (_str_tok("d%d" % i, ndroot), dest_arr(i))
+                for i in range(n)
+            )
+            objs[ndroot] = ("<< /Names [%s] >>" % pairs).encode()
     return objs
 
 
@@ -497,7 +538,7 @@ def _assemble(
     with_image: bool = False, objstm: bool = False, make_font=None,
     encryptor=None, rotate: int = 0, form_xobject: bool = False,
     links: list[str] | None = None, info: dict | None = None,
-    outline: list | None = None,
+    outline: list | None = None, outline_named: bool = False,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -604,11 +645,13 @@ def _assemble(
     if outline:
         out_base = max(list(objs) + [3 + 2 * npages]) + 1
         objs.update(
-            _outline_objects(out_base, outline, npages, encryptor, objstm)
+            _outline_objects(out_base, outline, npages, encryptor, objstm,
+                             named=outline_named)
         )
-        objs[1] = (
-            b"<< /Type /Catalog /Pages 2 0 R /Outlines %d 0 R >>" % out_base
-        )
+        cat = b"<< /Type /Catalog /Pages 2 0 R /Outlines %d 0 R" % out_base
+        if outline_named:
+            cat += b" /Names << /Dests %d 0 R >>" % (out_base + 1 + len(outline))
+        objs[1] = cat + b" >>" 
 
     info_num = None
     if info:
@@ -796,6 +839,7 @@ def build_pdf(
     links: list[str] | None = None,
     info: dict | None = None,
     outline: list | None = None,
+    outline_named: bool = False,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -911,6 +955,7 @@ def build_pdf(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
         form_xobject=form_xobject, links=links, info=info, outline=outline,
+        outline_named=outline_named,
     )
 
 

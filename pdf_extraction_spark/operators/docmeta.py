@@ -107,6 +107,7 @@ def q_pdf_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (1, w[3], 0)]
                 payload = pdf_write.build_pdf(
                     " ".join(w), outline=outline,
+                    outline_named=(i % 3 == 0),
                     compress=(i % 2 == 0), objstm=(i % 5 == 0),
                     encrypt=("aes-128" if i % 13 == 0 else None),
                 )

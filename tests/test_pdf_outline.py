@@ -77,3 +77,29 @@ def test_sibling_cycle_terminates():
     got = extract_pdf_outline(patched)
     # bounded: each node visited once
     assert [x["title"] for x in got] == ["AA", "BB"]
+
+
+def test_named_destinations_resolve_through_name_tree():
+    """/Dest as a name STRING resolved via the catalog /Names → /Dests tree
+    (§7.7.4): interior /Kids nodes (n > 2 splits into two leaves), string
+    keys decrypted under the standard handler, ObjStm packing."""
+    for kw in (
+        {},
+        {"compress": True},
+        {"objstm": True},
+        {"encrypt": "aes-128"},
+        {"encrypt": "rc4-128", "xref_stream": True},
+    ):
+        pdf = pdf_write.build_pdf(TWO_PAGES, outline=OUTLINE,
+                                  outline_named=True, **kw)
+        assert extract_pdf_outline(pdf) == WANT, kw
+
+
+def test_named_destination_single_leaf_and_missing_name():
+    two = OUTLINE[:2]
+    pdf = pdf_write.build_pdf(TWO_PAGES, outline=two, outline_named=True)
+    assert extract_pdf_outline(pdf) == WANT[:2]
+    # a dangling name (tree key rewritten, same length) degrades to page -1
+    broken = pdf.replace(b"(d1) [", b"(dX) [", 1)
+    got = extract_pdf_outline(broken)
+    assert got[0]["page"] == 0 and got[1]["page"] == -1
