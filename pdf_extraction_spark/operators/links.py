@@ -225,3 +225,61 @@ SELECT doc_id, CAST(2 AS INT),
        w[3] || ' ' || w[4], FALSE
 FROM w
 """
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier feed: sitemap XML entries (loc/lastmod/priority) per
+    host, parsed with the total sitemap scanner — the seed list crawlers
+    refresh frontiers from. One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..sources.sitemap import parse_sitemap
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "loc": [], "lastmod": [],
+                    "priority": []}
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
+                                            pdf["source"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:2]
+                xml = (
+                    "<?xml version='1.0'?><urlset>"
+                    f"<url><loc>https://{source}.example.com/{w[0]}</loc>"
+                    f"<lastmod>2025-01-0{1 + i % 9}</lastmod>"
+                    f"<priority>0.{i % 10}</priority></url>"
+                    f"<url><loc>https://{source}.example.com/{w[1]}</loc></url>"
+                    "</urlset>"
+                )
+                for pos, e in enumerate(parse_sitemap(xml)["entries"]):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["loc"].append(e["loc"])
+                    rows["lastmod"].append(e["lastmod"])
+                    rows["priority"].append(e["priority"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema=("doc_id long, pos int, loc string, lastmod string, "
+                "priority double"),
+    )
+
+
+SQL_SITEMAP_URLS = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       'https://' || source || '.example.com/' || w[1] AS loc,
+       '2025-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS lastmod,
+       CAST((doc_id % 10) / 10.0 AS DOUBLE) AS priority
+FROM w
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       'https://' || source || '.example.com/' || w[2],
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM w
+"""
