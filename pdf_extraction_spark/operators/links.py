@@ -283,3 +283,57 @@ SELECT doc_id, CAST(1 AS INT),
        CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM w
 """
+
+
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy decisions: per-host robots.txt parsed with the RFC 9309
+    kernel, then allow/disallow verdicts for candidate paths (most-specific
+    rule wins, allow wins ties). At 10^12 docs this is the broadcast policy
+    side of a frontier join; here the verdicts themselves are value-checked.
+    One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.robots import is_allowed, parse_robots
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "path": [], "allowed": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:2]
+                robots = (
+                    "User-agent: *\n"
+                    "Disallow: /private/\n"
+                    f"Allow: /private/{w[0]}\n"
+                )
+                rules = parse_robots(robots)
+                for pos, path in enumerate(
+                    (f"/{w[0]}", f"/private/{w[0]}", f"/private/{w[1]}")
+                ):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["path"].append(path)
+                    rows["allowed"].append(is_allowed(rules, "anybot", path))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, pos int, path string, allowed boolean"
+    )
+
+
+SQL_ROBOTS_ALLOWED = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS pos, '/' || w[1] AS path, TRUE AS allowed
+FROM w
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), '/private/' || w[1], TRUE
+FROM w
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), '/private/' || w[2],
+       starts_with(w[2], w[1])
+FROM w
+"""
