@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": corpusops.q_filter_funnel,
         "indexable_filter": corpusops.q_indexable_filter,
         "host_quality": corpusops.q_host_quality,
+        "warc_http_meta": corpusops.q_warc_http_meta,
         "url_dedup": corpusops.q_url_dedup,
         "stratified_sample": corpusops.q_stratified_sample,
         "dup_span_extract": corpusops.q_dup_span_extract,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": corpusops.SQL_FILTER_FUNNEL,
         "indexable_filter": corpusops.SQL_INDEXABLE_FILTER,
         "host_quality": corpusops.SQL_HOST_QUALITY,
+        "warc_http_meta": corpusops.SQL_WARC_HTTP_META,
         "url_dedup": corpusops.SQL_URL_DEDUP,
         "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
         "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,

@@ -923,3 +923,65 @@ FROM q
 GROUP BY source
 ORDER BY source
 """
+
+
+def q_warc_http_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP envelope curation signals out of real WARC bytes: per document
+    a response record is serialized (status/content-type varied by doc_id),
+    run back through the WARC record parser, and the (status, mime,
+    fetch-allowed) verdict is value-checked — the non-200 / non-text gate
+    every crawl pipeline applies before extraction. One Arrow pass."""
+    import io
+
+    import pandas as pd
+
+    from ..sources.warc import http_envelope_meta, iter_warc_records
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "status": [], "content_type": [],
+                    "keep": []}
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                i = int(doc_id)
+                status = 404 if i % 4 == 0 else 200
+                ctype = "application/pdf" if i % 5 == 0 else "text/html"
+                body = b"<html><body>x</body></html>"
+                http = (
+                    b"HTTP/1.1 %d X\r\nContent-Type: %s; charset=utf-8\r\n\r\n"
+                    % (status, ctype.encode())
+                ) + body
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    b"WARC-Record-ID: <urn:uuid:%032d>\r\n"
+                    b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                    b"WARC-Target-URI: https://%s.example.com/doc/%d\r\n"
+                    b"Content-Length: %d\r\n\r\n"
+                    % (i, str(source).encode(), i, len(http))
+                ) + http + b"\r\n\r\n"
+                for headers, payload in iter_warc_records(io.BytesIO(rec)):
+                    st, ct = http_envelope_meta(payload)
+                    rows["doc_id"].append(i)
+                    rows["status"].append(st)
+                    rows["content_type"].append(ct)
+                    rows["keep"].append(st == 200 and ct == "text/html")
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, status int, content_type string, keep boolean",
+    )
+
+
+SQL_WARC_HTTP_META = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+       CASE WHEN doc_id % 5 = 0 THEN 'application/pdf' ELSE 'text/html' END
+           AS content_type,
+       doc_id % 4 <> 0 AND doc_id % 5 <> 0 AS keep
+FROM documents
+"""

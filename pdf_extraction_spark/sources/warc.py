@@ -243,3 +243,26 @@ def write_warc(rows: list[dict], path: str, compress: bool = False) -> None:
         data = gzip.compress(data, mtime=0)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def http_envelope_meta(payload: bytes) -> tuple:
+    """(status, content_type) from a WARC response record's HTTP envelope —
+    the curation signals crawls filter on before extraction (non-200 drop,
+    mime gate). Returns (None, None) when no envelope is present."""
+    if payload[:5] != b"HTTP/":
+        return (None, None)
+    sep = payload.find(b"\r\n\r\n")
+    head = payload[: sep if sep != -1 else len(payload)]
+    lines = head.split(b"\r\n")
+    status = None
+    parts = lines[0].split(b" ", 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype = None
+    for ln in lines[1:]:
+        if ln[:13].lower() == b"content-type:":
+            ctype = ln[13:].strip().split(b";")[0].decode(
+                "latin-1", "replace"
+            ).strip().lower() or None
+            break
+    return (status, ctype)

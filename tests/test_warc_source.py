@@ -110,3 +110,18 @@ def test_http_body_wire_encodings_are_reversed():
     # corrupt gzip body: total, returns the undecodable bytes
     resp = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bgarbage"
     assert isinstance(_strip_http_envelope(resp), bytes)
+
+
+def test_http_envelope_meta_signals():
+    from pdf_extraction_spark.sources.warc import http_envelope_meta
+
+    assert http_envelope_meta(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\nb"
+    ) == (200, "text/html")
+    assert http_envelope_meta(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\n\r\n"
+    ) == (301, None)
+    assert http_envelope_meta(b"no envelope here") == (None, None)
+    assert http_envelope_meta(b"HTTP/1.1 bogus\r\n\r\n") == (None, None)
+    assert http_envelope_meta(b"HTTP/1.1 404 NF\r\nCONTENT-TYPE: Text/HTML\r\n\r\n") == (
+        404, "text/html")
