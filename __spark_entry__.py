@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_alt_pairs": links.q_image_alt_pairs,
         "sitemap_urls": links.q_sitemap_urls,
         "robots_allowed": links.q_robots_allowed,
+        "feed_entries": links.q_feed_entries,
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
         "pdf_toc": docmeta.q_pdf_toc,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "image_alt_pairs": links.SQL_IMAGE_ALT_PAIRS,
         "sitemap_urls": links.SQL_SITEMAP_URLS,
         "robots_allowed": links.SQL_ROBOTS_ALLOWED,
+        "feed_entries": links.SQL_FEED_ENTRIES,
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
         "pdf_toc": docmeta.SQL_PDF_TOC,

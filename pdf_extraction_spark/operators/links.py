@@ -337,3 +337,68 @@ SELECT doc_id, CAST(2 AS INT), '/private/' || w[2],
        starts_with(w[2], w[1])
 FROM w
 """
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-based discovery: RSS/Atom entries (title/link/published) per
+    host — the channel news crawls find fresh documents through. Docs
+    alternate between an RSS 2.0 and an Atom rendering of the same two
+    entries, so both dialects are value-checked. One Arrow pass."""
+    import pandas as pd
+
+    from ..sources.feeds import parse_feed
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "kind": [], "title": [],
+                    "link": []}
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
+                                            pdf["source"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:2]
+                base = f"https://{source}.example.com"
+                if i % 2 == 0:
+                    xml = (
+                        "<rss version='2.0'><channel><title>c</title>"
+                        f"<item><title>{w[0]}</title>"
+                        f"<link>{base}/{w[0]}</link></item>"
+                        f"<item><title>{w[1]}</title>"
+                        f"<link>{base}/{w[1]}</link></item>"
+                        "</channel></rss>"
+                    )
+                else:
+                    xml = (
+                        "<feed><title>c</title>"
+                        f"<entry><title>{w[0]}</title>"
+                        f"<link href='{base}/{w[0]}'/></entry>"
+                        f"<entry><title>{w[1]}</title>"
+                        f"<link href='{base}/{w[1]}'/></entry>"
+                        "</feed>"
+                    )
+                parsed = parse_feed(xml)
+                for pos, e in enumerate(parsed["entries"]):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["kind"].append(parsed["kind"])
+                    rows["title"].append(e["title"])
+                    rows["link"].append(e["link"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, pos int, kind string, title string, link string",
+    )
+
+
+SQL_FEED_ENTRIES = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(p.pos AS INT) AS pos,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       w[p.pos + 1] AS title,
+       'https://' || source || '.example.com/' || w[p.pos + 1] AS link
+FROM w, (VALUES (0), (1)) AS p(pos)
+"""
