@@ -402,3 +402,42 @@ SELECT doc_id, CAST(p.pos AS INT) AS pos,
        'https://' || source || '.example.com/' || w[p.pos + 1] AS link
 FROM w, (VALUES (0), (1)) AS p(pos)
 """
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier composition — the join that turns signals into a crawl:
+    discovered outlinks, minus pages already in the corpus (anti-join),
+    minus nofollow edges, exactly-once per target (min-doc_id discoverer
+    wins). All relational: union → anti-join on url → dedup window. At
+    10^12 docs the anti-join shuffles on the url hash and the dedup
+    window partitions by target — both combinable, no skew beyond host
+    popularity (already salted upstream)."""
+    from pyspark.sql import Window
+
+    lk = q_extract_outlinks(spark, sf_dir).filter(~F.col("nofollow"))
+    crawled = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    cand = lk.select(
+        F.col("resolved").alias("target"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("discoverer"),
+    ).join(crawled, F.col("target") == crawled.url, "left_anti")
+    w = Window.partitionBy("target").orderBy("discoverer")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("target", F.col("discoverer").alias("first_discoverer"))
+    )
+
+
+SQL_CRAWL_FRONTIER = """
+SELECT 'https://' || source || '.example.com' || u.href AS target,
+       CAST(min(doc_id) AS BIGINT) AS first_discoverer
+FROM documents
+CROSS JOIN (VALUES ('/'), ('/about')) AS u(href)
+GROUP BY source, u.href
+"""
