@@ -162,6 +162,27 @@ class Block:
         return len(_norm("".join(self.link_parts)))
 
 
+def _parse_srcset(value: str | None) -> list:
+    """``srcset`` candidates per the HTML spec's comma-split-with-descriptor
+    grammar: ``url [descriptor]`` pairs; commas inside URLs are tolerated by
+    splitting only on commas followed by whitespace or preceded by a
+    descriptor. Returns ``[(url, descriptor)]``, descriptor "" when absent.
+    """
+    if not value:
+        return []
+    out: list = []
+    for part in value.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(None, 1)
+        url = bits[0]
+        desc = bits[1].strip() if len(bits) > 1 else ""
+        if url:
+            out.append((url, desc))
+    return out
+
+
 def _span_attr(attrs, name: str) -> int:
     """colspan/rowspan per WHATWG table processing: non-numeric or missing
     → 1; clamped to [1, 1000] (the spec's colspan ceiling)."""
@@ -263,17 +284,20 @@ class _BlockParser:
             if tag == "br" and self._cur is not None:
                 self._cur.parts.append(" ")
             elif tag == "img":
-                src_v = alt_v = None
+                src_v = alt_v = srcset_v = None
                 for k, v in attrs:
                     if k == "src" and v:
                         src_v = str(v).strip()
                     elif k == "alt" and v is not None:
                         alt_v = str(v)
-                if src_v:
+                    elif k == "srcset" and v:
+                        srcset_v = str(v)
+                if src_v or srcset_v:
                     self.assets.append({
                         "src": src_v,
                         "alt": _norm(alt_v) if alt_v else "",
                         "chrome": self._chrome_depth > 0,
+                        "srcset": _parse_srcset(srcset_v),
                     })
             elif tag == "meta":
                 name = content = equiv = None

@@ -181,7 +181,7 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             rows = {"doc_id": [], "pos": [], "src": [], "alt": [],
-                    "chrome": []}
+                    "chrome": [], "srcset_n": []}
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
@@ -190,21 +190,26 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 html = (
                     "<html><body>"
                     "<nav><img src='/logo.png' alt='logo'></nav>"
-                    f"<main><img src='/img/{i}.jpg' alt='{w[0]} {w[1]}'>"
+                    f"<main><img src='/img/{i}.jpg' alt='{w[0]} {w[1]}'"
+                    f" srcset='/img/{i}-1x.jpg 1x, /img/{i}-2x.jpg 2x'>"
                     f"<img src='/img/{i}.png' alt='{w[2]} {w[3]}'></main>"
                     "</body></html>"
                 )
                 for pos, a in enumerate(extract_html_assets(html)):
+                    if not a["src"]:
+                        continue
                     rows["doc_id"].append(i)
                     rows["pos"].append(pos)
                     rows["src"].append(resolve_link(url, a["src"]))
                     rows["alt"].append(a["alt"])
                     rows["chrome"].append(a["chrome"])
+                    rows["srcset_n"].append(len(a["srcset"]))
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(
         gen,
-        schema="doc_id long, pos int, src string, alt string, chrome boolean",
+        schema=("doc_id long, pos int, src string, alt string, "
+                "chrome boolean, srcset_n int"),
     )
 
 
@@ -212,17 +217,17 @@ SQL_IMAGE_ALT_PAIRS = """
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, CAST(0 AS INT) AS pos,
        'https://' || source || '.example.com/logo.png' AS src,
-       'logo' AS alt, TRUE AS chrome
+       'logo' AS alt, TRUE AS chrome, CAST(0 AS INT) AS srcset_n
 FROM w
 UNION ALL
 SELECT doc_id, CAST(1 AS INT),
        'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg',
-       w[1] || ' ' || w[2], FALSE
+       w[1] || ' ' || w[2], FALSE, CAST(2 AS INT)
 FROM w
 UNION ALL
 SELECT doc_id, CAST(2 AS INT),
        'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.png',
-       w[3] || ' ' || w[4], FALSE
+       w[3] || ' ' || w[4], FALSE, CAST(0 AS INT)
 FROM w
 """
 

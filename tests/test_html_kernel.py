@@ -321,9 +321,9 @@ def test_image_assets_collected():
         "<img src='plain.gif'></main></body>"
     )
     assert a == [
-        {"src": "/logo.png", "alt": "Site Logo", "chrome": True},
-        {"src": "fig1.jpg", "alt": "A diagram", "chrome": False},
-        {"src": "plain.gif", "alt": "", "chrome": False},
+        {"src": "/logo.png", "alt": "Site Logo", "chrome": True, "srcset": []},
+        {"src": "fig1.jpg", "alt": "A diagram", "chrome": False, "srcset": []},
+        {"src": "plain.gif", "alt": "", "chrome": False, "srcset": []},
     ]
     assert extract_html_assets(b"\xff\xfejunk") == []
 
@@ -348,3 +348,15 @@ def test_jsonld_blocks_parsed_flattened_and_total():
                      "Organization"]
     assert extract_html(h)["text"] == "body text stays unaffected here ok"
     assert extract_jsonld(b"\x00garbage") == []
+
+
+def test_img_srcset_candidates():
+    from pdf_extraction_spark.kernels.html_extract import extract_html_assets
+
+    a = extract_html_assets(
+        "<main><img src='a.jpg' srcset='a-1x.jpg 1x, a-2x.jpg 2x,a-3x.jpg 3x'>"
+        "<img srcset='only.jpg 480w'></main>"
+    )
+    assert a[0]["srcset"] == [("a-1x.jpg", "1x"), ("a-2x.jpg", "2x"),
+                              ("a-3x.jpg", "3x")]
+    assert a[1]["src"] is None and a[1]["srcset"] == [("only.jpg", "480w")]
