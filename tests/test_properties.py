@@ -152,3 +152,39 @@ def test_pdf_outline_total_on_garbage(tail):
 
     out = extract_pdf_outline(b"%PDF-1.5\n" + tail)
     assert isinstance(out, list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_source_parsers_total_on_garbage(data):
+    """sitemap / feed / robots parsers are total and shape-stable on
+    arbitrary bytes."""
+    from pdf_extraction_spark.kernels.robots import is_allowed, parse_robots
+    from pdf_extraction_spark.sources.feeds import parse_feed
+    from pdf_extraction_spark.sources.sitemap import parse_sitemap
+
+    sm = parse_sitemap(data)
+    assert set(sm) == {"kind", "entries"} and isinstance(sm["entries"], list)
+    fd = parse_feed(data)
+    assert set(fd) == {"kind", "title", "entries"}
+    rb = parse_robots(data)
+    assert set(rb) == {"groups", "crawl_delay", "sitemaps"}
+    assert isinstance(is_allowed(rb, "bot", "/x"), bool)
+
+
+_rb_frag = st.one_of(
+    st.sampled_from(["User-agent: *", "User-agent: a", "Disallow: /x",
+                     "Allow: /x/y", "Disallow:", "Crawl-delay: 1",
+                     "Sitemap: https://x/s.xml", "# comment", "junk line",
+                     "Disallow: /*.pdf$", "Allow: /tmp*/x"]),
+    st.text(alphabet="abc:/*$ ", max_size=20),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_rb_frag, max_size=30).map("\n".join),
+       st.text(alphabet="/abcxyz.*", max_size=30))
+def test_robots_matcher_total_on_rule_soup(robots, path):
+    from pdf_extraction_spark.kernels.robots import is_allowed, parse_robots
+
+    assert isinstance(is_allowed(parse_robots(robots), "bot", path), bool)
