@@ -96,6 +96,23 @@ def build_mp4(width: int, height: int, duration_ms: int) -> bytes:
     return ftyp + moov + _box(b"mdat", b"\x00" * 8)
 
 
+def build_webp(width: int, height: int, lossless: bool = False) -> bytes:
+    """Minimal RIFF/WEBP: a VP8 (lossy) or VP8L (lossless) chunk carrying
+    real dimensions. Lossy: 3-byte frame tag + 0x9D012A start code +
+    14-bit little-endian dims. Lossless: 0x2F signature + (w-1, h-1)
+    packed into 28 bits."""
+    if lossless:
+        bits = (width - 1) | ((height - 1) << 14)
+        data = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+    else:
+        data = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF))
+        chunk = b"VP8 " + struct.pack("<I", len(data)) + data
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def build_wav(sample_rate: int, channels: int, n_samples: int = 4) -> bytes:
     """Minimal RIFF/WAVE: fmt chunk (PCM16) + a zeroed data chunk."""
     data = b"\x00\x00" * channels * n_samples
@@ -109,6 +126,8 @@ def build_wav(sample_rate: int, channels: int, n_samples: int = 4) -> bytes:
 # fixture-payload sizes are dimension-independent by construction; the
 # oracle SQL embeds these as constants
 PNG_BYTES = len(build_png(1, 1))
+WEBP_LOSSY_BYTES = len(build_webp(1, 1))
+WEBP_LOSSLESS_BYTES = len(build_webp(1, 1, lossless=True))
 JPEG_BYTES = len(build_jpeg(1, 1))
 WAV_BYTES = len(build_wav(8000, 1))
 GIF_BYTES = len(build_gif(1, 1))
@@ -124,7 +143,7 @@ _SOF_MARKERS = frozenset(
 
 def decode_container(payload: bytes) -> dict:
     """Parse a media container header. Returns a dict with keys
-    ``fmt`` ('png' | 'jpeg' | 'wav' | 'gif' | 'mp4' | 'corrupt'),
+    ``fmt`` ('png' | 'jpeg' | 'wav' | 'gif' | 'mp4' | 'webp' | 'corrupt'),
     ``width``, ``height``, ``sample_rate``, ``channels``, ``duration_ms``
     (absent dimensions are -1).
     Raises ValueError if the payload does not start with a known container
@@ -167,6 +186,29 @@ def decode_container(payload: bytes) -> dict:
             p += 2 + seg_len
         return out
     if payload.startswith(b"RIFF"):
+        if payload[8:12] == b"WEBP":
+            p = 12
+            n = len(payload)
+            while p + 8 <= n:
+                tag = payload[p : p + 4]
+                (ln,) = struct.unpack("<I", payload[p + 4 : p + 8])
+                body = payload[p + 8 : p + 8 + ln]
+                if tag == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+                    w, h = struct.unpack("<HH", body[6:10])
+                    out.update(fmt="webp", width=w & 0x3FFF, height=h & 0x3FFF)
+                    return out
+                if tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                    (bits,) = struct.unpack("<I", body[1:5])
+                    out.update(fmt="webp", width=(bits & 0x3FFF) + 1,
+                               height=((bits >> 14) & 0x3FFF) + 1)
+                    return out
+                if tag == b"VP8X" and len(body) >= 10:
+                    w = int.from_bytes(body[4:7], "little") + 1
+                    h = int.from_bytes(body[7:10], "little") + 1
+                    out.update(fmt="webp", width=w, height=h)
+                    return out
+                p += 8 + ln + (ln & 1)
+            return out
         if payload[8:12] != b"WAVE":
             return out
         p = 12

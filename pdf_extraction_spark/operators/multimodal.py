@@ -32,9 +32,9 @@ META_SCHEMA = (
 
 
 def _fixture_payload(doc_id: int, text: str) -> bytes:
-    """Deterministic binary payload per doc: five of every seven docs a real
-    PNG / JPEG / WAV / GIF / MP4 (dims and duration derived from doc_id so
-    the oracle can check the parse), the rest raw UTF-8 text
+    """Deterministic binary payload per doc: six of every seven docs a real
+    PNG / JPEG / WAV / GIF / MP4 / WEBP (dims and duration derived from
+    doc_id so the oracle can check the parse), the rest raw UTF-8 text
     (synthetic-metadata fallback path)."""
     m = doc_id % 7
     if m == 0:
@@ -48,6 +48,11 @@ def _fixture_payload(doc_id: int, text: str) -> bytes:
     if m == 4:
         return containers.build_mp4(
             16 + doc_id % 101, 16 + (doc_id * 7) % 101, 1000 + doc_id % 5000
+        )
+    if m == 5:
+        return containers.build_webp(
+            16 + doc_id % 101, 16 + (doc_id * 7) % 101,
+            lossless=(doc_id % 2 == 1),
         )
     return text.encode("utf-8")
 
@@ -111,11 +116,14 @@ SELECT doc_id,
          WHEN 2 THEN {containers.WAV_BYTES} + (doc_id % 2) * 8
          WHEN 3 THEN {containers.GIF_BYTES}
          WHEN 4 THEN {containers.MP4_BYTES}
+         WHEN 5 THEN CASE WHEN doc_id % 2 = 1
+                          THEN {containers.WEBP_LOSSLESS_BYTES}
+                          ELSE {containers.WEBP_LOSSY_BYTES} END
          ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN doc_id % 7 IN (0, 1, 3, 4) THEN 16 + doc_id % 101
+       CAST(CASE WHEN doc_id % 7 IN (0, 1, 3, 4, 5) THEN 16 + doc_id % 101
                  WHEN doc_id % 7 = 2 THEN -1
                  ELSE 64 + ascii(substr(md5(text), 1, 1)) % 64 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 7 IN (0, 1, 3, 4) THEN 16 + (doc_id * 7) % 101
+       CAST(CASE WHEN doc_id % 7 IN (0, 1, 3, 4, 5) THEN 16 + (doc_id * 7) % 101
                  WHEN doc_id % 7 = 2 THEN -1
                  ELSE 64 + ascii(substr(md5(text), 2, 1)) % 64 END AS INT) AS height,
        CAST(CASE WHEN doc_id % 7 = 2 THEN 8000 + 100 * (doc_id % 8)
@@ -124,7 +132,7 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 7 = 4 THEN 1000 + doc_id % 5000
                  ELSE -1 END AS BIGINT) AS duration_ms,
        CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
-            WHEN 3 THEN 'gif' WHEN 4 THEN 'mp4'
+            WHEN 3 THEN 'gif' WHEN 4 THEN 'mp4' WHEN 5 THEN 'webp'
             ELSE 'synthetic' END AS fmt
 FROM documents
 """

@@ -93,3 +93,22 @@ def test_parser_total_on_junk_after_signature(tail):
                 b"GIF89a", b"\x00\x00\x00\x14ftyp"):
         meta = containers.decode_container(sig + tail)
         assert meta["fmt"] in ("png", "jpeg", "wav", "gif", "mp4", "corrupt")
+
+
+def test_webp_lossy_lossless_and_extended():
+    from pdf_extraction_spark.kernels.containers import build_webp, decode_container
+    import struct
+
+    for w, h in ((64, 48), (1, 1), (16383, 16383)):
+        for lossless in (False, True):
+            d = decode_container(build_webp(w, h, lossless=lossless))
+            assert d["fmt"] == "webp"
+            assert (d["width"], d["height"]) == (w, h), (w, h, lossless)
+    # VP8X extended-format chunk (24-bit w-1/h-1)
+    body = b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    d = decode_container(payload)
+    assert (d["fmt"], d["width"], d["height"]) == ("webp", 640, 480)
+    # truncation degrades to corrupt, never raises
+    assert decode_container(build_webp(64, 48)[:14])["fmt"] == "corrupt"
