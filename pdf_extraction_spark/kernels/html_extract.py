@@ -839,3 +839,23 @@ def extract_jsonld(payload: bytes | str) -> list[dict]:
         return out
     except Exception:
         return []
+
+
+def extract_meta_map(payload: bytes | str) -> dict:
+    """The full ``<meta name/property>`` map (first occurrence wins,
+    normalized values) plus the head ``<title>`` under ``"title"`` — the
+    surface OpenGraph/Twitter-card harvesters read. Never raises."""
+    try:
+        if isinstance(payload, bytes):
+            html = payload.decode(detect_charset(payload), errors="replace")
+        else:
+            html = payload
+        parser = _BlockParser()
+        _scan(html, parser)
+        parser.close()
+        out = dict(parser.meta)
+        if parser.title is not None:
+            out.setdefault("title", parser.title)
+        return out
+    except Exception:
+        return {}

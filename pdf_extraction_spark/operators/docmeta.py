@@ -245,3 +245,62 @@ SELECT doc_id,
        '2025-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS date_published
 FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
 """
+
+
+def q_opengraph_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph card extraction: og:title / og:type / og:image / og:url
+    read back out of ``<meta property=...>`` tags via the kernel's
+    first-wins meta capture (:func:`extract_meta_map`) — the social-card
+    metadata layer that often carries a cleaner title and canonical image
+    than the page body. One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.html_extract import extract_meta_map
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "og_title": [], "og_type": [],
+                    "og_image": [], "og_url": []}
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
+                                            pdf["source"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:2]
+                html = (
+                    "<html><head>"
+                    f"<meta property='og:title' content='{w[0]} {w[1]}'>"
+                    "<meta property='og:type' content='article'>"
+                    f"<meta property='og:image' content='https://{source}"
+                    f".example.com/img/{i}.jpg'>"
+                    f"<meta property='og:url' content='https://{source}"
+                    f".example.com/doc/{i}'>"
+                    "<meta property='og:title' content='ignored duplicate'>"
+                    "</head><body><p>x</p></body></html>"
+                )
+                m = extract_meta_map(html)
+                rows["doc_id"].append(i)
+                rows["og_title"].append(m.get("og:title"))
+                rows["og_type"].append(m.get("og:type"))
+                rows["og_image"].append(m.get("og:image"))
+                rows["og_url"].append(m.get("og:url"))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema=("doc_id long, og_title string, og_type string, "
+                "og_image string, og_url string"),
+    )
+
+
+SQL_OPENGRAPH_CARDS = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       w[1] || ' ' || w[2] AS og_title,
+       'article' AS og_type,
+       'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg' AS og_image,
+       'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS og_url
+FROM w
+"""

@@ -360,3 +360,19 @@ def test_img_srcset_candidates():
     assert a[0]["srcset"] == [("a-1x.jpg", "1x"), ("a-2x.jpg", "2x"),
                               ("a-3x.jpg", "3x")]
     assert a[1]["src"] is None and a[1]["srcset"] == [("only.jpg", "480w")]
+
+
+def test_meta_map_first_wins_and_title():
+    from pdf_extraction_spark.kernels.html_extract import extract_meta_map
+
+    m = extract_meta_map(
+        "<head><title>Page T</title>"
+        "<meta property='og:title' content='OG One'>"
+        "<meta property='og:title' content='OG Two'>"
+        "<meta name='description' content=' spaced   out '></head>"
+    )
+    assert m["og:title"] == "OG One"        # first occurrence wins
+    assert m["description"] == "spaced out"  # normalized
+    assert m["title"] == "Page T"
+    assert extract_meta_map(b"\xff\xfejunk") == {} or isinstance(
+        extract_meta_map(b"\xff\xfejunk"), dict)
