@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_toc": docmeta.q_html_toc,
         "jsonld_meta": docmeta.q_jsonld_meta,
         "opengraph_cards": docmeta.q_opengraph_cards,
+        "pdf_attachments": docmeta.q_pdf_attachments,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "html_toc": docmeta.SQL_HTML_TOC,
         "jsonld_meta": docmeta.SQL_JSONLD_META,
         "opengraph_cards": docmeta.SQL_OPENGRAPH_CARDS,
+        "pdf_attachments": docmeta.SQL_PDF_ATTACHMENTS,
         "paragraph_dedup": corpusops.SQL_PARAGRAPH_DEDUP,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,

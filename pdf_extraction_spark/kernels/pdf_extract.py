@@ -911,6 +911,62 @@ class _Doc:
                 return hit
         return None
 
+    def embedded_files(self) -> list[dict]:
+        """PDF attachments (§7.11.4): walk the catalog /Names →
+        /EmbeddedFiles name tree to /Filespec dicts, decode each /EF /F
+        embedded-file stream. Returns ``[{name, filename, size, data}]``
+        in tree order; undecodable entries are skipped."""
+        out: list[dict] = []
+        try:
+            root = self.resolve(self.trailer.get("Root"))
+            if not isinstance(root, dict):
+                return []
+            names = self.resolve(root.get("Names"))
+            if not isinstance(names, dict):
+                return []
+            self._collect_embedded(
+                self.resolve(names.get("EmbeddedFiles")), out, 0
+            )
+        except Exception:
+            pass
+        return out
+
+    def _collect_embedded(self, node, out: list, depth: int) -> None:
+        if not isinstance(node, dict) or depth > 32 or len(out) > 10000:
+            return
+        arr = self.resolve(node.get("Names"))
+        if isinstance(arr, list):
+            for j in range(0, len(arr) - 1, 2):
+                key = self.resolve(arr[j])
+                spec = self.resolve(arr[j + 1])
+                if isinstance(spec, tuple) and spec[0] == "stream":
+                    spec = spec[1]
+                if not isinstance(spec, dict):
+                    continue
+                fname = self.resolve(spec.get("UF")) or self.resolve(
+                    spec.get("F")
+                )
+                ef = self.resolve(spec.get("EF"))
+                data = None
+                if isinstance(ef, dict):
+                    fs = self.resolve(ef.get("UF")) or self.resolve(ef.get("F"))
+                    if isinstance(fs, tuple) and fs[0] == "stream":
+                        try:
+                            data = _decode_stream(fs[1], fs[2])
+                        except Exception:
+                            data = None
+                if data is None:
+                    continue
+                out.append({
+                    "name": _pdf_text(key) if isinstance(key, bytes) else "",
+                    "filename": _pdf_text(fname)
+                    if isinstance(fname, bytes) else "",
+                    "size": len(data),
+                    "data": data,
+                })
+        for kid in self.resolve(node.get("Kids")) or []:
+            self._collect_embedded(self.resolve(kid), out, depth + 1)
+
     def page_num_map(self) -> dict[int, int]:
         """Object number → page index, in page-tree order (for /Dest
         resolution)."""
@@ -1761,5 +1817,18 @@ def extract_pdf_outline(payload: bytes) -> list[dict]:
         if not doc.try_decrypt():
             return []
         return doc.outline()
+    except Exception:
+        return []
+
+
+def extract_pdf_attachments(payload: bytes) -> list[dict]:
+    """PDF attachments (/Names /EmbeddedFiles, §7.11.4) for one payload:
+    ``[{name, filename, size, data}]``. Never raises; undecryptable or
+    malformed documents yield []."""
+    try:
+        doc = _Doc(payload)
+        if not doc.try_decrypt():
+            return []
+        return doc.embedded_files()
     except Exception:
         return []

@@ -417,6 +417,17 @@ def _content_table(rows: list[list[str]], show=None) -> str:
     return "\n".join(ops)
 
 
+def _pdf_str_tok(s: str, owner: int, encryptor, objstm: bool) -> str:
+    """Literal-or-encrypted string token: the standard handler encrypts ALL
+    strings with the owning object's key, except inside an ObjStm whose
+    container stream is encrypted wholesale (§7.5.7)."""
+    if encryptor is not None and not objstm:
+        cipher = encryptor.encrypt(owner, 0, s.encode("latin-1", "replace"))
+        return "<%s>" % cipher.hex().upper()
+    return "(%s)" % (s.replace("\\", r"\\").replace("(", r"\(")
+                     .replace(")", r"\)"))
+
+
 def _outline_objects(
     base: int, items: list, npages: int, encryptor, objstm: bool,
     named: bool = False,
@@ -468,11 +479,7 @@ def _outline_objects(
         return base + 1 + i
 
     def _str_tok(s: str, owner: int) -> str:
-        if encryptor is not None and not objstm:
-            cipher = encryptor.encrypt(owner, 0, s.encode("latin-1", "replace"))
-            return "<%s>" % cipher.hex().upper()
-        return "(%s)" % (s.replace("\\", r"\\").replace("(", r"\(")
-                         .replace(")", r"\)"))
+        return _pdf_str_tok(s, owner, encryptor, objstm)
 
     objs: dict[int, bytes] = {}
     objs[base] = (
@@ -539,6 +546,7 @@ def _assemble(
     encryptor=None, rotate: int = 0, form_xobject: bool = False,
     links: list[str] | None = None, info: dict | None = None,
     outline: list | None = None, outline_named: bool = False,
+    attachments: list | None = None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -642,16 +650,49 @@ def _assemble(
         ).encode()
         objs[ct] = _stream_obj(stream)
 
+    names_entries: list[bytes] = []
+    cat_extra = b""
     if outline:
         out_base = max(list(objs) + [3 + 2 * npages]) + 1
         objs.update(
             _outline_objects(out_base, outline, npages, encryptor, objstm,
                              named=outline_named)
         )
-        cat = b"<< /Type /Catalog /Pages 2 0 R /Outlines %d 0 R" % out_base
+        cat_extra += b" /Outlines %d 0 R" % out_base
         if outline_named:
-            cat += b" /Names << /Dests %d 0 R >>" % (out_base + 1 + len(outline))
-        objs[1] = cat + b" >>" 
+            names_entries.append(
+                b"/Dests %d 0 R" % (out_base + 1 + len(outline))
+            )
+    if attachments:
+        # /Names /EmbeddedFiles tree (§7.11.4): filespec dict + /EF stream
+        # per attachment, one leaf node; stream payloads ride the normal
+        # compression/encryption passes below
+        att_base = max(list(objs) + [3 + 2 * npages]) + 1
+        pairs = []
+        for k, (fname, fdata) in enumerate(attachments):
+            fs_num = att_base + 2 * k
+            ef_num = att_base + 2 * k + 1
+            objs[fs_num] = (
+                "<< /Type /Filespec /F %s /EF << /F %d 0 R >> >>"
+                % (_pdf_str_tok(fname, fs_num, encryptor, objstm), ef_num)
+            ).encode()
+            objs[ef_num] = (
+                b"<< /Type /EmbeddedFile /Params << /Size %d >> /Length %d >>"
+                % (len(fdata), len(fdata))
+                + b"\nstream\n" + fdata + b"\nendstream"
+            )
+            pairs.append((fname, fs_num))
+        tree_num = att_base + 2 * len(attachments)
+        body = " ".join(
+            "%s %d 0 R" % (_pdf_str_tok(nm, tree_num, encryptor, objstm), fs)
+            for nm, fs in sorted(pairs)
+        )
+        objs[tree_num] = ("<< /Names [%s] >>" % body).encode()
+        names_entries.append(b"/EmbeddedFiles %d 0 R" % tree_num)
+    if names_entries:
+        cat_extra += b" /Names << " + b" ".join(names_entries) + b" >>"
+    if cat_extra:
+        objs[1] = b"<< /Type /Catalog /Pages 2 0 R" + cat_extra + b" >>"
 
     info_num = None
     if info:
@@ -840,6 +881,7 @@ def build_pdf(
     info: dict | None = None,
     outline: list | None = None,
     outline_named: bool = False,
+    attachments: list | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -955,7 +997,7 @@ def build_pdf(
         pages, compress=compress, xref_stream=xref_stream, with_image=figure,
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
         form_xobject=form_xobject, links=links, info=info, outline=outline,
-        outline_named=outline_named,
+        outline_named=outline_named, attachments=attachments,
     )
 
 

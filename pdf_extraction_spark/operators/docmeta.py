@@ -304,3 +304,58 @@ SELECT doc_id,
        'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS og_url
 FROM w
 """
+
+
+def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF attachment extraction (§7.11.4): files embedded through the
+    /Names /EmbeddedFiles tree come back with filename, declared size, and
+    content — the PDF/A-3 pattern (machine-readable payloads riding a
+    document). Every 13th doc is AES-encrypted and every 5th ObjStm-packed
+    so the stream decrypt/unpack paths run under the oracle."""
+    import pandas as pd
+
+    from ..kernels import pdf_write
+    from ..kernels.pdf_extract import extract_pdf_attachments
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "filename": [], "size": [],
+                    "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:2]
+                atts = [("a.txt", w[0].encode()), ("b.txt", w[1].encode())]
+                payload = pdf_write.build_pdf(
+                    " ".join(w), attachments=atts,
+                    compress=(i % 2 == 0), objstm=(i % 5 == 0),
+                    encrypt=("aes-128" if i % 13 == 0 else None),
+                )
+                for pos, a in enumerate(extract_pdf_attachments(payload)):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["filename"].append(a["filename"])
+                    rows["size"].append(a["size"])
+                    rows["content"].append(a["data"].decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema=("doc_id long, pos int, filename string, size long, "
+                "content string"),
+    )
+
+
+SQL_PDF_ATTACHMENTS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS pos, 'a.txt' AS filename,
+       CAST(length(w[1]) AS BIGINT) AS size, w[1] AS content
+FROM w
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'b.txt',
+       CAST(length(w[2]) AS BIGINT), w[2]
+FROM w
+"""

@@ -103,3 +103,29 @@ def test_named_destination_single_leaf_and_missing_name():
     broken = pdf.replace(b"(d1) [", b"(dX) [", 1)
     got = extract_pdf_outline(broken)
     assert got[0]["page"] == 0 and got[1]["page"] == -1
+
+
+def test_attachments_roundtrip_across_variants():
+    """Embedded files (§7.11.4): /Names /EmbeddedFiles tree → Filespec →
+    /EF stream, across compression/ObjStm/encryption and coexisting with
+    named-dest /Names entries. Binary payloads survive byte-identically."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        extract_pdf_attachments,
+    )
+
+    atts = [("data.csv", b"a,b\n1,2\n"), ("notes (v2).txt", b"hello \x00world")]
+    text = "alpha beta gamma " * 50
+    for kw in (
+        {},
+        {"compress": True},
+        {"objstm": True},
+        {"encrypt": "aes-128"},
+        {"encrypt": "rc4-40", "xref_stream": True},
+        {"outline": [(1, "T", 0)], "outline_named": True},
+    ):
+        pdf = pdf_write.build_pdf(text, attachments=atts, **kw)
+        got = extract_pdf_attachments(pdf)
+        assert [(g["filename"], g["data"]) for g in got] == atts, kw
+        assert got[0]["size"] == len(atts[0][1])
+    assert extract_pdf_attachments(pdf_write.build_pdf(text)) == []
+    assert extract_pdf_attachments(b"junk") == []
