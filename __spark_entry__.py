@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_meta": docmeta.q_jsonld_meta,
         "opengraph_cards": docmeta.q_opengraph_cards,
         "pdf_attachments": docmeta.q_pdf_attachments,
+        "pdf_form_fields": docmeta.q_pdf_form_fields,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_meta": docmeta.SQL_JSONLD_META,
         "opengraph_cards": docmeta.SQL_OPENGRAPH_CARDS,
         "pdf_attachments": docmeta.SQL_PDF_ATTACHMENTS,
+        "pdf_form_fields": docmeta.SQL_PDF_FORM_FIELDS,
         "paragraph_dedup": corpusops.SQL_PARAGRAPH_DEDUP,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,

@@ -967,6 +967,54 @@ class _Doc:
         for kid in self.resolve(node.get("Kids")) or []:
             self._collect_embedded(self.resolve(kid), out, depth + 1)
 
+    def form_fields(self) -> list[dict]:
+        """Interactive-form (AcroForm, §12.7) field values: walk the
+        catalog /AcroForm /Fields tree, joining hierarchical names with
+        '.', decoding /V strings (or name tokens for buttons/choices).
+        Returns ``[{name, field_type, value}]`` in tree order."""
+        out: list[dict] = []
+        try:
+            root = self.resolve(self.trailer.get("Root"))
+            if not isinstance(root, dict):
+                return []
+            af = self.resolve(root.get("AcroForm"))
+            if isinstance(af, tuple) and af[0] == "stream":
+                af = af[1]
+            if not isinstance(af, dict):
+                return []
+            for ref in self.resolve(af.get("Fields")) or []:
+                self._walk_field(ref, "", out, 0)
+        except Exception:
+            pass
+        return out
+
+    def _walk_field(self, ref, prefix: str, out: list, depth: int) -> None:
+        node = self.resolve(ref)
+        if not isinstance(node, dict) or depth > 32 or len(out) > 10000:
+            return
+        t = self.resolve(node.get("T"))
+        name = _pdf_text(t) if isinstance(t, bytes) else ""
+        full = f"{prefix}.{name}" if prefix and name else (name or prefix)
+        kids = self.resolve(node.get("Kids"))
+        has_term = "V" in node or "FT" in node
+        if has_term and name:
+            v = self.resolve(node.get("V"))
+            if isinstance(v, bytes):
+                value = _pdf_text(v)
+            elif v is not None:
+                value = str(v)
+            else:
+                value = None
+            ft = self.resolve(node.get("FT"))
+            out.append({
+                "name": full,
+                "field_type": str(ft) if ft is not None else None,
+                "value": value,
+            })
+        if isinstance(kids, list):
+            for kid in kids:
+                self._walk_field(kid, full, out, depth + 1)
+
     def page_num_map(self) -> dict[int, int]:
         """Object number → page index, in page-tree order (for /Dest
         resolution)."""
@@ -1830,5 +1878,17 @@ def extract_pdf_attachments(payload: bytes) -> list[dict]:
         if not doc.try_decrypt():
             return []
         return doc.embedded_files()
+    except Exception:
+        return []
+
+
+def extract_pdf_form_fields(payload: bytes) -> list[dict]:
+    """AcroForm field values (§12.7) for one payload: ``[{name,
+    field_type, value}]`` with hierarchical dotted names. Never raises."""
+    try:
+        doc = _Doc(payload)
+        if not doc.try_decrypt():
+            return []
+        return doc.form_fields()
     except Exception:
         return []

@@ -546,7 +546,7 @@ def _assemble(
     encryptor=None, rotate: int = 0, form_xobject: bool = False,
     links: list[str] | None = None, info: dict | None = None,
     outline: list | None = None, outline_named: bool = False,
-    attachments: list | None = None,
+    attachments: list | None = None, acroform: list | None = None,
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -689,6 +689,21 @@ def _assemble(
         )
         objs[tree_num] = ("<< /Names [%s] >>" % body).encode()
         names_entries.append(b"/EmbeddedFiles %d 0 R" % tree_num)
+    if acroform:
+        # AcroForm text fields (§12.7): one terminal field dict per
+        # (name, value); strings ride the per-object encryption rule
+        fb = max(list(objs) + [3 + 2 * npages]) + 1
+        refs = []
+        for k, (fname, fval) in enumerate(acroform):
+            fn = fb + 1 + k
+            objs[fn] = (
+                "<< /FT /Tx /T %s /V %s >>"
+                % (_pdf_str_tok(fname, fn, encryptor, objstm),
+                   _pdf_str_tok(fval, fn, encryptor, objstm))
+            ).encode()
+            refs.append("%d 0 R" % fn)
+        objs[fb] = ("<< /Fields [%s] >>" % " ".join(refs)).encode()
+        cat_extra += b" /AcroForm %d 0 R" % fb
     if names_entries:
         cat_extra += b" /Names << " + b" ".join(names_entries) + b" >>"
     if cat_extra:
@@ -882,6 +897,7 @@ def build_pdf(
     outline: list | None = None,
     outline_named: bool = False,
     attachments: list | None = None,
+    acroform: list | None = None,
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -998,6 +1014,7 @@ def build_pdf(
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
         form_xobject=form_xobject, links=links, info=info, outline=outline,
         outline_named=outline_named, attachments=attachments,
+        acroform=acroform,
     )
 
 

@@ -359,3 +359,51 @@ SELECT doc_id, CAST(1 AS INT), 'b.txt',
        CAST(length(w[2]) AS BIGINT), w[2]
 FROM w
 """
+
+
+def q_pdf_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AcroForm value extraction (§12.7): interactive-form field names and
+    filled values — the document-processing surface (invoices, applications)
+    where the data lives in /V strings, not the page text. Every 13th doc
+    AES-encrypted, every 5th ObjStm-packed, under the oracle."""
+    import pandas as pd
+
+    from ..kernels import pdf_write
+    from ..kernels.pdf_extract import extract_pdf_form_fields
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "name": [], "value": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w = str(text).split(" ")[:2]
+                fields = [("field_a", w[0]), ("field_b", w[1])]
+                payload = pdf_write.build_pdf(
+                    " ".join(w), acroform=fields,
+                    compress=(i % 2 == 0), objstm=(i % 5 == 0),
+                    encrypt=("aes-128" if i % 13 == 0 else None),
+                )
+                for pos, f in enumerate(extract_pdf_form_fields(payload)):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["name"].append(f["name"])
+                    rows["value"].append(f["value"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, pos int, name string, value string"
+    )
+
+
+SQL_PDF_FORM_FIELDS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS pos, 'field_a' AS name, w[1] AS value
+FROM w
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'field_b', w[2]
+FROM w
+"""

@@ -129,3 +129,22 @@ def test_attachments_roundtrip_across_variants():
         assert got[0]["size"] == len(atts[0][1])
     assert extract_pdf_attachments(pdf_write.build_pdf(text)) == []
     assert extract_pdf_attachments(b"junk") == []
+
+
+def test_acroform_fields_roundtrip():
+    """AcroForm /Fields → (dotted name, /FT, /V) across layout/crypt
+    variants; special characters in names/values survive."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        extract_pdf_form_fields,
+    )
+
+    fields = [("customer_name", "Ada Lovelace"), ("amount (net)", "1,234.50")]
+    text = "alpha beta " * 40
+    for kw in ({}, {"compress": True}, {"objstm": True},
+               {"encrypt": "aes-128"}, {"attachments": [("a.txt", b"x")]}):
+        pdf = pdf_write.build_pdf(text, acroform=fields, **kw)
+        got = extract_pdf_form_fields(pdf)
+        assert [(g["name"], g["value"]) for g in got] == fields, kw
+        assert got[0]["field_type"] == "Tx"
+    assert extract_pdf_form_fields(pdf_write.build_pdf(text)) == []
+    assert extract_pdf_form_fields(b"garbage") == []
