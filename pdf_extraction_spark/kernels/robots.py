@@ -88,10 +88,9 @@ def _rule_matches(pattern: str, path: str) -> int:
         if i == -1:
             return -1
         pos = i + len(seg)
+    # a trailing * before $ already consumed to the end (pos == len(path))
     if anchored and pos != len(path):
-        # a trailing * before $ already consumed to the end
-        if not (parts[-1] == "" and pos == len(path)):
-            return -1
+        return -1
     return len(pattern)
 
 

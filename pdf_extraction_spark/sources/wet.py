@@ -54,8 +54,7 @@ def wet_bytes(rows: list[dict], warcinfo: bool = True) -> bytes:
     for i, r in enumerate(rows):
         ts = r.get("warc_ts") or datetime.datetime(2025, 1, 1)
         body = (r.get("text") or "").encode("utf-8")
-        for chunk in (b"WARC/1.0" + CRLF,):
-            buf.write(chunk)
+        buf.write(b"WARC/1.0" + CRLF)
         for k, v in (
             ("WARC-Type", "conversion"),
             ("WARC-Record-ID", "<urn:uuid:%032d>" % (i + 1)),
