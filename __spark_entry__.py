@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": links.q_sitemap_urls,
         "robots_allowed": links.q_robots_allowed,
         "feed_entries": links.q_feed_entries,
+        "feed_discovery": links.q_feed_discovery,
         "crawl_frontier": links.q_crawl_frontier,
         "html_head_meta": docmeta.q_html_head_meta,
         "pdf_info_meta": docmeta.q_pdf_info_meta,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_urls": links.SQL_SITEMAP_URLS,
         "robots_allowed": links.SQL_ROBOTS_ALLOWED,
         "feed_entries": links.SQL_FEED_ENTRIES,
+        "feed_discovery": links.SQL_FEED_DISCOVERY,
         "crawl_frontier": links.SQL_CRAWL_FRONTIER,
         "html_head_meta": docmeta.SQL_HTML_HEAD_META,
         "pdf_info_meta": docmeta.SQL_PDF_INFO_META,

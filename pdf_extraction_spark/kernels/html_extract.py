@@ -238,6 +238,7 @@ class _BlockParser:
         self.base_href: str | None = None  # <base href> (first wins)
         self.canonical: str | None = None  # <link rel=canonical> (first wins)
         self.refresh: tuple | None = None  # (delay_s, url|None), first wins
+        self.feeds: list[dict] = []  # <link rel=alternate type=*ss+xml>
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
@@ -315,15 +316,28 @@ class _BlockParser:
                     parsed = _parse_refresh(content)
                     if parsed is not None:
                         self.refresh = parsed
-            elif tag == "link" and self.canonical is None:
-                rel = href = None
+            elif tag == "link":
+                rel = href = ltype = title = None
                 for k, v in attrs:
                     if k == "rel" and v:
                         rel = str(v).lower().split()
                     elif k == "href" and v:
                         href = str(v)
-                if rel and "canonical" in rel and href:
-                    self.canonical = href.strip()
+                    elif k == "type" and v:
+                        ltype = str(v).strip().lower()
+                    elif k == "title" and v is not None:
+                        title = str(v)
+                if rel and href:
+                    if "canonical" in rel and self.canonical is None:
+                        self.canonical = href.strip()
+                    elif "alternate" in rel and ltype in (
+                        "application/rss+xml", "application/atom+xml"
+                    ):
+                        self.feeds.append({
+                            "href": href.strip(),
+                            "kind": "rss" if "rss" in ltype else "atom",
+                            "title": _norm(title) if title else "",
+                        })
             elif tag == "base" and self.base_href is None:
                 href = next(
                     (str(v) for k, v in attrs if k == "href" and v), None
@@ -859,3 +873,21 @@ def extract_meta_map(payload: bytes | str) -> dict:
         return out
     except Exception:
         return {}
+
+
+def extract_feed_links(payload: bytes | str) -> list[dict]:
+    """Feed autodiscovery: ``<link rel=alternate type=application/rss+xml
+    |atom+xml>`` declarations in document order — how crawlers find a
+    site's feeds from any page. Returns ``[{href, kind, title}]``. Never
+    raises."""
+    try:
+        if isinstance(payload, bytes):
+            html = payload.decode(detect_charset(payload), errors="replace")
+        else:
+            html = payload
+        parser = _BlockParser()
+        _scan(html, parser)
+        parser.close()
+        return parser.feeds
+    except Exception:
+        return []

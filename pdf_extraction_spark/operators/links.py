@@ -446,3 +446,55 @@ FROM documents
 CROSS JOIN (VALUES ('/'), ('/about')) AS u(href)
 GROUP BY source, u.href
 """
+
+
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery: `<link rel=alternate type=application/
+    rss+xml|atom+xml>` declarations per page, resolved against the doc URL
+    — the hook that connects page crawling to the feed source
+    (:mod:`..sources.feeds`). One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.html_extract import extract_feed_links
+    from ..kernels.urlnorm import resolve_link
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "feed_url": [], "kind": []}
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                i = int(doc_id)
+                url = f"https://{source}.example.com/doc/{i}"
+                html = (
+                    "<html><head>"
+                    "<link rel='alternate' type='application/rss+xml'"
+                    " href='/feed.xml'>"
+                    + ("<link rel='alternate' type='application/atom+xml'"
+                       " href='/atom.xml'>" if i % 2 == 0 else "")
+                    + "</head><body><p>x</p></body></html>"
+                )
+                for pos, f in enumerate(extract_feed_links(html)):
+                    rows["doc_id"].append(i)
+                    rows["pos"].append(pos)
+                    rows["feed_url"].append(resolve_link(url, f["href"]))
+                    rows["kind"].append(f["kind"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, pos int, feed_url string, kind string"
+    )
+
+
+SQL_FEED_DISCOVERY = """
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       'https://' || source || '.example.com/feed.xml' AS feed_url,
+       'rss' AS kind
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       'https://' || source || '.example.com/atom.xml', 'atom'
+FROM documents WHERE doc_id % 2 = 0
+"""

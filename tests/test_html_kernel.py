@@ -376,3 +376,21 @@ def test_meta_map_first_wins_and_title():
     assert m["title"] == "Page T"
     assert extract_meta_map(b"\xff\xfejunk") == {} or isinstance(
         extract_meta_map(b"\xff\xfejunk"), dict)
+
+
+def test_feed_autodiscovery_links():
+    from pdf_extraction_spark.kernels.html_extract import extract_feed_links
+
+    f = extract_feed_links(
+        "<head><link rel='canonical' href='/c'>"
+        "<link rel='alternate' type='application/rss+xml' href='/feed.xml'"
+        " title='Main  Feed'>"
+        "<link rel='alternate' type='application/atom+xml' href='/atom.xml'>"
+        "<link rel='alternate' type='text/html' href='/mobile'>"
+        "<link rel='stylesheet' href='/s.css'></head>"
+    )
+    assert f == [
+        {"href": "/feed.xml", "kind": "rss", "title": "Main Feed"},
+        {"href": "/atom.xml", "kind": "atom", "title": ""},
+    ]
+    assert extract_feed_links(b"\x00junk") == []
