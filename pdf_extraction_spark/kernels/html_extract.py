@@ -129,10 +129,10 @@ LINK_DENSITY_MAX_SHORT = 0.20   # stricter gate for short blocks
 SHORT_BLOCK_WORDS = 8
 
 
-# any whitespace char that is not a plain space, or a doubled space: if
-# absent (and no edge spaces) the text is already in normal form and _norm
-# returns it unchanged — one C-level scan instead of a word-list allocation.
-_NOT_NORMAL = re.compile("[^\\S ]|  ")
+# any whitespace char that is not a plain space: with no doubled or edge
+# spaces either, the text is already in normal form and _norm returns it
+# unchanged — substring check + one C-level class scan, no allocations.
+_ODD_WS = re.compile("[^\\S ]")
 
 
 def _norm(text: str) -> str:
@@ -145,7 +145,8 @@ def _norm(text: str) -> str:
     fuzzed over 200k random strings incl. unicode whitespace) and the text
     returns unchanged without building a word list.
     """
-    if text and text[0] != " " and text[-1] != " " and not _NOT_NORMAL.search(text):
+    if (text and text[0] != " " and text[-1] != " "
+            and "  " not in text and not _ODD_WS.search(text)):
         return text
     return " ".join(text.split())
 
