@@ -3,7 +3,7 @@
 
     spark-submit --master local[32] --py-files pdf_extraction_spark.zip \
         job.py --input /path/corpus_parquet --output /path/out \
-               --buckets 64 --salt 8 [--partitions 64] [--fresh]
+               --buckets 64 --salt 8 [--partitions 64] [--fresh] [--wet]
 
 The input is a parquet table with the BASELINE.json input_hint shape
 ``(url string, warc_ts timestamp, html binary, text string, lang string)``.
@@ -48,6 +48,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--fresh", action="store_true", help="delete any prior output first")
     ap.add_argument("--skip-hash", action="store_true")
+    ap.add_argument(
+        "--wet", action="store_true",
+        help="also publish the extracted text as gzipped WET segments "
+        "(<output>/wet parquet of (segment, n_docs, wet_gz) rows - the "
+        "Common Crawl interchange layout for extracted text)",
+    )
     ap.add_argument(
         "--trials", type=int, default=1,
         help="benchmark mode: run the full job N times (fresh output each), "
@@ -98,6 +104,17 @@ def main() -> None:
     summary, wall = max(
         trials, key=lambda t: t[0]["n_docs"] / max(t[0]["extract_phase_s"] or t[1], 1e-9)
     )
+
+    if args.wet:
+        from pdf_extraction_spark.sources.wet import to_wet_segments
+
+        extracted = spark.read.parquet(args.output.rstrip("/") + "/docs")
+        to_wet_segments(extracted).write.mode("overwrite").parquet(
+            args.output.rstrip("/") + "/wet"
+        )
+        summary["wet_segments"] = (
+            spark.read.parquet(args.output.rstrip("/") + "/wet").count()
+        )
 
     out_hash = None
     if not args.skip_hash:
