@@ -80,33 +80,54 @@ def _compute_u(file_key: bytes, id0: bytes, rev: int) -> bytes:
 
 
 class StandardDecryptor:
-    """Per-object decryption once the file key is verified."""
+    """Per-object decryption once the file key is verified.
 
-    def __init__(self, file_key: bytes, aes: bool):
+    Streams and strings carry independent ciphers (/StmF vs /StrF crypt
+    filters, PDF 32000-1 §7.6.5): a /V 4 document may legally declare
+    ``/StmF /Identity`` (plaintext streams) while strings stay encrypted,
+    or vice versa — 'identity' is a pass-through, never a cipher pass.
+    ``cipher``/``string_cipher`` ∈ {'identity', 'rc4', 'aes'}.
+    """
+
+    def __init__(self, file_key: bytes, aes: bool | str,
+                 string_cipher: str | None = None):
         self.file_key = file_key
-        self.aes = aes
+        if isinstance(aes, bool):  # legacy /V 1-2 form: one cipher for both
+            aes = "aes" if aes else "rc4"
+        self.stream_cipher = aes
+        self.string_cipher = string_cipher if string_cipher is not None else aes
 
-    def _object_key(self, num: int, gen: int) -> bytes:
+    def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
         h = hashlib.md5()
         h.update(self.file_key)
         h.update(struct.pack("<i", num)[:3])
         h.update(struct.pack("<i", gen)[:2])
-        if self.aes:
+        if aes:
             h.update(b"sAlT")
         return h.digest()[: min(len(self.file_key) + 5, 16)]
 
-    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        key = self._object_key(num, gen)
-        if self.aes:
+    def _apply(self, cipher: str, num: int, gen: int, data: bytes) -> bytes:
+        if cipher == "identity":
+            return data
+        key = self._object_key(num, gen, cipher == "aes")
+        if cipher == "aes":
             try:
                 return aes_cbc_decrypt(key, data)
             except ValueError:
                 return b""
         return rc4(key, data)
 
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        """Stream-bytes decryption (/StmF cipher)."""
+        return self._apply(self.stream_cipher, num, gen, data)
+
+    def decrypt_string(self, num: int, gen: int, data: bytes) -> bytes:
+        """String decryption (/StrF cipher)."""
+        return self._apply(self.string_cipher, num, gen, data)
+
     def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        key = self._object_key(num, gen)
-        if self.aes:
+        key = self._object_key(num, gen, self.stream_cipher == "aes")
+        if self.stream_cipher == "aes":
             # deterministic IV derived from the object number: fixtures must
             # be reproducible; uniqueness per object is what CBC needs here
             iv = hashlib.md5(b"iv:%d:%d" % (num, gen)).digest()
@@ -130,25 +151,40 @@ def open_decryptor(enc: dict, id0: bytes, resolve=lambda v: v) -> StandardDecryp
         raise ValueError("missing /O or /U")
     p = int(resolve(enc.get("P", -1)))
     key_len = int(resolve(enc.get("Length", 40)) or 40) // 8 if v >= 2 else 5
-    aes = False
+    stream_cipher = string_cipher = "rc4"
     encrypt_metadata = resolve(enc.get("EncryptMetadata", True))
     if v == 4:
+        # /StmF and /StrF name the crypt filters for streams and strings
+        # independently; both default to Identity (pass-through) per spec.
+        # A named filter MUST resolve through /CF — fail closed otherwise
+        # rather than guessing a cipher and shredding plaintext.
         cf = resolve(enc.get("CF")) or {}
-        stmf = str(resolve(enc.get("StmF", "Identity")))
-        cfd = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
-        cfm = str(resolve((cfd or {}).get("CFM", "V2")))
-        if cfm == "AESV2":
-            aes = True
-            key_len = 16
-        elif cfm != "V2":
+
+        def _cipher(which: str) -> str:
+            name = str(resolve(enc.get(which, "Identity")))
+            if name == "Identity":
+                return "identity"
+            cfd = resolve(cf.get(name)) if isinstance(cf, dict) else None
+            if not isinstance(cfd, dict):
+                raise ValueError(f"/{which} {name} has no /CF entry")
+            cfm = str(resolve(cfd.get("CFM", "None")))
+            if cfm == "AESV2":
+                return "aes"
+            if cfm == "V2":
+                return "rc4"
             raise ValueError(f"unsupported /CFM {cfm}")
+
+        stream_cipher = _cipher("StmF")
+        string_cipher = _cipher("StrF")
+        if "aes" in (stream_cipher, string_cipher):
+            key_len = 16
     key = _file_key(b"", o, p, id0, r, key_len,
                     encrypt_metadata=bool(encrypt_metadata))
     expect_u = _compute_u(key, id0, r)
     ok = expect_u[:16] == u[:16] if r >= 3 else expect_u == u[:32]
     if not ok:
         raise PasswordRequired("empty user password rejected")
-    return StandardDecryptor(key, aes)
+    return StandardDecryptor(key, stream_cipher, string_cipher)
 
 
 # -- writer side ----------------------------------------------------------------------

@@ -510,7 +510,7 @@ class _Doc:
         called from the direct-object path."""
         dec = self.decryptor
         if isinstance(obj, bytes):
-            return dec.decrypt(num, 0, obj)
+            return dec.decrypt_string(num, 0, obj)  # /StrF cipher, not /StmF
         if isinstance(obj, list):
             return [self._decrypt_obj(v, num) for v in obj]
         if isinstance(obj, dict):

@@ -259,7 +259,12 @@ class FontDecoder:
             b = b[:-1]  # odd trailing byte: dropped
         if self._fast2:
             try:
-                return b.decode("utf-16-be", "surrogatepass").translate(self._table)
+                units = b.decode("utf-16-be", "surrogatepass")
+                # an UNMAPPED high+low surrogate pair decodes to ONE astral
+                # char (one table lookup instead of two per-code lookups);
+                # only a length-preserving decode matches per-code semantics
+                if len(units) == len(b) // 2:
+                    return units.translate(self._table)
             except UnicodeDecodeError:
                 pass
         out: list[str] = []

@@ -553,12 +553,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives doc_id reassignment) and is kept iff bucket < its language
     stratum's rate. Stateless narrow map — no shuffle, no RNG state; at
     100 TB this is the only sampler whose output is reproducible across
-    retries, speculative tasks, and cluster sizes."""
+    retries, speculative tasks, and cluster sizes. The bucket takes the
+    first 32 bits of the digest (2^32 % 100 bias is ~2e-8), so realized
+    keep rates track the configured ones — two hex chars (256 values) had
+    a several-percent systematic skew."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    bucket = (
-        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
-        + F.ascii(F.substring(F.md5("text"), 2, 1))
-    ) % 100
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
     rate = F.lit(DEFAULT_RATE)
     for lang, r in STRATUM_RATES.items():
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
@@ -577,11 +577,10 @@ _RATE_SQL = " ".join(
 
 SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, lang,
-       CAST((ascii(substr(md5(text), 1, 1)) * 256
-             + ascii(substr(md5(text), 2, 1))) % 100 AS INT) AS bucket,
+       CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS INT)
+         AS bucket,
        CAST(CASE lang {_RATE_SQL} ELSE {DEFAULT_RATE} END AS INT) AS rate,
-       CAST((ascii(substr(md5(text), 1, 1)) * 256
-             + ascii(substr(md5(text), 2, 1))) % 100
+       CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
             < CASE lang {_RATE_SQL} ELSE {DEFAULT_RATE} END AS INT) AS kept
 FROM documents
 """

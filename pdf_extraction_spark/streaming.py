@@ -213,7 +213,9 @@ def _update_dedup(key, pdfs, state):
     ever seen for a content key is the keeper; everything after it — in the
     same micro-batch, a later batch, or after a restart (state store
     checkpointing) — is a duplicate and is dropped. Emits one row per key
-    per batch only when the keeper is in that batch."""
+    per batch only when the keeper is in that batch. Row order within a
+    state group is NOT guaranteed, so the keeper is chosen by a stable rule
+    (min url) — a retried/re-run batch must emit the same keeper."""
     import pandas as pd
 
     rows = []
@@ -230,7 +232,7 @@ def _update_dedup(key, pdfs, state):
     yield pd.DataFrame(
         {
             "content_key": [key[0]],
-            "url": [rows[0]],
+            "url": [min(rows)],
             "batch_dups": [len(rows) - 1],
         }
     )

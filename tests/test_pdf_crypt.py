@@ -87,3 +87,50 @@ def test_unsupported_handler_fails_closed():
     pdf = pdf.replace(b"/Filter /Standard", b"/Filter /MySecret")
     out = extract_pdf(pdf)
     assert out["error"] == "encrypted" and out["text"] == ""
+
+def test_v4_stmf_identity_passes_streams_through():
+    """A /V 4 document with /StmF /Identity has PLAINTEXT streams (a legal
+    permissions-only form); RC4-'decrypting' them would shred the content.
+    Strings still decrypt with the /StrF filter."""
+    e = pdf_crypt.StandardEncryptor("aes-128", id0=b"\x01" * 16)
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "P": e.p,
+        "O": e.o, "U": e.u[:32], "Length": 128,
+        "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}},
+        "StmF": "Identity", "StrF": "StdCF",
+    }
+    dec = pdf_crypt.open_decryptor(enc, b"\x01" * 16)
+    plain_stream = b"BT /F1 12 Tf (hello) Tj ET"
+    assert dec.decrypt(7, 0, plain_stream) == plain_stream  # pass-through
+    ct = e.encrypt(7, 0, b"secret string")
+    assert dec.decrypt_string(7, 0, ct) == b"secret string"
+
+
+def test_v4_split_stmf_strf_ciphers():
+    """Streams AESV2, strings RC4 (V2): each side must use ITS cipher."""
+    e = pdf_crypt.StandardEncryptor("aes-128", id0=b"\x02" * 16)
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "P": e.p,
+        "O": e.o, "U": e.u[:32], "Length": 128,
+        "CF": {"AesF": {"CFM": "AESV2"}, "Rc4F": {"CFM": "V2"}},
+        "StmF": "AesF", "StrF": "Rc4F",
+    }
+    dec = pdf_crypt.open_decryptor(enc, b"\x02" * 16)
+    assert dec.stream_cipher == "aes" and dec.string_cipher == "rc4"
+    ct = e.encrypt(3, 0, b"stream data body")  # encryptor streams are AES
+    assert dec.decrypt(3, 0, ct) == b"stream data body"
+    # string side: RC4 with the same file key, no sAlT, gen 0
+    rc4_ct = rc4(dec._object_key(3, 0, aes=False), b"short str")
+    assert dec.decrypt_string(3, 0, rc4_ct) == b"short str"
+
+
+def test_v4_missing_cf_entry_fails_closed():
+    """A named /StmF with no /CF entry must raise, never guess RC4."""
+    e = pdf_crypt.StandardEncryptor("aes-128", id0=b"\x03" * 16)
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "P": e.p,
+        "O": e.o, "U": e.u[:32], "Length": 128,
+        "CF": {}, "StmF": "StdCF", "StrF": "StdCF",
+    }
+    with pytest.raises(ValueError):
+        pdf_crypt.open_decryptor(enc, b"\x03" * 16)

@@ -118,3 +118,15 @@ def test_winansi_roundtrip_via_spliced_font():
     pdf = pdf.replace(b"startxref", b"startxre_")
     out = extract_pdf(pdf)
     assert "café pie" in out["text"]
+
+
+def test_fast2_unmapped_surrogate_pair_matches_per_code_path():
+    """A 2-byte-code show string containing unmapped high+low surrogate
+    code units must decode per-code (two U+FFFD), not pair into one astral
+    char through the utf-16-be fast path."""
+    from pdf_extraction_spark.kernels.pdf_fonts import FontDecoder
+
+    dec = FontDecoder(code_width=2, cmap={0x0041: "A"})
+    assert dec._fast2  # map touches no surrogates: fast path armed
+    b = b"\x00\x41\xd8\x01\xdc\x37\x00\x41"  # A, <high><low>, A
+    assert dec.decode(b) == "A��A"

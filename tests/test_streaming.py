@@ -167,6 +167,12 @@ def test_stream_dedup_exact_across_drains(spark, tmp_path):
     assert (
         got.agg({"batch_dups": "sum"}).collect()[0][0] == 5
     )
+    # same-batch duplicate keeper is chosen by min(url), not arrival order —
+    # reruns/retries of the batch must emit the identical keeper row
+    keepers = {r["url"] for r in got.collect()}
+    for k in range(5):
+        assert rows1[k]["url"] in keepers
+        assert rows1[k]["url"] + "?mirror=1" not in keepers
 
     # batch 2: all repeats of batch 1 plus 3 genuinely new docs
     rows2 = [dict(r) for r in rows1[:10]]
