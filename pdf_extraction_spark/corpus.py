@@ -120,18 +120,25 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             form = i % 6 == 0
             # every 9th splits lines into metric-advanced run fragments
             split = i % 9 == 0
+            # unembedded-width core-font rotation (simple-encoding variants
+            # only; type0/differences emit their own /Widths): the reader
+            # must advance by the family AFM table, not Helvetica's
+            bfont = ("Times-Roman", "Helvetica", "Courier",
+                     "Helvetica", "Symbol", "Helvetica", "Helvetica")[i % 7]
             if variant == 0:
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split
+                    body_text, title=title, tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split,
+                    base_font=bfont,
                 )
             elif variant == 1:
                 payload = pdf_write.build_pdf(
-                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split
+                    body_text, columns=2, title=title, tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split,
+                    base_font=bfont,
                 )
             elif variant == 2:
                 payload = pdf_write.build_pdf(
                     body_text, compress=True, xref_stream=True, tj_kerning=kern,
-                    rotate=rot, form_xobject=form,
+                    rotate=rot, form_xobject=form, base_font=bfont,
                 )
             elif variant == 3:
                 payload = pdf_write.build_pdf(
@@ -159,8 +166,16 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             raw_text = body_text
         else:
             variant = 1 + (i % 6)
+            # every 10th non-Korean HTML page ships as undeclared
+            # windows-1252 (the WHATWG legacy default for pages with no BOM
+            # and no <meta charset>) with cp1252-only punctuation — the
+            # charset sniff must recover it without mojibake (VERDICT r3
+            # item 4). Variant 5 carries Korean text, so it stays UTF-8.
+            legacy = lang != "ko" and variant != 5 and i % 10 == 7
+            if legacy:
+                paras.append("café crème — déjà vu € naïve ±façade")
             html = render_article(title, paras, variant=variant)
-            payload = html.encode("utf-8")
+            payload = html.encode("cp1252" if legacy else "utf-8")
             raw_text = " ".join([title] + paras)
         rows.append(
             {"url": url, "warc_ts": warc_ts, "html": payload, "text": raw_text, "lang": lang}
@@ -253,6 +268,13 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                                         if i % 19 == 0 else 0,
                                         form_xobject=(i % 23 == 0),
                                         split_runs=(i % 29 == 0),
+                                        # unembedded-width core fonts: the
+                                        # roundtrip oracle pins the family
+                                        # AFM advance path end-to-end
+                                        base_font="Times-Roman"
+                                        if i % 31 == 0 else
+                                        ("Courier" if i % 37 == 0
+                                         else "Helvetica"),
                                         info={"Title": "Doc %d" % i,
                                               "Author": "synthcorp"})
                 )

@@ -89,8 +89,11 @@ _CHROME_HINTS = (
 
 
 # charset detection: BOM first, then <meta charset=...> / http-equiv content
-# within the first 2 KB (the WHATWG prescan region), else UTF-8. Rule-based
-# and deterministic (north rule: no seeded/statistical detection).
+# within the first 2 KB (the WHATWG prescan region), then a strict-UTF-8
+# probe; payloads that are not valid UTF-8 decode per the WHATWG legacy
+# default windows-1252 (Encoding Standard §4.2 — undeclared legacy pages
+# must not mojibake through utf-8/replace). Rule-based and deterministic
+# (north rule: no seeded/statistical detection).
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
 )
@@ -106,13 +109,50 @@ _BOMS = (
 )
 
 
+# Encoding Standard labels that resolve to the windows-1252 decoder (the
+# spec folds ASCII and ISO-8859-1 into it; Python's iso-8859-1 codec maps
+# 0x80-0x9F to C1 controls instead of the spec's table, so these must be
+# routed to the WHATWG decode path, not codecs.lookup).
+_CP1252_LABELS = frozenset(
+    """windows-1252 cp1252 x-cp1252 iso-8859-1 iso8859-1 iso_8859-1 iso88591
+    latin1 latin-1 l1 ascii us-ascii csisolatin1 cp819 ibm819 iso-ir-100
+    iso_8859-1:1987 unknown-8bit""".split()
+)
+
+# WHATWG windows-1252 rows 0x80-0x9F (Encoding Standard index); bytes the
+# Python cp1252 codec leaves undefined (81 8D 8F 90 9D) map to the matching
+# C1 controls per the spec. 0x00-0x7F and 0xA0-0xFF agree with latin-1, so
+# decode latin-1 (total) and translate this window.
+_CP1252_C1 = {
+    0x80: "€", 0x81: "\x81", 0x82: "‚", 0x83: "ƒ",
+    0x84: "„", 0x85: "…", 0x86: "†", 0x87: "‡",
+    0x88: "ˆ", 0x89: "‰", 0x8A: "Š", 0x8B: "‹",
+    0x8C: "Œ", 0x8D: "\x8d", 0x8E: "Ž", 0x8F: "\x8f",
+    0x90: "\x90", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9D: "\x9d", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _decode_cp1252(payload: bytes) -> str:
+    """Total windows-1252 decode with the WHATWG table (never raises)."""
+    return payload.decode("latin-1").translate(_CP1252_C1)
+
+
 def detect_charset(payload: bytes) -> str:
+    """Charset sniff: BOM > declared <meta> in the 2 KB prescan > strict
+    UTF-8 probe > windows-1252 (the WHATWG default for undeclared legacy
+    content). Returns a codec name; 'windows-1252' means the WHATWG table
+    (see :func:`_decode_cp1252`)."""
     for bom, enc in _BOMS:
         if payload.startswith(bom):
             return enc
     m = _META_CHARSET_RE.search(payload[:2048])
     if m:
         name = m.group(1).decode("ascii", "replace").lower()
+        if name in _CP1252_LABELS:
+            return "windows-1252"
         try:
             import codecs
 
@@ -120,7 +160,37 @@ def detect_charset(payload: bytes) -> str:
             return name
         except LookupError:
             pass
-    return "utf-8"
+    try:
+        payload.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
+def decode_payload(payload: bytes) -> str:
+    """Decode an HTML payload per :func:`detect_charset` (total).
+
+    Single-pass on the dominant undeclared-UTF-8 path: the strict decode IS
+    the probe, so valid pages are not scanned twice."""
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return payload.decode(enc, errors="replace")
+    m = _META_CHARSET_RE.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        if name in _CP1252_LABELS:
+            return _decode_cp1252(payload)
+        try:
+            import codecs
+
+            codecs.lookup(name)
+            return payload.decode(name, errors="replace")
+        except LookupError:
+            pass
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return _decode_cp1252(payload)
 
 # Boilerplate gates (deterministic constants; tuned on FIXTURES.md variants).
 MIN_CONTENT_CHARS = 10          # shorter non-heading blocks need context to stay
@@ -732,7 +802,7 @@ def extract_html(payload: bytes | str) -> dict:
     """
     try:
         if isinstance(payload, bytes):
-            html = payload.decode(detect_charset(payload), errors="replace")
+            html = decode_payload(payload)
         else:
             html = payload
         parser = _BlockParser()
@@ -803,7 +873,7 @@ def extract_html_tables(payload: bytes | str) -> list[dict]:
     """
     try:
         if isinstance(payload, bytes):
-            html = payload.decode(detect_charset(payload), errors="replace")
+            html = decode_payload(payload)
         else:
             html = payload
         parser = _BlockParser()
@@ -822,7 +892,7 @@ def extract_html_assets(payload: bytes | str) -> list[dict]:
     removed. Never raises."""
     try:
         if isinstance(payload, bytes):
-            html = payload.decode(detect_charset(payload), errors="replace")
+            html = decode_payload(payload)
         else:
             html = payload
         parser = _BlockParser()
@@ -844,7 +914,7 @@ def extract_jsonld(payload: bytes | str) -> list[dict]:
 
     try:
         if isinstance(payload, bytes):
-            html = payload.decode(detect_charset(payload), errors="replace")
+            html = decode_payload(payload)
         else:
             html = payload
         parser = _BlockParser()
@@ -873,7 +943,7 @@ def extract_meta_map(payload: bytes | str) -> dict:
     surface OpenGraph/Twitter-card harvesters read. Never raises."""
     try:
         if isinstance(payload, bytes):
-            html = payload.decode(detect_charset(payload), errors="replace")
+            html = decode_payload(payload)
         else:
             html = payload
         parser = _BlockParser()
@@ -894,7 +964,7 @@ def extract_feed_links(payload: bytes | str) -> list[dict]:
     raises."""
     try:
         if isinstance(payload, bytes):
-            html = payload.decode(detect_charset(payload), errors="replace")
+            html = decode_payload(payload)
         else:
             html = payload
         parser = _BlockParser()

@@ -1250,7 +1250,10 @@ def _interpret_content(
             nglyphs = len(raw) // cur_font.code_width
             nspaces = cur_font.space_count(raw)
         else:
-            units = float(afm.text_units(txt))
+            # family AFM table by /BaseFont (Times/Courier/Symbol keep
+            # their own advances); no font resource at all → Helvetica
+            mt = cur_font.metrics if cur_font is not None else afm.HELVETICA
+            units = float(mt.text_units(txt))
             nglyphs = len(txt)
             nspaces = txt.count(" ")
         return (units / 1000.0 * size + nglyphs * tc + nspaces * tw) * (

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import re
 
+from . import afm
+
 # -- Adobe Glyph List subset -----------------------------------------------------------
 # Names for ASCII + Latin-1 + the common typographic set (the AGL is public;
 # this is the slice simple-font /Differences arrays use in practice).
@@ -199,11 +201,16 @@ class FontDecoder:
     """
 
     __slots__ = ("code_width", "cmap", "diffs", "_table", "_fast2",
-                 "widths", "default_width")
+                 "widths", "default_width", "metrics")
 
     def __init__(self, code_width: int = 1, cmap: dict | None = None,
                  diffs: dict | None = None, widths: dict | None = None,
-                 default_width: float | None = None):
+                 default_width: float | None = None,
+                 base_font: str | None = None):
+        # core-font family metrics used when no explicit /Widths are
+        # carried (unembedded-width Times/Courier/Symbol PDFs advance by
+        # their own AFM table, not Helvetica's — VERDICT r3 item 6)
+        self.metrics = afm.metrics_for(base_font)
         self.code_width = 2 if code_width == 2 else 1
         self.cmap = cmap or {}
         self.diffs = diffs or {}
@@ -226,7 +233,8 @@ class FontDecoder:
 
     @property
     def trivial(self) -> bool:
-        return self.mapping_trivial and self.widths is None
+        return (self.mapping_trivial and self.widths is None
+                and self.metrics is afm.HELVETICA)
 
     @property
     def mapping_trivial(self) -> bool:
@@ -344,7 +352,9 @@ def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None
                             diffs[code] = ch
                         code += 1
         widths, dw = _parse_widths(font, resolve, subtype)
-        dec = FontDecoder(width, cmap, diffs, widths, dw)
+        base = resolve(font.get("BaseFont"))
+        dec = FontDecoder(width, cmap, diffs, widths, dw,
+                          base_font=str(base) if base is not None else None)
         return None if dec.trivial else dec
     except Exception:
         return None

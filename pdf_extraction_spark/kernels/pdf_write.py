@@ -61,7 +61,7 @@ def _emit_plain(show):
     )
 
 
-def _emit_split(enc, tw_applies: bool):
+def _emit_split(enc, tw_applies: bool, metrics=afm.HELVETICA):
     """Line emitter for the split-run layout real producers emit (style
     changes, shaping boundaries): each line becomes two fragments flowing
     inside one BT block — the viewer advances between them by glyph
@@ -81,7 +81,7 @@ def _emit_split(enc, tw_applies: bool):
         tc = 0.25 if h == 1 else 0.0
         tw = 1.5 if (h == 2 and tw_applies) else 0.0
         pre = f1 + f2
-        adv = afm.text_units(pre) / 1000.0 * size
+        adv = metrics.text_units(pre) / 1000.0 * size
         adv += len(pre) * tc + pre.count(" ") * tw
         ops = "BT /F1 %g Tf %g %g Td " % (size, x, y)
         if tc:
@@ -547,6 +547,7 @@ def _assemble(
     links: list[str] | None = None, info: dict | None = None,
     outline: list | None = None, outline_named: bool = False,
     attachments: list | None = None, acroform: list | None = None,
+    base_font: str = "Helvetica",
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -571,7 +572,10 @@ def _assemble(
         ).encode()
     else:
         objs[2] = ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, npages)).encode()
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    # no /Widths on purpose: unembedded-width core fonts make the
+    # extractor advance by the family AFM table selected via /BaseFont
+    objs[3] = ("<< /Type /Font /Subtype /Type1 /BaseFont /%s >>"
+               % base_font).encode()
     img_num = 4 + 2 * npages
     if make_font is not None:
         obj3, extra = make_font(img_num + (1 if with_image else 0))
@@ -898,6 +902,7 @@ def build_pdf(
     outline_named: bool = False,
     attachments: list | None = None,
     acroform: list | None = None,
+    base_font: str = "Helvetica",
 ) -> bytes:
     """Build one deterministic PDF.
 
@@ -979,7 +984,9 @@ def build_pdf(
     # so 2-byte Type0 shows must not carry it — including the silent
     # differences→type0 charset-overflow fallback above
     two_byte = encoding != "simple" and isinstance(encoder, _Type0Encoder)
-    emit = _emit_split(enc, tw_applies=not two_byte) if split_runs else None
+    emit = (_emit_split(enc, tw_applies=not two_byte,
+                        metrics=afm.metrics_for(base_font))
+            if split_runs else None)
     if table_rows is not None:
         pages = [_content_table(table_rows, show)]
     elif columns == 2:
@@ -1014,7 +1021,7 @@ def build_pdf(
         objstm=objstm, make_font=make_font, encryptor=encryptor, rotate=rotate,
         form_xobject=form_xobject, links=links, info=info, outline=outline,
         outline_named=outline_named, attachments=attachments,
-        acroform=acroform,
+        acroform=acroform, base_font=base_font,
     )
 
 

@@ -155,6 +155,55 @@ def test_charset_bogus_name_falls_back():
     assert detect_charset(payload) == "utf-8"
 
 
+def test_charset_undeclared_cp1252_sniff():
+    """WHATWG legacy default: no BOM, no <meta charset>, invalid-UTF-8 bytes
+    ⇒ windows-1252, not utf-8/replace mojibake."""
+    from pdf_extraction_spark.kernels.html_extract import detect_charset, extract_html
+
+    body = "<html><body><main><p>café crème — déjà vu € naïve body text</p></main></body></html>"
+    payload = body.encode("cp1252")
+    assert detect_charset(payload) == "windows-1252"
+    res = extract_html(payload)
+    assert "café crème — déjà vu € naïve" in res["text"]
+    assert "�" not in res["text"]
+
+
+def test_charset_undeclared_valid_utf8_stays_utf8():
+    from pdf_extraction_spark.kernels.html_extract import detect_charset
+
+    payload = "<html><body><p>déjà vu €</p></body></html>".encode("utf-8")
+    assert detect_charset(payload) == "utf-8"
+
+
+def test_charset_declared_latin1_is_whatwg_cp1252():
+    """The Encoding Standard folds iso-8859-1/ascii labels into windows-1252:
+    0x80 must decode as € (cp1252), not U+0080 (Python's iso-8859-1)."""
+    from pdf_extraction_spark.kernels.html_extract import detect_charset, extract_html
+
+    body = b"<html><head><meta charset='iso-8859-1'></head><body><main><p>price \x80 99 with legacy euro byte text</p></main></body></html>"
+    assert detect_charset(body) == "windows-1252"
+    res = extract_html(body)
+    assert "price € 99" in res["text"]
+
+
+def test_charset_bom_beats_meta_declaration():
+    from pdf_extraction_spark.kernels.html_extract import detect_charset
+
+    body = "<html><head><meta charset='iso-8859-1'></head><body><p>x</p></body></html>"
+    payload = b"\xef\xbb\xbf" + body.encode("utf-8")
+    assert detect_charset(payload) == "utf-8-sig"
+
+
+def test_charset_cp1252_undefined_bytes_map_to_c1():
+    """Bytes 81/8D/8F/90/9D are undefined in Python's cp1252 codec but map
+    to C1 controls in the WHATWG table — decode must be total, no U+FFFD."""
+    from pdf_extraction_spark.kernels.html_extract import _decode_cp1252
+
+    assert _decode_cp1252(b"\x80\x81\x8d\x8f\x90\x9d\x9f") == "€\x81\x8d\x8f\x90\x9dŸ"
+    # full-range totality
+    assert len(_decode_cp1252(bytes(range(256)))) == 256
+
+
 def test_rcdata_elements_never_tokenize_their_bodies():
     """HTML5 RCDATA: markup-looking text inside <title>/<textarea> is text,
     not tags — it must neither leak into content nor corrupt the open-tag

@@ -573,6 +573,46 @@ def test_split_runs_extract_identically():
         assert got["text"] == base["text"], kwargs
 
 
+def test_split_runs_base_font_metrics():
+    """Unembedded-width Times/Courier/Symbol documents advance by their own
+    family AFM table on BOTH sides (writer split-offsets, reader text-matrix
+    advance) — byte-identity fails if either falls back to Helvetica."""
+    from pdf_extraction_spark.kernels import afm
+
+    text = ("family metric advance width table selection check with mixed "
+            "word lengths and spacing " * 6).strip()
+    for bf in ("Times-Roman", "Times-Bold", "Courier", "Courier-Oblique",
+               "Symbol", "Helvetica"):
+        for kwargs in ({}, {"columns": 2}, {"rotate": 90},
+                       {"form_xobject": True},
+                       {"compress": True, "xref_stream": True}):
+            base = extract_pdf(build_pdf(text, title="FamDoc",
+                                         base_font=bf, **kwargs))
+            got = extract_pdf(build_pdf(text, title="FamDoc", base_font=bf,
+                                        split_runs=True, **kwargs))
+            assert got["error"] is None, (bf, kwargs)
+            assert got["text"] == base["text"], (bf, kwargs)
+    # the family tables genuinely differ (a Helvetica fallback would pass
+    # the identity matrix vacuously if writer and reader both regressed)
+    s = "Wide metrics iii"
+    units = {m.name: m.text_units(s)
+             for m in (afm.HELVETICA, afm.TIMES, afm.COURIER, afm.SYMBOL)}
+    assert len(set(units.values())) == 4, units
+    assert afm.COURIER.text_units(s) == 600 * len(s)
+
+
+def test_metrics_for_basefont_names():
+    from pdf_extraction_spark.kernels import afm
+
+    assert afm.metrics_for("Times-BoldItalic") is afm.TIMES
+    assert afm.metrics_for("ABCDEF+Times-Roman") is afm.TIMES  # subset tag
+    assert afm.metrics_for("Courier-Bold") is afm.COURIER
+    assert afm.metrics_for("DejaVuSansMono") is afm.COURIER
+    assert afm.metrics_for("Symbol") is afm.SYMBOL
+    assert afm.metrics_for("Arial-BoldMT") is afm.HELVETICA
+    assert afm.metrics_for(None) is afm.HELVETICA
+
+
 def test_split_runs_non_latin_charset():
     """Out-of-AFM characters fall back to shared default metrics on both
     sides, so CJK documents still reassemble byte-identically."""
