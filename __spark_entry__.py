@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elements_reading_order": elements.q_reading_order,
         "elements_spatial_relations": elements.q_spatial_relations,
         "elements_hierarchy": elements.q_element_hierarchy,
+        "elements_confidence": elements.q_confidence_gate,
         "table_cells": elements.q_table_cells,
         "html_table_cells": elements.q_html_table_cells,
         # relational operator inventory (SURVEY.md §2)
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,
         "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
         "elements_hierarchy": elements.SQL_ELEMENT_HIERARCHY,
+        "elements_confidence": elements.SQL_CONFIDENCE_GATE,
         "table_cells": elements.SQL_TABLE_CELLS,
         "html_table_cells": elements.SQL_HTML_TABLE_CELLS,
         "pricing_summary": relational.SQL_PRICING_SUMMARY,

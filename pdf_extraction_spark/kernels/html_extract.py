@@ -25,7 +25,9 @@ citations into /root/reference):
 Output contract (FIXTURES.md §2): ``extracted_text`` is the kept blocks'
 whitespace-normalized text joined with "\\n\\n"; ``spans[i]`` is
 ``(elem_type, page, char_start, char_end, bbox)`` with the invariant
-``extracted_text[char_start:char_end] == block_text``.
+``extracted_text[char_start:char_end] == block_text``; spans also carry
+``confidence`` (boilerplate-gate margin) and ``(hierarchy_level,
+parent_id)``.
 """
 
 from __future__ import annotations
@@ -749,15 +751,23 @@ def _scan(html: str, h: "_BlockParser") -> None:
             i = m.start()  # the </script> end tag is handled next loop
 
 
-def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int]]:
-    """Select content blocks; return [(elem_type, text, heading_level)] in
-    document order (heading_level is 1..6 for h1-h6 titles, else 0).
+def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int, float]]:
+    """Select content blocks; return [(elem_type, text, heading_level,
+    confidence)] in document order (heading_level is 1..6 for h1-h6 titles,
+    else 0).
 
     Density cascade mirrors the reference's cheap-predicate-first ordering
     (advanced_layout_extractor.py:636-691): structural gates first, then
     link-density, then length.
+
+    Confidence is the boilerplate-gate margin (the per-element confidence
+    of the reference's LayoutElement, advanced_layout_extractor.py:65-79):
+    markup declares the structure, so the residual uncertainty is how
+    link-dense the block is — headings score 0.95 − ld/2 (≥ 0.85 at the
+    title gate), markup captions a flat 0.85, every other kept block
+    0.9 − ld/2 (> 0.7 at the general gate).
     """
-    kept: list[tuple[str, str]] = []
+    kept: list[tuple[str, str, int, float]] = []
     for blk in blocks:
         text = blk.text()
         if not text:
@@ -774,10 +784,10 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int]]
         ld = blk.link_chars() / n if n else 1.0
         if blk.heading:
             if ld <= LINK_DENSITY_MAX_SHORT:
-                kept.append(("title", text, blk.heading))
+                kept.append(("title", text, blk.heading, round(0.95 - 0.5 * ld, 4)))
             continue
         if blk.kind == "caption":
-            kept.append(("caption", text, 0))
+            kept.append(("caption", text, 0, 0.85))
             continue
         if ld > LINK_DENSITY_MAX:
             continue
@@ -785,7 +795,7 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int]]
             continue
         if n < MIN_CONTENT_CHARS and blk.kind == "paragraph":
             continue
-        kept.append((blk.kind, text, 0))
+        kept.append((blk.kind, text, 0, round(0.9 - 0.5 * ld, 4)))
     return kept
 
 
@@ -793,7 +803,7 @@ def extract_html(payload: bytes | str) -> dict:
     """Extract main content from one HTML payload.
 
     Returns ``{"text": str, "spans": [(elem_type, page, start, end, bbox,
-    hierarchy_level, parent_id)], "n_elements": int, "method": "html",
+    confidence, hierarchy_level, parent_id)], "n_elements": int, "method": "html",
     "error": str|None, "links": [{href, text, chrome}]}`` — links in
     document order with their anchor text and a boilerplate flag.
     Never raises; on catastrophic failure returns empty text with the error
@@ -813,14 +823,14 @@ def extract_html(payload: bytes | str) -> dict:
         spans: list = []
         pos = 0
         headings: list[tuple[int, str]] = [
-            (lvl, t) for k, t, lvl in kept if k == "title" and lvl > 0
+            (lvl, t) for k, t, lvl, _c in kept if k == "title" and lvl > 0
         ]
-        for elem_type, text, _lvl in kept:
+        for elem_type, text, _lvl, conf in kept:
             if texts:
                 pos += 2  # "\n\n" separator
             start = pos
             end = start + len(text)
-            spans.append([elem_type, 0, start, end, [0.0, 0.0, 0.0, 0.0]])
+            spans.append([elem_type, 0, start, end, [0.0, 0.0, 0.0, 0.0], conf])
             texts.append(text)
             pos = end
         from .hierarchy import assign_hierarchy

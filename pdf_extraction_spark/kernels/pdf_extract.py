@@ -1519,6 +1519,56 @@ def _grid_regions(hlines, vlines) -> list[tuple]:
     return [(x0, y0, x1, y1)]
 
 
+def _grid_confidence(hlines, vlines) -> float:
+    """Grid-verdict margin → confidence in [0.5, 0.95]: intersection count
+    above the GRID_MIN_INTERSECTIONS threshold plus boundary spacing
+    regularity (pdf_vector_utils.py:138-149, 194-218). The per-element
+    confidence the reference attaches to detected tables
+    (hybrid_docling_gpt4_processor.py:402 uses a flat 0.65; here the
+    margin is the actual grid evidence). A minimal 2×2-line grid with
+    regular spacing scores 0.75 — below the 0.8 solo-admission gate, so
+    bare-minimum grids need cross-validation (P12 semantics)."""
+    inter = sum(
+        1
+        for hx0, hy, hx1, _ in hlines
+        for vx, vy0, _, vy1 in vlines
+        if hx0 - 0.5 <= vx <= hx1 + 0.5 and vy0 - 0.5 <= hy <= vy1 + 0.5
+    )
+    reg = 0.5 * (
+        _spacing_regularity(_cluster_coords([h[1] for h in hlines]))
+        + _spacing_regularity(_cluster_coords([v[0] for v in vlines]))
+    )
+    return round(
+        min(0.95, 0.5 + 0.05 * (inter - GRID_MIN_INTERSECTIONS) + 0.25 * reg), 4
+    )
+
+
+def _title_confidence(size: float, med: float) -> float:
+    """Size-ratio margin → confidence: anchored so the writer's standard
+    18pt-over-10pt title (ratio 1.8) scores exactly the reference's flat
+    TITLE confidence 0.85 (advanced_layout_extractor.py:345-349), growing
+    to 0.95 as the ratio margin widens and bottoming at 0.70 right at the
+    1.2× threshold."""
+    ratio = size / med if med > 0 else 0.0
+    return round(min(0.95, 0.70 + 0.25 * (ratio - TITLE_FACTOR)), 4)
+
+
+# Rule-confidence constants for the remaining classification paths, mirroring
+# the reference's per-path values (paragraph 0.9 at
+# advanced_layout_extractor.py:350, figure 0.7 at :383, positional chrome and
+# pattern gates between them).
+_KIND_CONFIDENCE = {
+    "header": 0.7,
+    "footer": 0.7,
+    "caption": 0.75,
+    "reference": 0.8,
+    "equation": 0.8,
+    "list": 0.8,
+    "paragraph": 0.9,
+    "figure": 0.7,
+}
+
+
 def _cluster_coords(vals: list[float], tol: float = 1.0) -> list[float]:
     """Collapse near-equal coordinates (ruled lines drawn twice, rounding)."""
     out: list[float] = []
@@ -1712,6 +1762,7 @@ def extract_pdf(payload: bytes) -> dict:
             if not runs and not images:
                 continue
             grids = _grid_regions(hl, vl)
+            grid_conf = _grid_confidence(hl, vl) if grids else 0.0
             caption_regions = grids + images
             lines = _group_lines(runs)
             med = _median([line["size"] for line in lines])
@@ -1738,6 +1789,7 @@ def extract_pdf(payload: bytes) -> dict:
                 )
                 if in_grid:
                     kind = "table"
+                    conf = grid_conf
                 elif line["y"] / ph >= HEADER_BAND and words <= BAND_MAX_WORDS:
                     kind = "header"
                 elif line["y"] / ph <= FOOTER_BAND and words <= BAND_MAX_WORDS:
@@ -1748,6 +1800,7 @@ def extract_pdf(payload: bytes) -> dict:
                     kind = "caption"
                 elif med > 0 and line["size"] >= TITLE_FACTOR * med:
                     kind = "title"
+                    conf = _title_confidence(line["size"], med)
                 elif REFERENCE_RE.match(line["text"]):
                     kind = "reference"
                 elif _is_equation(line["text"]):
@@ -1756,6 +1809,8 @@ def extract_pdf(payload: bytes) -> dict:
                     kind = "list"
                 else:
                     kind = "paragraph"
+                if kind not in ("table", "title"):
+                    conf = _KIND_CONFIDENCE[kind]
                 bbox = [
                     max(0.0, line["x"] / pw),
                     max(0.0, 1.0 - line["y"] / ph),
@@ -1773,7 +1828,7 @@ def extract_pdf(payload: bytes) -> dict:
                     if same_col_flow or col_or_page_continuation:
                         new_block = False
                 if new_block:
-                    blocks.append({"kind": kind, "page": pno, "texts": [line["text"]], "bbox": bbox})
+                    blocks.append({"kind": kind, "page": pno, "texts": [line["text"]], "bbox": bbox, "conf": conf})
                 else:
                     blocks[-1]["texts"].append(line["text"])
                 prev_y = line["y"]
@@ -1785,6 +1840,7 @@ def extract_pdf(payload: bytes) -> dict:
                         "kind": "figure",
                         "page": pno,
                         "texts": [FIGURE_TEXT],
+                        "conf": _KIND_CONFIDENCE["figure"],
                         "bbox": [
                             max(0.0, ix0 / pw),
                             max(0.0, 1.0 - iy1 / ph),
@@ -1804,7 +1860,7 @@ def extract_pdf(payload: bytes) -> dict:
                 pos += 2
             spans.append(
                 [blk["kind"], blk["page"], pos, pos + len(text),
-                 [round(v, 6) for v in blk["bbox"]]]
+                 [round(v, 6) for v in blk["bbox"]], blk["conf"]]
             )
             texts.append(text)
             pos += len(text)

@@ -72,6 +72,7 @@ def elements_df(extracted: DataFrame) -> DataFrame:
         F.element_at("s.bbox", 2).alias("y0"),
         F.element_at("s.bbox", 3).alias("x1"),
         F.element_at("s.bbox", 4).alias("y1"),
+        F.col("s.confidence").alias("confidence"),
         F.col("s.hierarchy_level").alias("hierarchy_level"),
         F.col("s.parent_id").alias("parent_id"),
     )
@@ -380,4 +381,88 @@ UNION ALL
 SELECT doc_id, CAST(r AS INT), CAST(c AS INT), CAST(rs AS INT),
        CAST(cs AS INT), hdr, w[i]
 FROM w, gb WHERE doc_id % 3 = 0
+"""
+
+
+def q_confidence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 confidence-gated validation on REAL extraction output.
+
+    The reference admits a detected table when the page is cross-validated
+    by independent evidence OR its confidence clears 0.8, and carries a
+    per-element confidence on every LayoutElement
+    (hybrid_docling_gpt4_processor.py:397-423;
+    advanced_layout_extractor.py:65-79). Rebuilt on actual elements: the
+    corpus renders, per doc_id % 3, (0) a rich 3×3 ruled grid + caption —
+    grid margin 0.95, solo-admitted on confidence; (1) a bare-minimum 1×1
+    grid + caption — margin 0.75, admitted only through the caption-page
+    semi-join; (2) the same minimal grid with no caption — rejected. One
+    oracle row per document pins the element count, the kernel-emitted
+    grid confidence, the admitted count, and which gate path fired.
+    (Figure leniency — conf ≥ 0.6 admits, reference :407-415 — is pinned
+    by the per-kind constants in tests/test_pdf_kernel.py.)"""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def make_pdf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
+        out = []
+        for t, i in zip(text, doc_id):
+            i = int(i)
+            words = (str(t).split(" ") + ["pad"] * 9)[:9]
+            mode = i % 3
+            rows = ([words[0:3], words[3:6], words[6:9]] if mode == 0
+                    else [[words[0]]])
+            cap = f"Table 1: caption for doc {i}" if mode < 2 else None
+            out.append(pdf_write.build_pdf("", table_rows=rows, caption=cap))
+        return pd.Series(out)
+
+    corpus = docs.select(
+        F.concat(F.lit("https://conf.example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        make_pdf("text", "doc_id").alias("html"),
+    )
+    els = elements_df(extract_corpus(corpus, repartition=False))
+    tables = els.filter(F.col("elem_type") == "table").select(
+        "url", "page", "confidence"
+    )
+    cap_pages = (
+        els.filter(F.col("elem_type") == "caption")
+        .select(F.col("url").alias("c_url"), F.col("page").alias("c_page"))
+        .distinct()
+    )
+    gated = tables.join(
+        cap_pages,
+        (F.col("url") == F.col("c_url")) & (F.col("page") == F.col("c_page")),
+        "left",
+    ).select(
+        "url",
+        "confidence",
+        (
+            (F.col("confidence") > F.lit(0.8)) | F.col("c_url").isNotNull()
+        ).alias("admitted"),
+        (F.col("confidence") > F.lit(0.8)).alias("solo"),
+    )
+    return gated.groupBy(_doc_id_col()).agg(
+        F.count("*").cast("long").alias("n_table_elements"),
+        F.max("confidence").alias("table_confidence"),
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+        F.when(F.min(F.col("solo").cast("int")) == 1, "confidence")
+        .when(F.sum(F.col("admitted").cast("long")) > 0, "validated")
+        .otherwise("rejected")
+        .alias("admit_path"),
+    )
+
+
+SQL_CONFIDENCE_GATE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT)
+           AS n_table_elements,
+       CASE WHEN doc_id % 3 = 0 THEN 0.95 ELSE 0.75 END AS table_confidence,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_admitted,
+       CASE doc_id % 3 WHEN 0 THEN 'confidence'
+                       WHEN 1 THEN 'validated'
+                       ELSE 'rejected' END AS admit_path
+FROM documents
 """

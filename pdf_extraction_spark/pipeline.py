@@ -29,6 +29,11 @@ SPAN_TYPE = T.StructType(
         T.StructField("char_start", T.LongType()),
         T.StructField("char_end", T.LongType()),
         T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        # per-element confidence (the reference LayoutElement.confidence,
+        # advanced_layout_extractor.py:65-79): kernel-side rule margins —
+        # grid-evidence margin for tables, size-ratio margin for titles,
+        # link-density margin for HTML blocks, per-path constants otherwise
+        T.StructField("confidence", T.DoubleType()),
         # title-containment hierarchy (fills the reference's _build_hierarchy
         # stub, advanced_layout_extractor.py:540-554); parent_id is the span
         # array index of the parent, -1 for roots — children_ids is its
@@ -91,6 +96,7 @@ def _make_extract_batches(keep_cols: tuple[str, ...] = ()):
             ce: list[int] = []
             bbox_off = [0]
             bbox_vals: list[float] = []
+            cf: list[float] = []
             hlv: list[int] = []
             pid: list[int] = []
             for payload in payloads:
@@ -106,8 +112,9 @@ def _make_extract_batches(keep_cols: tuple[str, ...] = ()):
                     ce.append(s[3])
                     bbox_vals.extend(s[4])
                     bbox_off.append(len(bbox_vals))
-                    hlv.append(s[5])
-                    pid.append(s[6])
+                    cf.append(s[5])
+                    hlv.append(s[6])
+                    pid.append(s[7])
                 span_off.append(len(et))
             struct = pa.StructArray.from_arrays(
                 [
@@ -118,12 +125,13 @@ def _make_extract_batches(keep_cols: tuple[str, ...] = ()):
                     pa.ListArray.from_arrays(
                         pa.array(bbox_off, pa.int32()), pa.array(bbox_vals, pa.float64())
                     ),
+                    pa.array(cf, pa.float64()),
                     pa.array(hlv, pa.int32()),
                     pa.array(pid, pa.int32()),
                 ],
                 names=[
                     "elem_type", "page", "char_start", "char_end", "bbox",
-                    "hierarchy_level", "parent_id",
+                    "confidence", "hierarchy_level", "parent_id",
                 ],
             )
             spans = pa.ListArray.from_arrays(pa.array(span_off, pa.int32()), struct)

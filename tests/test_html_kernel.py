@@ -37,7 +37,7 @@ def test_span_offsets_roundtrip():
     r = extract_html(ARTICLE)
     blocks = r["text"].split("\n\n")
     assert len(blocks) == len(r["spans"])
-    for (elem, page, s, e, bbox, level, parent), blk in zip(r["spans"], blocks):
+    for (elem, page, s, e, bbox, conf, level, parent), blk in zip(r["spans"], blocks):
         assert r["text"][s:e] == blk
         assert page == 0
         assert parent == -1 or 0 <= parent < len(r["spans"])

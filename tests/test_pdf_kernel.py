@@ -56,7 +56,7 @@ def test_truncated_degrades():
 
 def test_span_offsets_and_bbox():
     r = extract_pdf(build_pdf(TEXT, title="T Heading Line"))
-    for (elem, page, s, e, bbox, level, parent) in r["spans"]:
+    for (elem, page, s, e, bbox, conf, level, parent) in r["spans"]:
         assert r["text"][s:e]
         assert len(bbox) == 4
         assert all(0.0 <= v <= 1.0 for v in bbox)
@@ -134,12 +134,12 @@ def test_hierarchy_tree():
     by_kind = {s[0]: s for s in r["spans"]}
     title_idx = r["spans"].index(by_kind["title"])
     fig_idx = r["spans"].index(by_kind["figure"])
-    assert by_kind["header"][5:] == (0, -1)
-    assert by_kind["footer"][5:] == (0, -1)
-    assert by_kind["title"][5:] == (0, -1)
-    assert by_kind["paragraph"][5:] == (1, title_idx)
-    assert by_kind["figure"][5:] == (1, title_idx)
-    assert by_kind["caption"][5:] == (2, fig_idx)
+    assert by_kind["header"][6:] == (0, -1)
+    assert by_kind["footer"][6:] == (0, -1)
+    assert by_kind["title"][6:] == (0, -1)
+    assert by_kind["paragraph"][6:] == (1, title_idx)
+    assert by_kind["figure"][6:] == (1, title_idx)
+    assert by_kind["caption"][6:] == (2, fig_idx)
 
 
 def test_table_cell_grid():
@@ -161,6 +161,56 @@ def test_table_cell_grid():
             assert got[(ri, ci)] == cell
     # totality: garbage yields [] not an exception
     assert pdf_extract.extract_table_cells(b"not a pdf") == []
+
+
+def test_confidence_margin_math():
+    """Per-element confidence margins (reference LayoutElement.confidence,
+    advanced_layout_extractor.py:65-79): size-ratio margin for titles
+    anchored at the reference's 0.85 for the standard 1.8 ratio; grid
+    margin from intersections + spacing regularity; per-path constants
+    elsewhere."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        _grid_confidence, _title_confidence, _KIND_CONFIDENCE)
+
+    assert _title_confidence(18.0, 10.0) == 0.85   # writer standard ratio
+    assert _title_confidence(12.0, 10.0) == 0.70   # exactly at the 1.2 gate
+    assert _title_confidence(24.0, 10.0) == 0.95   # capped
+    assert _title_confidence(12.0, 10.0) < _title_confidence(15.0, 10.0) \
+        < _title_confidence(18.0, 10.0)            # monotone in the margin
+    # minimal 2x2-line regular grid: 4 intersections, regularity 1 -> 0.75,
+    # below the 0.8 solo-admission gate (needs cross-validation)
+    hl = [(0, 0, 10, 0), (0, 10, 10, 10)]
+    vl = [(0, 0, 0, 10), (10, 0, 10, 10)]
+    assert _grid_confidence(hl, vl) == 0.75
+    # a richer grid scores higher
+    hl3 = [(0, y, 10, y) for y in (0, 5, 10)]
+    vl3 = [(x, 0, x, 10) for x in (0, 5, 10)]
+    assert _grid_confidence(hl3, vl3) > 0.75
+    # irregular spacing scores below the regular grid of the same size
+    hl_irr = [(0, y, 10, y) for y in (0, 2, 10)]
+    assert _grid_confidence(hl_irr, vl3) < _grid_confidence(hl3, vl3)
+    assert _KIND_CONFIDENCE["paragraph"] == 0.9    # reference :350
+    assert _KIND_CONFIDENCE["figure"] == 0.7       # reference :383
+
+
+def test_confidence_on_spans():
+    from pdf_extraction_spark.kernels import pdf_extract, pdf_write
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    r = pdf_extract.extract_pdf(build_pdf(TEXT, title="Grand Title"))
+    confs = {s[0]: s[5] for s in r["spans"]}
+    assert confs == {"title": 0.85, "paragraph": 0.9}
+    # HTML: link-density margin — a heading with no links scores 0.95, a
+    # paragraph with anchors scores below the link-free 0.9
+    h = extract_html(
+        "<main><h1>Clean Title</h1>"
+        "<p>plain paragraph with enough words to be kept around here</p>"
+        "<p>linked paragraph with enough words <a href=x>anchor text</a>"
+        " to be kept</p></main>")
+    confs = [s[5] for s in h["spans"]]
+    assert confs[0] == 0.95
+    assert confs[1] == 0.9
+    assert confs[2] < 0.9
 
 
 def test_caption_requires_proximity():

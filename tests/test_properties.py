@@ -20,7 +20,7 @@ def check_result_shape(res):
     assert res["n_elements"] == len(res["spans"])
     blocks = res["text"].split("\n\n") if res["text"] else []
     assert len(blocks) == len(res["spans"])
-    for (etype, page, start, end, bbox, level, parent), blk in zip(res["spans"], blocks):
+    for (etype, page, start, end, bbox, conf, level, parent), blk in zip(res["spans"], blocks):
         assert 0 <= start <= end <= len(res["text"])
         assert res["text"][start:end] == blk
         assert isinstance(page, int) and len(bbox) == 4
