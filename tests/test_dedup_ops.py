@@ -124,3 +124,23 @@ def test_keep_best_argmax_is_deterministic(spark):
     got = {r["lbl"]: r["doc_id"] for r in keep}
     # cluster {1,2,3}: 2 and 3 tie on quality -> 2 wins; cluster {7,8} -> 7
     assert got == {1: 2, 7: 7}
+
+
+def test_excluded_block_metrics_reports_skipped_mass(spark):
+    """VERDICT r3 item 8: the quadratic-guard caps must surface what they
+    dropped as a metrics row, not drop silently."""
+    from pdf_extraction_spark.operators.dedup import excluded_block_metrics
+
+    rows = spark.createDataFrame(
+        [("hot", i) for i in range(7)]
+        + [("warm", i) for i in range(4)]
+        + [("cold", 0)],
+        "source string, doc_id int",
+    )
+    m = excluded_block_metrics(rows, "source", cap=3).collect()[0]
+    assert m.n_excluded_blocks == 2          # hot (7) and warm (4)
+    assert m.n_excluded_rows == 11
+    assert m.max_block == 7
+    # nothing over the cap -> an explicit zero row, never an empty frame
+    z = excluded_block_metrics(rows, "source", cap=100).collect()[0]
+    assert (z.n_excluded_blocks, z.n_excluded_rows, z.max_block) == (0, 0, 0)

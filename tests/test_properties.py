@@ -188,3 +188,119 @@ def test_robots_matcher_total_on_rule_soup(robots, path):
     from pdf_extraction_spark.kernels.robots import is_allowed, parse_robots
 
     assert isinstance(is_allowed(parse_robots(robots), "bot", path), bool)
+
+
+def test_recursive_chunks_closed_form_on_tiled_docs():
+    """The chunk_split_recursive oracle's closed form: a doc tiled 8x with
+    "\\n\\n" seams (atoms of uniform stride A=L+2, all under chunk size)
+    packs as c = min(8, 1200 // A) atoms per chunk with carry-back
+    min(200 // A, c-1). Exhaustive over every base length the query can
+    produce (1..1100, mixed word shapes)."""
+    import math
+
+    from pdf_extraction_spark.kernels.chunking import recursive_chunks
+
+    def closed_form(L):
+        a = L + 2
+        c = min(8, 1200 // a)
+        s = c - min(200 // a, c - 1)
+        n = 1 if c >= 8 else math.ceil((8 - c) / s) + 1
+        return [(t * s * a, min(t * s + c, 8) * a) for t in range(n)]
+
+    base = "word mix of various pieces "  # spaces exercise the " " separator
+    for L in range(1, 1101):
+        text = ((base * 50)[:L] + "\n\n") * 8
+        assert recursive_chunks(text) == closed_form(L), L
+
+
+# -- PDF object/content-layer fuzz (VERDICT r3 item 7): structured mutations
+# of VALID documents, not just random tails — hostile xref offsets, stream
+# /Length lies, filter-chain soup, truncation, byte flips. Property: the
+# extractor never raises and spans always tile extracted_text.
+
+from pdf_extraction_spark.kernels.pdf_write import build_pdf as _bp
+
+_PDF_VARIANTS = [
+    _bp("alpha beta gamma delta epsilon zeta eta theta " * 4, title="T"),
+    _bp("kernel fuzz body words repeating for lines " * 6, compress=True,
+        xref_stream=True),
+    _bp("", table_rows=[["a", "b"], ["c", "d"]]),
+    _bp("objstm packed body content words " * 5, compress=True,
+        xref_stream=True, objstm=True),
+]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_PDF_VARIANTS), st.integers(0, 10**9))
+def test_pdf_total_on_mutated_startxref(pdf, off):
+    """startxref pointing anywhere (garbage offset, mid-object, past EOF):
+    the xref recovery path must degrade, never raise."""
+    head, _, tail = pdf.rpartition(b"startxref")
+    mutated = head + b"startxref\n%d\n%%%%EOF" % off
+    check_result_shape(extract_pdf(mutated))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_PDF_VARIANTS), st.data())
+def test_pdf_total_on_truncation(pdf, data):
+    cut = data.draw(st.integers(0, len(pdf)))
+    check_result_shape(extract_pdf(pdf[:cut]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_PDF_VARIANTS), st.data())
+def test_pdf_total_on_byte_flips(pdf, data):
+    """Random single-byte corruption anywhere in the file (xref entries,
+    object headers, stream bodies, dict keys)."""
+    n = data.draw(st.integers(1, 8))
+    buf = bytearray(pdf)
+    for _ in range(n):
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] = data.draw(st.integers(0, 255))
+    check_result_shape(extract_pdf(bytes(buf)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_PDF_VARIANTS), st.integers(-1, 10**7))
+def test_pdf_total_on_hostile_stream_length(pdf, n):
+    """/Length lying about the stream size (negative, zero, way past EOF):
+    stream slicing must clamp, decode must degrade."""
+    import re as _re
+
+    mutated = _re.sub(rb"/Length \d+", b"/Length %d" % n, pdf, count=1)
+    check_result_shape(extract_pdf(mutated))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sampled_from(_PDF_VARIANTS),
+    st.lists(
+        st.sampled_from(
+            [b"/FlateDecode", b"/ASCIIHexDecode", b"/ASCII85Decode",
+             b"/LZWDecode", b"/RunLengthDecode", b"/NoSuchFilter",
+             b"/DCTDecode"]
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_pdf_total_on_filter_chain_soup(pdf, chain):
+    """A bogus /Filter cascade injected into the first stream dict: wrong
+    codecs over real bytes must fail closed per-stream, not raise."""
+    arr = b"[" + b" ".join(chain) + b"]"
+    if b"/Filter /FlateDecode" in pdf:
+        mutated = pdf.replace(b"/Filter /FlateDecode", b"/Filter " + arr, 1)
+    else:
+        mutated = pdf.replace(b"stream", b"/Filter " + arr + b" stream", 1)
+    check_result_shape(extract_pdf(mutated))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sampled_from(_PDF_VARIANTS), st.binary(min_size=1, max_size=120))
+def test_pdf_total_on_injected_object_garbage(pdf, junk):
+    """Garbage spliced between the header and the first object shifts every
+    xref offset: recovery must re-scan, never trust-and-crash."""
+    import re as _re
+
+    i = _re.search(rb"\d+ 0 obj", pdf).start()
+    check_result_shape(extract_pdf(pdf[:i] + junk + pdf[i:]))
