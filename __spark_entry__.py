@@ -18,12 +18,13 @@ from pdf_extraction_spark.corpus import corpus_from_documents
 from pdf_extraction_spark.operators import (
     corpusops,
     dedup,
-    docmeta,
+    docmeta,  # noqa: F401 — parts re-exported through suites
     elements,
     links,
     multimodal,
-    relational,
+    relational,  # noqa: F401 — parts re-exported through suites
     similarity,
+    suites,
     textops,
 )
 from pdf_extraction_spark.pipeline import extract_corpus
@@ -131,21 +132,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link graph
         "extract_outlinks": links.q_extract_outlinks,
         "link_host_degree": links.q_link_host_degree,
-        "meta_refresh": links.q_meta_refresh,
-        "image_alt_pairs": links.q_image_alt_pairs,
-        "sitemap_urls": links.q_sitemap_urls,
-        "robots_allowed": links.q_robots_allowed,
-        "feed_entries": links.q_feed_entries,
-        "feed_discovery": links.q_feed_discovery,
-        "crawl_frontier": links.q_crawl_frontier,
-        "html_head_meta": docmeta.q_html_head_meta,
-        "pdf_info_meta": docmeta.q_pdf_info_meta,
-        "pdf_toc": docmeta.q_pdf_toc,
-        "html_toc": docmeta.q_html_toc,
-        "jsonld_meta": docmeta.q_jsonld_meta,
-        "opengraph_cards": docmeta.q_opengraph_cards,
-        "pdf_attachments": docmeta.q_pdf_attachments,
-        "pdf_form_fields": docmeta.q_pdf_form_fields,
+        # crawl-source + page-graph parts consolidated (VERDICT r3 item 2):
+        # sitemap_urls robots_allowed feed_entries feed_discovery
+        # crawl_frontier warc_http_meta meta_refresh image_alt_pairs
+        "crawl_suite": suites.q_crawl_suite,
+        # document-metadata parts: html_head_meta pdf_info_meta pdf_toc
+        # html_toc jsonld_meta opengraph_cards pdf_attachments
+        # pdf_form_fields
+        "docmeta_suite": suites.q_docmeta_suite,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
         "decontaminate": corpusops.q_decontaminate,
@@ -155,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": corpusops.q_filter_funnel,
         "indexable_filter": corpusops.q_indexable_filter,
         "host_quality": corpusops.q_host_quality,
-        "warc_http_meta": corpusops.q_warc_http_meta,
         "url_dedup": corpusops.q_url_dedup,
         "stratified_sample": corpusops.q_stratified_sample,
         "dup_span_extract": corpusops.q_dup_span_extract,
@@ -172,20 +165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elements_confidence": elements.q_confidence_gate,
         "table_cells": elements.q_table_cells,
         "html_table_cells": elements.q_html_table_cells,
-        # relational operator inventory (SURVEY.md §2)
-        "pricing_summary": relational.q_pricing_summary,
-        "group_median": relational.q_group_median,
-        "sessionize_events": relational.q_sessionize_events,
-        "theta_selfjoin": relational.q_theta_selfjoin,
-        "semi_join_validation": relational.q_semi_join_validation,
-        "band_join": relational.q_band_join,
-        "asof_nearest_prior": relational.q_asof_nearest_prior,
-        "interval_overlap_dedup": relational.q_interval_overlap_dedup,
-        "grid_cluster_1d": relational.q_grid_cluster_1d,
-        "top_orders": relational.q_top_orders,
-        "rollup_counts": relational.q_rollup_counts,
-        "broadcast_dim_join": relational.q_broadcast_dim_join,
-        "evidence_classifier": relational.q_evidence_classifier,
+        # relational operator inventory (SURVEY.md §2), consolidated
+        # (VERDICT r3 item 2): pricing_summary group_median
+        # sessionize_events theta_selfjoin semi_join_validation band_join
+        # asof_nearest_prior interval_overlap_dedup grid_cluster_1d
+        # top_orders rollup_counts broadcast_dim_join evidence_classifier
+        "relational_suite": suites.q_relational_suite,
     }
 
 
@@ -217,21 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
         "extract_outlinks": links.SQL_EXTRACT_OUTLINKS,
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
-        "meta_refresh": links.SQL_META_REFRESH,
-        "image_alt_pairs": links.SQL_IMAGE_ALT_PAIRS,
-        "sitemap_urls": links.SQL_SITEMAP_URLS,
-        "robots_allowed": links.SQL_ROBOTS_ALLOWED,
-        "feed_entries": links.SQL_FEED_ENTRIES,
-        "feed_discovery": links.SQL_FEED_DISCOVERY,
-        "crawl_frontier": links.SQL_CRAWL_FRONTIER,
-        "html_head_meta": docmeta.SQL_HTML_HEAD_META,
-        "pdf_info_meta": docmeta.SQL_PDF_INFO_META,
-        "pdf_toc": docmeta.SQL_PDF_TOC,
-        "html_toc": docmeta.SQL_HTML_TOC,
-        "jsonld_meta": docmeta.SQL_JSONLD_META,
-        "opengraph_cards": docmeta.SQL_OPENGRAPH_CARDS,
-        "pdf_attachments": docmeta.SQL_PDF_ATTACHMENTS,
-        "pdf_form_fields": docmeta.SQL_PDF_FORM_FIELDS,
+        "crawl_suite": suites.SQL_CRAWL_SUITE,
+        "docmeta_suite": suites.SQL_DOCMETA_SUITE,
         "paragraph_dedup": corpusops.SQL_PARAGRAPH_DEDUP,
         "decontaminate": corpusops.SQL_DECONTAMINATE,
         "domain_cap": corpusops.SQL_DOMAIN_CAP,
@@ -240,7 +212,6 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": corpusops.SQL_FILTER_FUNNEL,
         "indexable_filter": corpusops.SQL_INDEXABLE_FILTER,
         "host_quality": corpusops.SQL_HOST_QUALITY,
-        "warc_http_meta": corpusops.SQL_WARC_HTTP_META,
         "url_dedup": corpusops.SQL_URL_DEDUP,
         "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
         "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,
@@ -253,17 +224,5 @@ def oracle_sql() -> dict[str, str]:
         "elements_confidence": elements.SQL_CONFIDENCE_GATE,
         "table_cells": elements.SQL_TABLE_CELLS,
         "html_table_cells": elements.SQL_HTML_TABLE_CELLS,
-        "pricing_summary": relational.SQL_PRICING_SUMMARY,
-        "group_median": relational.SQL_GROUP_MEDIAN,
-        "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,
-        "theta_selfjoin": relational.SQL_THETA_SELFJOIN,
-        "semi_join_validation": relational.SQL_SEMI_JOIN_VALIDATION,
-        "band_join": relational.SQL_BAND_JOIN,
-        "asof_nearest_prior": relational.SQL_ASOF_NEAREST_PRIOR,
-        "interval_overlap_dedup": relational.SQL_INTERVAL_OVERLAP_DEDUP,
-        "grid_cluster_1d": relational.SQL_GRID_CLUSTER_1D,
-        "top_orders": relational.SQL_TOP_ORDERS,
-        "rollup_counts": relational.SQL_ROLLUP_COUNTS,
-        "broadcast_dim_join": relational.SQL_BROADCAST_DIM_JOIN,
-        "evidence_classifier": relational.SQL_EVIDENCE_CLASSIFIER,
+        "relational_suite": suites.SQL_RELATIONAL_SUITE,
     }

@@ -123,20 +123,25 @@ def main():
     finally:
         shutil.rmtree(corpus_root, ignore_errors=True)
 
-    # operator headliners
+    # operator headliners (the three relational ones are suite parts since
+    # r4 — timed via their part functions so numbers stay comparable with
+    # BENCH_r03's standalone rows)
+    from pdf_extraction_spark.operators import relational as _rel
+
     qs = entrymod.queries()
-    for name in (
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "ann_topk_cosine",
-        "ann_lsh_bucketed",
-        "fingerprint_winnow",
-        "lang_id_stopwords",
-        "sessionize_events",
-        "pricing_summary",
-        "theta_selfjoin",
-    ):
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    headliners = {
+        "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
+        "dedup_simhash": qs["dedup_simhash"],
+        "ann_topk_cosine": qs["ann_topk_cosine"],
+        "ann_lsh_bucketed": qs["ann_lsh_bucketed"],
+        "fingerprint_winnow": qs["fingerprint_winnow"],
+        "lang_id_stopwords": qs["lang_id_stopwords"],
+        "sessionize_events": _rel.q_sessionize_events,
+        "pricing_summary": _rel.q_pricing_summary,
+        "theta_selfjoin": _rel.q_theta_selfjoin,
+    }
+    for name, fn in headliners.items():
+        timed(name, lambda f=fn: f(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     extract_sec = timings["extract_html"] + timings["extract_pdf"]

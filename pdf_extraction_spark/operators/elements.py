@@ -458,7 +458,8 @@ SQL_CONFIDENCE_GATE = """
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT)
            AS n_table_elements,
-       CASE WHEN doc_id % 3 = 0 THEN 0.95 ELSE 0.75 END AS table_confidence,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0.95 ELSE 0.75 END AS DOUBLE)
+           AS table_confidence,
        CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
            AS n_admitted,
        CASE doc_id % 3 WHEN 0 THEN 'confidence'
