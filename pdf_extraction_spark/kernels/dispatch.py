@@ -20,7 +20,12 @@ _NONTEXT = bytes(b for b in range(0x20) if b not in (0x09, 0x0A, 0x0D))
 _WS_BYTES = b" \t\n\r\x0b\x0c"  # exactly bytes.lstrip()'s whitespace set
 
 
-def _binary_ratio(sample: bytes) -> float:
+def _binary_ratio(sample) -> float:
+    if not isinstance(sample, bytes):
+        # zero-copy Arrow path hands a memoryview: the ≤4 KiB gate-window
+        # copy + C translate is ~4x cheaper than a numpy LUT pass at these
+        # sizes (measured; frombuffer/fancy-index overhead dominates)
+        sample = bytes(sample)
     if not sample:
         return 0.0
     # single pass: drop the junk bytes, compare lengths (identical count to
@@ -29,8 +34,9 @@ def _binary_ratio(sample: bytes) -> float:
     return junk / len(sample)
 
 
-def extract_document(payload: bytes | None) -> dict:
-    """Extract one document; returns the common record shape
+def extract_document(payload) -> dict:
+    """Extract one document (``bytes``, ``memoryview`` from the zero-copy
+    Arrow batch path, or ``str``); returns the common record shape
     ``{text, spans, n_elements, method, error}``."""
     if payload is None:
         return {"text": "", "spans": [], "n_elements": 0, "method": "empty", "error": "null payload", "links": [], "headings": [], "meta": {}}
@@ -51,9 +57,10 @@ def extract_document(payload: bytes | None) -> dict:
     n = len(payload)
     while i < n and payload[i] in _WS_BYTES:
         i += 1
-    head = payload[i : i + 8]
+    head = bytes(payload[i : i + 8])
     if head.startswith(PDF_MAGIC):
-        return extract_pdf(payload)
+        # the PDF object layer works on bytes (find/regex/slices throughout)
+        return extract_pdf(payload if isinstance(payload, bytes) else bytes(payload))
     if _binary_ratio(payload[:4096]) > 0.10:
         return {"text": "", "spans": [], "n_elements": 0, "method": "binary",
                 "error": "non-text payload (binary-ratio gate)", "links": [],

@@ -137,18 +137,29 @@ _CP1252_C1 = {
 }
 
 
-def _decode_cp1252(payload: bytes) -> str:
-    """Total windows-1252 decode with the WHATWG table (never raises)."""
-    return payload.decode("latin-1").translate(_CP1252_C1)
+_C1_RE = re.compile("[\x80-\x9f]")
 
 
-def detect_charset(payload: bytes) -> str:
+def _decode_cp1252(payload) -> str:
+    """Total windows-1252 decode with the WHATWG table (never raises).
+    The dict-translate is paid only when a 0x80-0x9F byte is present —
+    pages that are latin-1-pure outside that window return the latin-1
+    decode untouched (one C-level scan instead of a per-char dict walk)."""
+    s = str(payload, "latin-1")
+    if _C1_RE.search(s):
+        return s.translate(_CP1252_C1)
+    return s
+
+
+def detect_charset(payload) -> str:
     """Charset sniff: BOM > declared <meta> in the 2 KB prescan > strict
     UTF-8 probe > windows-1252 (the WHATWG default for undeclared legacy
     content). Returns a codec name; 'windows-1252' means the WHATWG table
-    (see :func:`_decode_cp1252`)."""
+    (see :func:`_decode_cp1252`). Accepts ``bytes`` or a ``memoryview``
+    (the zero-copy Arrow batch path)."""
+    head = bytes(payload[:4])
     for bom, enc in _BOMS:
-        if payload.startswith(bom):
+        if head.startswith(bom):
             return enc
     m = _META_CHARSET_RE.search(payload[:2048])
     if m:
@@ -163,20 +174,23 @@ def detect_charset(payload: bytes) -> str:
         except LookupError:
             pass
     try:
-        payload.decode("utf-8")
+        str(payload, "utf-8")
         return "utf-8"
     except UnicodeDecodeError:
         return "windows-1252"
 
 
-def decode_payload(payload: bytes) -> str:
+def decode_payload(payload) -> str:
     """Decode an HTML payload per :func:`detect_charset` (total).
 
     Single-pass on the dominant undeclared-UTF-8 path: the strict decode IS
-    the probe, so valid pages are not scanned twice."""
+    the probe, so valid pages are not scanned twice. Accepts ``bytes`` or a
+    ``memoryview`` (zero-copy Arrow batch path — the decoded ``str`` is the
+    first and only per-doc payload allocation)."""
+    head = bytes(payload[:4])
     for bom, enc in _BOMS:
-        if payload.startswith(bom):
-            return payload.decode(enc, errors="replace")
+        if head.startswith(bom):
+            return str(payload, enc, "replace")
     m = _META_CHARSET_RE.search(payload[:2048])
     if m:
         name = m.group(1).decode("ascii", "replace").lower()
@@ -186,11 +200,11 @@ def decode_payload(payload: bytes) -> str:
             import codecs
 
             codecs.lookup(name)
-            return payload.decode(name, errors="replace")
+            return str(payload, name, "replace")
         except LookupError:
             pass
     try:
-        return payload.decode("utf-8")
+        return str(payload, "utf-8")
     except UnicodeDecodeError:
         return _decode_cp1252(payload)
 
@@ -811,10 +825,7 @@ def extract_html(payload: bytes | str) -> dict:
     silenced).
     """
     try:
-        if isinstance(payload, bytes):
-            html = decode_payload(payload)
-        else:
-            html = payload
+        html = payload if isinstance(payload, str) else decode_payload(payload)
         parser = _BlockParser()
         _scan(html, parser)
         parser.close()
@@ -882,10 +893,7 @@ def extract_html_tables(payload: bytes | str) -> list[dict]:
     tables recoverable from the leniently-unwound tag stack.
     """
     try:
-        if isinstance(payload, bytes):
-            html = decode_payload(payload)
-        else:
-            html = payload
+        html = payload if isinstance(payload, str) else decode_payload(payload)
         parser = _BlockParser()
         _scan(html, parser)
         parser.close()
@@ -901,10 +909,7 @@ def extract_html_assets(payload: bytes | str) -> list[dict]:
     template/svg) contribute nothing; boilerplate regions are flagged, not
     removed. Never raises."""
     try:
-        if isinstance(payload, bytes):
-            html = decode_payload(payload)
-        else:
-            html = payload
+        html = payload if isinstance(payload, str) else decode_payload(payload)
         parser = _BlockParser()
         _scan(html, parser)
         parser.close()
@@ -923,10 +928,7 @@ def extract_jsonld(payload: bytes | str) -> list[dict]:
     import json as _json
 
     try:
-        if isinstance(payload, bytes):
-            html = decode_payload(payload)
-        else:
-            html = payload
+        html = payload if isinstance(payload, str) else decode_payload(payload)
         parser = _BlockParser()
         _scan(html, parser)
         parser.close()
@@ -952,10 +954,7 @@ def extract_meta_map(payload: bytes | str) -> dict:
     normalized values) plus the head ``<title>`` under ``"title"`` — the
     surface OpenGraph/Twitter-card harvesters read. Never raises."""
     try:
-        if isinstance(payload, bytes):
-            html = decode_payload(payload)
-        else:
-            html = payload
+        html = payload if isinstance(payload, str) else decode_payload(payload)
         parser = _BlockParser()
         _scan(html, parser)
         parser.close()
@@ -973,10 +972,7 @@ def extract_feed_links(payload: bytes | str) -> list[dict]:
     site's feeds from any page. Returns ``[{href, kind, title}]``. Never
     raises."""
     try:
-        if isinstance(payload, bytes):
-            html = decode_payload(payload)
-        else:
-            html = payload
+        html = payload if isinstance(payload, str) else decode_payload(payload)
         parser = _BlockParser()
         _scan(html, parser)
         parser.close()

