@@ -72,3 +72,28 @@ def test_documents_roundtrip_html(spark):
     for d in docs:
         url = f"https://{d['source']}.example.com/doc/{d['doc_id']}"
         assert got[url] == d["text"]
+
+
+def test_iter_binary_views_zero_copy_and_fallbacks():
+    """The zero-copy Arrow payload iterator: values match to_pylist() on
+    plain, SLICED (non-zero arr.offset), and null-bearing arrays."""
+    import pyarrow as pa
+
+    from pdf_extraction_spark.pipeline import _iter_binary_views
+
+    vals = [b"alpha", b"", b"\x00binary\xff", b"d" * 5000, b"end"]
+    arr = pa.array(vals, pa.binary())
+    got = list(_iter_binary_views(arr))
+    assert [bytes(v) for v in got] == vals
+    assert all(isinstance(v, memoryview) for v in got)  # really zero-copy
+    # sliced array: offsets shifted by arr.offset
+    sl = arr.slice(1, 3)
+    assert [bytes(v) for v in _iter_binary_views(sl)] == vals[1:4]
+    # nulls route through the as_py fallback (kernels handle None)
+    with_null = pa.array([b"x", None, b"y"], pa.binary())
+    assert list(_iter_binary_views(with_null)) == [b"x", None, b"y"]
+    # large_binary (unexpected layout) also falls back
+    lb = pa.array(vals, pa.large_binary())
+    assert [
+        bytes(v) if v is not None else v for v in _iter_binary_views(lb)
+    ] == vals
