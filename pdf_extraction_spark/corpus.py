@@ -237,8 +237,25 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
         F.col("doc_id"),
     )
     if payload == "html":
-        html = F.encode(
-            F.concat(F.lit(ARTICLE_PREFIX), F.col("text"), F.lit(ARTICLE_SUFFIX)), "utf-8"
+        page = F.concat(F.lit(ARTICLE_PREFIX), F.col("text"), F.lit(ARTICLE_SUFFIX))
+        # every 10th latin-1-encodable doc ships as undeclared ISO-8859-1
+        # bytes (no BOM, no <meta charset>) with non-ASCII chrome (© / é in
+        # the stripped footer, so the payload is genuinely invalid UTF-8):
+        # the WHATWG sniff must decode windows-1252 and the roundtrip
+        # oracle still requires byte-identical text back (latin-1 and
+        # cp1252 agree outside 0x80-0x9F, which real text never encodes to)
+        legacy_page = F.concat(
+            F.lit(ARTICLE_PREFIX), F.col("text"),
+            F.lit(ARTICLE_SUFFIX.replace(
+                "Copyright 2025 SiteName",
+                "Copyright © 2025 Société Générale du Café",
+            )),
+        )
+        legacy = (F.col("doc_id") % 10 == 7) & F.col("text").rlike(
+            "^[\\x00-\\xff]*$"
+        )
+        html = F.when(legacy, F.encode(legacy_page, "ISO-8859-1")).otherwise(
+            F.encode(page, "UTF-8")
         ).alias("html")
         return base.select("url", "warc_ts", html, "text", "lang")
 
