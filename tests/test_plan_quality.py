@@ -131,3 +131,16 @@ def test_crawl_frontier_anti_join_no_cartesian(spark):
     plan = plan_of(links.q_crawl_frontier(spark, SF))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_relational_suite_stays_jvm_side(spark):
+    """The r4 suite unpivot (operators/suites.py) must add zero Python to
+    its parts' plans: no row-at-a-time eval, no pandas stage — lit/cast/
+    concat_ws columns only."""
+    from pdf_extraction_spark.operators import suites
+
+    plan = plan_of(suites.q_relational_suite(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Union" in plan
