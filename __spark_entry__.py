@@ -28,6 +28,7 @@ from pdf_extraction_spark.operators import (
     textops,
 )
 from pdf_extraction_spark.pipeline import extract_corpus
+from pdf_extraction_spark.sources import wet as wetmod
 
 
 # -- flagship extraction queries -------------------------------------------------
@@ -105,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "extract_spans_tile": q_extract_spans_tile,
+        # S6 sink roundtrip: extraction -> WET segments -> parse back
+        "wet_roundtrip": wetmod.q_wet_roundtrip,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
@@ -179,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_roundtrip": SQL_EXTRACT_HTML_ROUNDTRIP,
         "extract_pdf_roundtrip": SQL_EXTRACT_PDF_ROUNDTRIP,
         "extract_spans_tile": SQL_EXTRACT_SPANS_TILE,
+        "wet_roundtrip": wetmod.SQL_WET_ROUNDTRIP,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.SQL_DEDUP_MINHASH_LSH,
         "dedup_components": dedup.SQL_DEDUP_COMPONENTS,

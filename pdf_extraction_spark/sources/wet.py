@@ -180,3 +180,39 @@ def read_wet(spark, paths: list[str], partitions: int | None = None):
             yield pd.DataFrame(out, columns=cols)
 
     return paths_df.mapInPandas(_parse, schema=WET_SCHEMA)
+
+
+def q_wet_roundtrip(spark, sf_dir: str):
+    """S6 sink closed in the driver gate: corpus → extraction →
+    content-addressed gzipped WET segments (``to_wet_segments``) → parse
+    back (``parse_wet_bytes``) → the recovered text must equal
+    ``documents.text`` byte-identically per url. The r3 pin was
+    golden-test-only; this runs the full serialize/parse cycle inside the
+    DuckDB-checked correctness gate."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..corpus import corpus_from_documents
+    from ..pipeline import extract_corpus
+
+    corpus = corpus_from_documents(spark, sf_dir, payload="html")
+    extracted = extract_corpus(corpus, repartition=False)
+    segs = to_wet_segments(extracted)
+
+    def _back(batches):
+        cols = ["url", "extracted_text"]
+        for pdf in batches:
+            out = []
+            for blob in pdf["wet_gz"]:
+                for row in parse_wet_bytes(bytes(blob)):
+                    out.append({"url": row["url"], "extracted_text": row["text"]})
+            yield pd.DataFrame(out, columns=cols)
+
+    return segs.mapInPandas(_back, schema="url string, extracted_text string")
+
+
+SQL_WET_ROUNDTRIP = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       text AS extracted_text
+FROM documents
+"""
