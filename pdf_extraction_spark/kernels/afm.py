@@ -133,7 +133,10 @@ def metrics_for(base_font: str | None) -> Metrics:
     name = _SUBSET_TAG.sub("", base_font).lower()
     if "times" in name:
         return TIMES
-    if "courier" in name or "mono" in name:
+    # monospace detection must not catch Monotype-foundry proportional
+    # fonts (Monotype Corsiva, *-MonotypeMT): require "courier", a
+    # trailing "mono" (DejaVuSansMono, PTMono), or explicit "monospace"
+    if "courier" in name or "monospace" in name or name.rstrip("-. ").endswith("mono"):
         return COURIER
     if "symbol" in name:
         return SYMBOL

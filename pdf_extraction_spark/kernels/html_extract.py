@@ -151,12 +151,12 @@ def _decode_cp1252(payload) -> str:
     return s
 
 
-def detect_charset(payload) -> str:
-    """Charset sniff: BOM > declared <meta> in the 2 KB prescan > strict
-    UTF-8 probe > windows-1252 (the WHATWG default for undeclared legacy
-    content). Returns a codec name; 'windows-1252' means the WHATWG table
-    (see :func:`_decode_cp1252`). Accepts ``bytes`` or a ``memoryview``
-    (the zero-copy Arrow batch path)."""
+def _declared_charset(payload) -> str | None:
+    """BOM- or <meta>-declared codec of a payload, None when undeclared —
+    the single sniff shared by :func:`detect_charset` and
+    :func:`decode_payload` so the two can never drift. 'windows-1252'
+    means the WHATWG table (:func:`_decode_cp1252`). Accepts ``bytes`` or
+    a ``memoryview`` (the zero-copy Arrow batch path)."""
     head = bytes(payload[:4])
     for bom, enc in _BOMS:
         if head.startswith(bom):
@@ -173,6 +173,16 @@ def detect_charset(payload) -> str:
             return name
         except LookupError:
             pass
+    return None
+
+
+def detect_charset(payload) -> str:
+    """Charset sniff: BOM > declared <meta> in the 2 KB prescan > strict
+    UTF-8 probe > windows-1252 (the WHATWG default for undeclared legacy
+    content). Returns a codec name."""
+    enc = _declared_charset(payload)
+    if enc is not None:
+        return enc
     try:
         str(payload, "utf-8")
         return "utf-8"
@@ -187,26 +197,16 @@ def decode_payload(payload) -> str:
     the probe, so valid pages are not scanned twice. Accepts ``bytes`` or a
     ``memoryview`` (zero-copy Arrow batch path — the decoded ``str`` is the
     first and only per-doc payload allocation)."""
-    head = bytes(payload[:4])
-    for bom, enc in _BOMS:
-        if head.startswith(bom):
-            return str(payload, enc, "replace")
-    m = _META_CHARSET_RE.search(payload[:2048])
-    if m:
-        name = m.group(1).decode("ascii", "replace").lower()
-        if name in _CP1252_LABELS:
-            return _decode_cp1252(payload)
-        try:
-            import codecs
-
-            codecs.lookup(name)
-            return str(payload, name, "replace")
-        except LookupError:
-            pass
+    enc = _declared_charset(payload)
+    if enc == "windows-1252":
+        return _decode_cp1252(payload)
+    if enc is not None:
+        return str(payload, enc, "replace")
     try:
         return str(payload, "utf-8")
     except UnicodeDecodeError:
         return _decode_cp1252(payload)
+
 
 # Boilerplate gates (deterministic constants; tuned on FIXTURES.md variants).
 MIN_CONTENT_CHARS = 10          # shorter non-heading blocks need context to stay

@@ -1500,16 +1500,25 @@ def _cluster_columns(lines: list[dict]) -> list[int]:
     return [col_of_start[round(line["x"], 1)] for line in lines]
 
 
-def _grid_regions(hlines, vlines) -> list[tuple]:
-    """Detect ruled-table regions: h×v intersections ≥ GRID_MIN_INTERSECTIONS
-    (pdf_vector_utils.py:138-149). Returns bounding boxes (x0,y0,x1,y1)."""
-    if len(hlines) < 2 or len(vlines) < 2:
-        return []
+def _count_intersections(hlines, vlines) -> int:
+    """h×v line intersection count (pdf_vector_utils.py:138-149); the
+    O(h·v) scan is shared by region detection and the grid-confidence
+    margin so line-dense pages pay it once."""
     inter = 0
     for hx0, hy, hx1, _ in hlines:
         for vx, vy0, _, vy1 in vlines:
             if hx0 - 0.5 <= vx <= hx1 + 0.5 and vy0 - 0.5 <= hy <= vy1 + 0.5:
                 inter += 1
+    return inter
+
+
+def _grid_regions(hlines, vlines, inter: int | None = None) -> list[tuple]:
+    """Detect ruled-table regions: h×v intersections ≥ GRID_MIN_INTERSECTIONS
+    (pdf_vector_utils.py:138-149). Returns bounding boxes (x0,y0,x1,y1)."""
+    if len(hlines) < 2 or len(vlines) < 2:
+        return []
+    if inter is None:
+        inter = _count_intersections(hlines, vlines)
     if inter < GRID_MIN_INTERSECTIONS:
         return []
     x0 = min(min(h[0] for h in hlines), min(v[0] for v in vlines))
@@ -1519,7 +1528,7 @@ def _grid_regions(hlines, vlines) -> list[tuple]:
     return [(x0, y0, x1, y1)]
 
 
-def _grid_confidence(hlines, vlines) -> float:
+def _grid_confidence(hlines, vlines, inter: int | None = None) -> float:
     """Grid-verdict margin → confidence in [0.5, 0.95]: intersection count
     above the GRID_MIN_INTERSECTIONS threshold plus boundary spacing
     regularity (pdf_vector_utils.py:138-149, 194-218). The per-element
@@ -1528,12 +1537,8 @@ def _grid_confidence(hlines, vlines) -> float:
     margin is the actual grid evidence). A minimal 2×2-line grid with
     regular spacing scores 0.75 — below the 0.8 solo-admission gate, so
     bare-minimum grids need cross-validation (P12 semantics)."""
-    inter = sum(
-        1
-        for hx0, hy, hx1, _ in hlines
-        for vx, vy0, _, vy1 in vlines
-        if hx0 - 0.5 <= vx <= hx1 + 0.5 and vy0 - 0.5 <= hy <= vy1 + 0.5
-    )
+    if inter is None:
+        inter = _count_intersections(hlines, vlines)
     reg = 0.5 * (
         _spacing_regularity(_cluster_coords([h[1] for h in hlines]))
         + _spacing_regularity(_cluster_coords([v[0] for v in vlines]))
@@ -1761,8 +1766,12 @@ def extract_pdf(payload: bytes) -> dict:
                 )
             if not runs and not images:
                 continue
-            grids = _grid_regions(hl, vl)
-            grid_conf = _grid_confidence(hl, vl) if grids else 0.0
+            inter = (
+                _count_intersections(hl, vl)
+                if len(hl) >= 2 and len(vl) >= 2 else 0
+            )
+            grids = _grid_regions(hl, vl, inter=inter)
+            grid_conf = _grid_confidence(hl, vl, inter=inter) if grids else 0.0
             caption_regions = grids + images
             lines = _group_lines(runs)
             med = _median([line["size"] for line in lines])

@@ -474,14 +474,25 @@ def excluded_block_metrics(rows: DataFrame, key: str, cap: int) -> DataFrame:
     )
 
 
+def ngram_jaccard_excluded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics companion of :func:`q_dedup_ngram_jaccard`: the drop row
+    for the same corpus and the same NGRAM_MAX_BLOCK guard — production
+    runs write this next to the pair output (the pair relation's shape is
+    oracle-pinned, so the metric travels as its own one-row table)."""
+    return excluded_block_metrics(
+        _duped_docs(spark, sf_dir).select("doc_id", "source"),
+        "source", NGRAM_MAX_BLOCK,
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over pairs blocked by ``source`` (classic
     blocking dedup: the O(n²) pair space is bounded per block). Blocks over
     ``NGRAM_MAX_BLOCK`` docs are excluded outright — a single degenerate hot
     key would otherwise cost O(n²) (VERDICT r1 item 5); at scale such blocks
     belong to the MinHash-LSH path, not exact verification. Production runs
-    pair this with :func:`excluded_block_metrics` over the same (docs,
-    'source', cap) so the skipped mass is reported, not inferred."""
+    pair this with :func:`ngram_jaccard_excluded_metrics` (same corpus,
+    same cap) so the skipped mass is reported, not inferred."""
     docs = _duped_docs(spark, sf_dir)
     sh = _shingles(docs)
     block_sizes = docs.groupBy("source").agg(F.count("*").alias("n_block"))

@@ -196,6 +196,22 @@ SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3
 PAIRS_MAX_BLOCK = 10_000  # quadratic-blowup guard for degenerate hot labels
 
 
+def cosine_pairs_excluded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics companion of :func:`q_embedding_cosine_pairs`: the drop row
+    for the same vector set and the same PAIRS_MAX_BLOCK guard (see
+    ``dedup.excluded_block_metrics``) — written next to the pair output in
+    production runs."""
+    from .dedup import excluded_block_metrics
+
+    base = tbl(spark, sf_dir, "embeddings").select("vec_id", "label")
+    mutants = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label"
+    )
+    return excluded_block_metrics(
+        base.unionByName(mutants), "label", PAIRS_MAX_BLOCK
+    )
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.95 among pairs blocked by
     ``label`` (IVF-cell-style blocking bounds the pair space). Deterministic
@@ -204,8 +220,8 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than ``PAIRS_MAX_BLOCK`` vectors are excluded outright (VERDICT r1 item
     5: a skewed block key is quadratic — at scale such cells go through the
     LSH/IVF candidate paths, not exact all-pairs). Production runs pair
-    this with :func:`..dedup.excluded_block_metrics` over (all_emb,
-    'label', cap) so the skipped mass is reported, not inferred."""
+    this with :func:`cosine_pairs_excluded_metrics` (same vector set, same
+    cap) so the skipped mass is reported, not inferred."""
     base = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     mutants = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),

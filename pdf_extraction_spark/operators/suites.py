@@ -122,28 +122,41 @@ CRAWL_PARTS = (
 
 
 def _unpivot(df: DataFrame, part: str, keys: list, vals: list) -> DataFrame:
+    # single pass over the part: one explode of an in-row (column, v_str,
+    # v_num) struct array — a union branch per value column would re-execute
+    # the part's whole subtree once per column, and the shuffle-free
+    # mapInPandas parts (docmeta/crawl extraction) have no exchange for
+    # Spark to reuse, so full document extraction would run 2-4x per part
     key = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in keys]
     )
-    outs = []
-    for c, kind in vals:
-        outs.append(
-            df.select(
-                F.lit(part).alias("part"),
-                F.concat_ws("|", key, F.lit(c)).alias("k"),
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
                 (
                     F.col(c).cast("string")
                     if kind == STR
                     else F.lit(None).cast("string")
-                ).alias("v_str"),
+                ).alias("vs"),
                 (
                     F.col(c).cast("double")
                     if kind == NUM
                     else F.lit(None).cast("double")
-                ).alias("v_num"),
+                ).alias("vn"),
             )
+            for c, kind in vals
+        ]
+    )
+    return (
+        df.select(F.lit(part).alias("part"), key.alias("k0"), F.explode(cells).alias("p"))
+        .select(
+            "part",
+            F.concat_ws("|", F.col("k0"), F.col("p.c")).alias("k"),
+            F.col("p.vs").alias("v_str"),
+            F.col("p.vn").alias("v_num"),
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    )
 
 
 def make_suite(parts):

@@ -337,7 +337,8 @@ def q_chunk_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     then has a closed form the DuckDB oracle computes per chunk —
     c = min(8, 1200 // A) atoms per chunk, carry-back min(200 // A, c−1),
     boundary t: [t·s·A, min(t·s+c, 8)·A) — validated exhaustively against
-    the kernel for every L in 1..1100 (tests/test_corpusops.py)."""
+    the kernel for every L in 1..1100
+    (tests/test_properties.py::test_recursive_chunks_closed_form_on_tiled_docs)."""
     docs = (
         tbl(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
@@ -361,7 +362,10 @@ def q_chunk_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_len long, slice_ok boolean"
         ),
     )
-    return chunks.select("doc_id", "chunk_idx", "start", "end")
+    # slice_ok pins that the chunk CONTENT matches the offsets
+    # (text[start:end] really is the chunk) — the r3 invariant, kept
+    # alongside the r4 per-chunk offset values
+    return chunks.select("doc_id", "chunk_idx", "start", "end", "slice_ok")
 
 
 SQL_CHUNK_SPLIT_RECURSIVE = """
@@ -381,7 +385,8 @@ WITH d AS (
 )
 SELECT doc_id, CAST(t AS INT) AS chunk_idx,
        CAST(t * s * a AS BIGINT) AS start,
-       CAST(least(t * s + c, 8) * a AS BIGINT) AS "end"
+       CAST(least(t * s + c, 8) * a AS BIGINT) AS "end",
+       TRUE AS slice_ok
 FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS t)
 """
 

@@ -658,6 +658,9 @@ def test_metrics_for_basefont_names():
     assert afm.metrics_for("ABCDEF+Times-Roman") is afm.TIMES  # subset tag
     assert afm.metrics_for("Courier-Bold") is afm.COURIER
     assert afm.metrics_for("DejaVuSansMono") is afm.COURIER
+    # Monotype foundry names are PROPORTIONAL fonts, not monospace
+    assert afm.metrics_for("Monotype-Corsiva") is afm.HELVETICA
+    assert afm.metrics_for("BookmanOldStyle-MonotypeMT") is afm.HELVETICA
     assert afm.metrics_for("Symbol") is afm.SYMBOL
     assert afm.metrics_for("Arial-BoldMT") is afm.HELVETICA
     assert afm.metrics_for(None) is afm.HELVETICA
