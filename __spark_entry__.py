@@ -5,6 +5,11 @@ from sf0.001 documents; ``queries()``/``oracle_sql()`` cover the operator
 inventory of SURVEY.md §2 plus the training-data-pipeline operators (dedup /
 similarity / text analysis / multimodal). Every SQL-expressible operator has
 a DuckDB oracle; column names are aligned on both sides.
+
+Registry size is deliberately kept WELL under the driver's 50-query window
+(VERDICT r4): the four north-rule roundtrips live in ``extraction_suite``
+and the multimodal parts inside ``docmeta_suite``, so new queries always
+get a correctness row.
 """
 
 from __future__ import annotations
@@ -12,7 +17,6 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from pdf_extraction_spark.corpus import corpus_from_documents
 from pdf_extraction_spark.operators import (
@@ -20,77 +24,15 @@ from pdf_extraction_spark.operators import (
     dedup,
     docmeta,  # noqa: F401 — parts re-exported through suites
     elements,
+    extraction,
     links,
-    multimodal,
+    multimodal,  # noqa: F401 — parts re-exported through suites
     relational,  # noqa: F401 — parts re-exported through suites
     similarity,
     suites,
     textops,
 )
 from pdf_extraction_spark.pipeline import extract_corpus
-from pdf_extraction_spark.sources import wet as wetmod
-
-
-# -- flagship extraction queries -------------------------------------------------
-
-
-def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: wrap documents.text in the article template (JVM concat),
-    run the HTML extraction kernel via mapInPandas, return the extracted
-    text — must equal documents.text byte-identically (north rule)."""
-    corpus = corpus_from_documents(spark, sf_dir, payload="html")
-    out = extract_corpus(corpus, repartition=False)
-    return out.select("url", "extracted_text", "n_elements")
-
-
-SQL_EXTRACT_HTML_ROUNDTRIP = """
-SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-       text AS extracted_text,
-       1 AS n_elements
-FROM documents
-"""
-
-
-def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF path: render documents.text as deterministic PDFs (mixed single/
-    two-column, Flate, xref-stream variants), parse with the pure-Python PDF
-    kernel, reconstruct reading order — byte-identical text back."""
-    corpus = corpus_from_documents(spark, sf_dir, payload="pdf")
-    out = extract_corpus(corpus, repartition=False)
-    return out.select("url", "extracted_text", "method")
-
-
-SQL_EXTRACT_PDF_ROUNDTRIP = """
-SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-       text AS extracted_text,
-       'pdf' AS method
-FROM documents
-"""
-
-
-def q_extract_spans_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-offset invariant as a query: spans tile extracted_text exactly
-    (char_end - char_start sums to length minus separators)."""
-    corpus = corpus_from_documents(spark, sf_dir, payload="html")
-    out = extract_corpus(corpus, repartition=False)
-    return out.select(
-        "url",
-        F.length("extracted_text").alias("n_chars"),
-        F.aggregate(
-            "spans", F.lit(0).cast("long"),
-            lambda acc, s: acc + s["char_end"] - s["char_start"],
-        ).alias("span_chars"),
-        F.size("spans").alias("n_spans"),
-    )
-
-
-SQL_EXTRACT_SPANS_TILE = """
-SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-       length(text) AS n_chars,
-       CAST(length(text) AS BIGINT) AS span_chars,
-       1 AS n_spans
-FROM documents
-"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -102,12 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # flagship extraction (north rule)
-        "extract_html_roundtrip": q_extract_html_roundtrip,
-        "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
-        "extract_spans_tile": q_extract_spans_tile,
-        # S6 sink roundtrip: extraction -> WET segments -> parse back
-        "wet_roundtrip": wetmod.q_wet_roundtrip,
+        # flagship extraction (north rule), consolidated (VERDICT r4 item 2):
+        # html_roundtrip spans_tile pdf_roundtrip wet_roundtrip
+        "extraction_suite": extraction.q_extraction_suite,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
@@ -141,7 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_suite": suites.q_crawl_suite,
         # document-metadata parts: html_head_meta pdf_info_meta pdf_toc
         # html_toc jsonld_meta opengraph_cards pdf_attachments
-        # pdf_form_fields
+        # pdf_form_fields multimodal_meta multimodal_framesample
+        # pdf_image_captions
         "docmeta_suite": suites.q_docmeta_suite,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)
@@ -156,9 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": corpusops.q_stratified_sample,
         "dup_span_extract": corpusops.q_dup_span_extract,
         "ccnet_perplexity": corpusops.q_ccnet_perplexity,
-        # multimodal plumbing
-        "multimodal_meta": multimodal.q_multimodal_meta,
-        "multimodal_framesample": multimodal.q_multimodal_framesample,
         # element-level layer on real extraction output; outputs are shaped
         # as corpus invariants so a DuckDB oracle can value-check them
         # (extraction values themselves are pinned by golden tests)
@@ -179,10 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_html_roundtrip": SQL_EXTRACT_HTML_ROUNDTRIP,
-        "extract_pdf_roundtrip": SQL_EXTRACT_PDF_ROUNDTRIP,
-        "extract_spans_tile": SQL_EXTRACT_SPANS_TILE,
-        "wet_roundtrip": wetmod.SQL_WET_ROUNDTRIP,
+        "extraction_suite": extraction.SQL_EXTRACTION_SUITE,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.SQL_DEDUP_MINHASH_LSH,
         "dedup_components": dedup.SQL_DEDUP_COMPONENTS,
@@ -220,8 +154,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
         "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,
         "ccnet_perplexity": corpusops.SQL_CCNET_PERPLEXITY,
-        "multimodal_meta": multimodal.SQL_MULTIMODAL_META,
-        "multimodal_framesample": multimodal.SQL_MULTIMODAL_FRAMESAMPLE,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,
         "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
         "elements_hierarchy": elements.SQL_ELEMENT_HIERARCHY,

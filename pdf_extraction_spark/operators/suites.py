@@ -28,7 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import corpusops, docmeta, links, relational
+from . import corpusops, docmeta, links, multimodal, relational
 
 NUM = "num"
 STR = "str"
@@ -96,6 +96,15 @@ DOCMETA_PARTS = (
      [("filename", STR), ("size", NUM), ("content", STR)]),
     ("pdf_form_fields", docmeta.q_pdf_form_fields, docmeta.SQL_PDF_FORM_FIELDS,
      ["doc_id", "pos"], [("name", STR), ("value", STR)]),
+    # multimodal plumbing folded in r5 (driver-window headroom, VERDICT r4):
+    # same one-Arrow-pass zero-shuffle shape as the other docmeta parts
+    ("multimodal_meta", multimodal.q_multimodal_meta,
+     multimodal.SQL_MULTIMODAL_META, ["doc_id"],
+     [("n_bytes", NUM), ("width", NUM), ("height", NUM), ("sample_rate", NUM),
+      ("channels", NUM), ("duration_ms", NUM), ("fmt", STR)]),
+    ("multimodal_framesample", multimodal.q_multimodal_framesample,
+     multimodal.SQL_MULTIMODAL_FRAMESAMPLE, ["doc_id", "frame_idx"],
+     [("frame_off", NUM), ("frame_sig", STR)]),
 )
 
 CRAWL_PARTS = (
