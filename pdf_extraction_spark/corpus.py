@@ -175,7 +175,15 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             if legacy:
                 paras.append("café crème — déjà vu € naïve ±façade")
             html = render_article(title, paras, variant=variant)
-            payload = html.encode("cp1252" if legacy else "utf-8")
+            # every 10th Korean page ships as UNDECLARED cp949 (no BOM, no
+            # <meta charset> — the template carries none) so the goldens /
+            # bench / scaling corpus exercises the CJK byte-pattern probe
+            # (VERDICT r4 item 3); the truncated variant 6 stays UTF-8 (a
+            # mid-pair cut is a different degrade path, tested separately)
+            legacy_kr = lang == "ko" and variant != 6 and i % 10 == 3
+            payload = html.encode(
+                "cp1252" if legacy else ("cp949" if legacy_kr else "utf-8")
+            )
             raw_text = " ".join([title] + paras)
         rows.append(
             {"url": url, "warc_ts": warc_ts, "html": payload, "text": raw_text, "lang": lang}

@@ -139,6 +139,97 @@ _CP1252_C1 = {
 
 _C1_RE = re.compile("[\x80-\x9f]")
 
+# -- undeclared legacy CJK probe (VERDICT r4 item 3) ------------------------------
+#
+# WHATWG label → Python codec for the legacy CJK families. The Encoding
+# Standard's "euc-kr" IS windows-949 (UHC) and its "shift_jis" IS
+# windows-31j, both supersets of the plain stdlib codecs; "gb2312" is a
+# label for GBK. Routing declared labels through this table keeps real
+# pages (which routinely carry extension characters under the narrow
+# label) from mojibaking through the strict base codec.
+_WHATWG_CJK_CODECS = {
+    "euc-kr": "cp949", "euc_kr": "cp949", "euckr": "cp949",
+    "ks_c_5601-1987": "cp949", "ksc5601": "cp949", "korean": "cp949",
+    "cseuckr": "cp949", "windows-949": "cp949", "cp949": "cp949",
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "ms_kanji": "cp932", "csshiftjis": "cp932",
+    "windows-31j": "cp932", "cp932": "cp932",
+    "gb2312": "gbk", "gbk": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "csgb2312": "gbk", "chinese": "gbk", "x-gbk": "gbk", "iso-ir-58": "gbk",
+    "big5": "big5hkscs", "big5-hkscs": "big5hkscs", "cn-big5": "big5hkscs",
+    "csbig5": "big5hkscs", "x-x-big5": "big5hkscs",
+}
+
+# Probe candidates for UNDECLARED non-UTF-8 payloads. Structure alone
+# cannot separate the EUC-family encodings (a GB2312 hanzi page strictly
+# decodes as cp949 too), so each candidate carries TWO character classes
+# over its decoded text:
+#
+# * ``core`` — the script only that language produces (full-width kana for
+#   Japanese, Hangul for Korean, CJK ideographs for Chinese). The KS X 1001
+#   / GB2312 row layout makes the core fraction the discriminator: GB2312
+#   rows B0-F7 decoded as cp949 land only ~35% in Hangul rows (B0-C8),
+#   while real Korean text is nearly all Hangul — so a 2/3 core-fraction
+#   gate accepts Korean and rejects Chinese bytes. Japanese gets a 1/3
+#   gate (kanji-heavy text is still ≥1/3 kana in practice).
+# * ``broad`` — core plus the shared CJK-ideograph / CJK-punctuation /
+#   fullwidth blocks; at least 2/3 of all decoded non-ASCII characters
+#   must be broad (random mojibake scatters outside these blocks).
+#
+# Ladder order matters: cp932 first (an SJIS page strictly decodes as
+# cp949 into extended-Hangul mojibake, so Korean must not see it first; a
+# Korean/Chinese page decodes via cp932 into half-width katakana, which is
+# deliberately NOT core), then cp949 (reference corpus is Korean,
+# compare_gpt_vs_hybrid.py:101-107), then gbk. First candidate passing all
+# gates wins. Known residual bias, documented: a nearly-kana-free SJIS
+# page and an undeclared Big5 page are out of the probe's reach.
+_CJK_SHARED = "一-鿿　-〿＀-￯"
+_KANA = "぀-ヿㇰ-ㇿ"
+_HANGUL = "가-힣ᄀ-ᇿ㄰-㆏"
+_HANZI = "一-鿿"
+_CJK_PROBE_CANDIDATES = (
+    ("cp932", re.compile(f"[{_KANA}]"),
+     re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0),
+    ("cp949", re.compile(f"[{_HANGUL}]"),
+     re.compile(f"[{_HANGUL}{_CJK_SHARED}]"), 2.0 / 3.0),
+    ("gbk", re.compile(f"[{_HANZI}]"),
+     re.compile(f"[{_CJK_SHARED}]"), 2.0 / 3.0),
+)
+_NON_ASCII_RE = re.compile("[^\x00-\x7f]")
+
+# Floor gates shared by all candidates: at least 8 core characters, at
+# least 5 DISTINCT ones. cp1252 pages cannot flip: their isolated high
+# bytes (an accented letter between ASCII letters) are invalid as a lone
+# CJK lead byte so the strict decode fails, and an adversarial page built
+# from one repeated accent pair decodes to a single distinct syllable —
+# under the distinct floor (bounds pinned by tests/test_html_kernel.py).
+_CJK_MIN_CORE = 8
+_CJK_MIN_DISTINCT = 5
+_CJK_BROAD_FRACTION = 2.0 / 3.0
+
+
+def _probe_cjk(payload) -> str | None:
+    """Byte-pattern probe for undeclared legacy CJK (VERDICT r4 item 3):
+    the first ladder candidate whose strict decode passes the core/broad
+    script gates above, or None. Runs only on the minority non-UTF-8
+    undeclared path; each attempt is one C-level decode plus three
+    C-level regex scans."""
+    for codec, core_re, broad_re, core_frac in _CJK_PROBE_CANDIDATES:
+        try:
+            s = str(payload, codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        core = core_re.findall(s)
+        if len(core) < _CJK_MIN_CORE or len(set(core)) < _CJK_MIN_DISTINCT:
+            continue
+        high = len(_NON_ASCII_RE.findall(s))
+        if len(core) < high * core_frac:
+            continue
+        if len(broad_re.findall(s)) < high * _CJK_BROAD_FRACTION:
+            continue
+        return codec
+    return None
+
 
 def _decode_cp1252(payload) -> str:
     """Total windows-1252 decode with the WHATWG table (never raises).
@@ -166,6 +257,9 @@ def _declared_charset(payload) -> str | None:
         name = m.group(1).decode("ascii", "replace").lower()
         if name in _CP1252_LABELS:
             return "windows-1252"
+        whatwg = _WHATWG_CJK_CODECS.get(name)
+        if whatwg is not None:
+            return whatwg
         try:
             import codecs
 
@@ -178,8 +272,8 @@ def _declared_charset(payload) -> str | None:
 
 def detect_charset(payload) -> str:
     """Charset sniff: BOM > declared <meta> in the 2 KB prescan > strict
-    UTF-8 probe > windows-1252 (the WHATWG default for undeclared legacy
-    content). Returns a codec name."""
+    UTF-8 probe > undeclared-CJK byte-pattern probe > windows-1252 (the
+    WHATWG default for undeclared legacy content). Returns a codec name."""
     enc = _declared_charset(payload)
     if enc is not None:
         return enc
@@ -187,7 +281,7 @@ def detect_charset(payload) -> str:
         str(payload, "utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "windows-1252"
+        return _probe_cjk(payload) or "windows-1252"
 
 
 def decode_payload(payload) -> str:
@@ -205,6 +299,9 @@ def decode_payload(payload) -> str:
     try:
         return str(payload, "utf-8")
     except UnicodeDecodeError:
+        cjk = _probe_cjk(payload)
+        if cjk is not None:
+            return str(payload, cjk, "replace")
         return _decode_cp1252(payload)
 
 

@@ -407,3 +407,70 @@ UNION ALL
 SELECT doc_id, CAST(1 AS INT), 'field_b', w[2]
 FROM w
 """
+
+
+# -- undeclared-charset sniff (VERDICT r4 item 3) ---------------------------------
+
+# (codec, native phrase prepended to the doc's words). The driver's
+# documents table is ASCII-only, so each doc gets deterministic native-
+# script content injected INTO the extracted flow: the page is encoded in
+# the legacy codec with NO declaration, and both the detected codec and the
+# byte-exact extracted text land in the oracle.
+_SNIFF_VARIANTS = (
+    ("cp949", "한국어 문서 본문 텍스트 예시 단락"),
+    ("cp932", "これは日本語の本文テキストですデータ"),
+    ("gbk", "这是中文正文文本示例段落编码检测"),
+    ("windows-1252", "café crème — déjà vu € naïve"),
+)
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undeclared legacy-charset detection under the correctness gate: per
+    doc, a page whose main paragraph is a fixed native-script phrase plus
+    the doc's first four words, encoded as undeclared EUC-KR(cp949) /
+    Shift-JIS(cp932) / GBK / cp1252 by ``doc_id % 4``. The kernel must
+    detect the codec by byte pattern alone (no BOM, no meta) and return the
+    paragraph byte-identically. One Arrow pass, zero shuffle."""
+    import pandas as pd
+
+    from ..kernels.html_extract import detect_charset, extract_html
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "charset": [], "extracted": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                codec, phrase = _SNIFF_VARIANTS[i % 4]
+                para = phrase + " " + " ".join(str(text).split(" ")[:4])
+                page = ("<html><body><main><p>" + para
+                        + "</p></main></body></html>")
+                payload = page.encode(
+                    "cp1252" if codec == "windows-1252" else codec
+                )
+                rows["doc_id"].append(i)
+                rows["charset"].append(detect_charset(payload))
+                rows["extracted"].append(extract_html(payload)["text"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, charset string, extracted string"
+    )
+
+
+SQL_CHARSET_SNIFF = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'cp949' WHEN 1 THEN 'cp932'
+            WHEN 2 THEN 'gbk' ELSE 'windows-1252' END AS charset,
+       CASE doc_id % 4
+         WHEN 0 THEN '한국어 문서 본문 텍스트 예시 단락'
+         WHEN 1 THEN 'これは日本語の本文テキストですデータ'
+         WHEN 2 THEN '这是中文正文文本示例段落编码检测'
+         ELSE 'café crème — déjà vu € naïve' END
+       || ' ' || w[1] || ' ' || w[2] || ' ' || w[3] || ' ' || w[4] AS extracted
+FROM w
+"""

@@ -105,6 +105,10 @@ DOCMETA_PARTS = (
     ("multimodal_framesample", multimodal.q_multimodal_framesample,
      multimodal.SQL_MULTIMODAL_FRAMESAMPLE, ["doc_id", "frame_idx"],
      [("frame_off", NUM), ("frame_sig", STR)]),
+    # undeclared EUC-KR / Shift-JIS / GBK / cp1252 byte-pattern probe under
+    # the value-level gate (VERDICT r4 item 3)
+    ("charset_sniff", docmeta.q_charset_sniff, docmeta.SQL_CHARSET_SNIFF,
+     ["doc_id"], [("charset", STR), ("extracted", STR)]),
 )
 
 CRAWL_PARTS = (

@@ -114,7 +114,9 @@ def test_charset_meta_euc_kr():
 
     body = "<html><head><meta charset='euc-kr'></head><body><main><p>한국어 본문 텍스트 블록입니다 여기 더 많은 텍스트</p></main></body></html>"
     payload = body.encode("euc-kr")
-    assert detect_charset(payload) == "euc-kr"
+    # the WHATWG Encoding Standard's euc-kr IS windows-949 (UHC), a strict
+    # superset — declared labels route through the table, not codecs.lookup
+    assert detect_charset(payload) == "cp949"
     res = extract_html(payload)
     assert "한국어 본문 텍스트" in res["text"]
     assert res["error"] is None
@@ -173,6 +175,76 @@ def test_charset_undeclared_valid_utf8_stays_utf8():
 
     payload = "<html><body><p>déjà vu €</p></body></html>".encode("utf-8")
     assert detect_charset(payload) == "utf-8"
+
+
+_KO_PAGE = ("<html><body><main><p>데이터 분석과 추출은 문서의 표와 그림 그리고 "
+            "수식과 제목 단락 목록을 다룬다 한국어 텍스트 예시 페이지</p></main>"
+            "</body></html>")
+_JA_PAGE = ("<html><body><main><p>これは日本語のテキストですカタカナも含まれて"
+            "いますデータ解析と抽出の例文</p></main></body></html>")
+_ZH_PAGE = ("<html><body><main><p>这是一段中文文本用于测试字符编码检测数据分析"
+            "提取文档表格图片公式标题段落列表</p></main></body></html>")
+
+
+def test_charset_undeclared_cjk_probe():
+    """Undeclared EUC-KR / Shift-JIS / GBK pages (no BOM, no meta) must
+    detect via the byte-pattern probe and decode mojibake-free — the r4
+    residue: they previously fell through to cp1252 (VERDICT r4 item 3)."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    for page, codec in [(_KO_PAGE, "cp949"), (_JA_PAGE, "cp932"),
+                        (_ZH_PAGE, "gbk")]:
+        payload = page.encode(codec)
+        assert detect_charset(payload) == codec
+        assert decode_payload(payload) == page
+        # memoryview path (zero-copy Arrow batches)
+        assert decode_payload(memoryview(payload)) == page
+
+
+def test_charset_cjk_probe_precedence():
+    """BOM and declared meta always beat the probe; valid UTF-8 never
+    reaches it."""
+    from pdf_extraction_spark.kernels.html_extract import detect_charset
+
+    # UTF-8 Korean stays UTF-8 (probe must not even be consulted)
+    assert detect_charset(_KO_PAGE.encode("utf-8")) == "utf-8"
+    # declared gbk label wins even if the bytes would also probe as cp949
+    declared = ("<html><head><meta charset='gb2312'></head><body><p>"
+                "中文文本测试页面编码声明优先</p></body></html>")
+    assert detect_charset(declared.encode("gbk")) == "gbk"
+    # BOM beats everything
+    assert detect_charset(b"\xef\xbb\xbf" + _KO_PAGE.encode("utf-8")) == "utf-8-sig"
+
+
+def test_charset_cjk_probe_cp1252_no_flip():
+    """cp1252 pages must NOT flip to a CJK codec: realistic accents are
+    isolated high bytes (invalid as a lone lead), and a repeated accent
+    pair fails the distinct-core floor."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    pages = [
+        "<html><body><p>café crème — déjà vu € naïve ±façade héros</p></body></html>",
+        "<html><body><p>Überraschung größer — schön für München</p></body></html>",
+        "<html><body><p>" + "±ç" * 40 + " plain ascii words</p></body></html>",
+    ]
+    for page in pages:
+        payload = page.encode("cp1252")
+        assert detect_charset(payload) == "windows-1252", page[:40]
+        assert decode_payload(payload) == page
+
+
+def test_charset_cjk_probe_truncated_pair_degrades():
+    """A payload cut mid-multibyte-pair must never raise; decode stays
+    total (either the probe still accepts a strict-decodable prefix or it
+    falls back to the cp1252 path)."""
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    full = _KO_PAGE.encode("cp949")
+    for cut in (len(full) - 1, len(full) - 2, 37, 8, 1):
+        out = decode_payload(full[:cut])
+        assert isinstance(out, str)
 
 
 def test_charset_declared_latin1_is_whatwg_cp1252():
