@@ -145,9 +145,12 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                     "", table_rows=[["name", "value"], ["alpha", "one"], ["beta", "two"]]
                 )
             elif variant == 4:
-                # subset-font emulation: Identity-H glyph codes + ToUnicode
+                # subset-font emulation: Identity-H glyph codes; every other
+                # one drops /ToUnicode and carries an embedded FontFile2 whose
+                # own cmap is the only way back to Unicode (VERDICT r4 item 4)
+                enc4 = "type0-ttf" if (i // 8) % 2 == 1 else "type0"
                 payload = pdf_write.build_pdf(
-                    body_text, title=title, compress=True, encoding="type0",
+                    body_text, title=title, compress=True, encoding=enc4,
                     tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split,
                 )
             elif variant == 5:
@@ -280,8 +283,11 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                 # /Differences remap, every 13th AES-128-encrypted — so the
                 # DuckDB-checked roundtrip oracle exercises CMap decoding and
                 # empty-password decryption end-to-end (VERDICT r2 items 1, 6)
-                encoding = "type0" if i % 7 == 0 else (
-                    "differences" if i % 11 == 0 else "simple"
+                # every other type0 doc swaps the ToUnicode CMap for an
+                # embedded FontFile2 cmap (no /ToUnicode — VERDICT r4 item 4)
+                encoding = (
+                    ("type0-ttf" if i % 14 == 0 else "type0") if i % 7 == 0
+                    else ("differences" if i % 11 == 0 else "simple")
                 )
                 encrypt = "aes-128" if i % 13 == 0 else None
                 out.append(

@@ -174,6 +174,204 @@ def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     return width, cmap
 
 
+# -- TrueType `cmap` table (embedded FontFile2 without /ToUnicode) ----------------------
+#
+# VERDICT r4 item 4: a subsetted embedded TrueType font with NO /ToUnicode
+# and no /Differences used to decode to U+FFFD — the reference gets the
+# mapping for free from PyMuPDF (advanced_layout_extractor.py:301
+# ``get_text("dict")``). For a Type0/Identity-H font with /CIDToGIDMap
+# /Identity the show-string codes ARE glyph ids, so inverting the font
+# program's own character-to-glyph ``cmap`` table (OpenType spec, public)
+# recovers code → unicode. Pure stdlib, total: malformed font programs
+# yield {} and the caller keeps the U+FFFD-replacement path.
+
+_SFNT_VERSIONS = {b"\x00\x01\x00\x00", b"OTTO", b"true", b"typ1"}
+_TTF_MAX_MAPPINGS = 0x20000  # subset fonts are small; cap hostile tables
+
+
+def _u16(b: bytes, o: int) -> int:
+    return (b[o] << 8) | b[o + 1]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 4], "big")
+
+
+def _cmap_subtable_format4(b: bytes, off: int, out: dict[int, int]) -> None:
+    seg_x2 = _u16(b, off + 6)
+    seg = seg_x2 // 2
+    end_o = off + 14
+    start_o = end_o + seg_x2 + 2  # +2: reservedPad
+    delta_o = start_o + seg_x2
+    iro_o = delta_o + seg_x2
+    if iro_o + seg_x2 > len(b):
+        return
+    for i in range(seg):
+        end = _u16(b, end_o + 2 * i)
+        start = _u16(b, start_o + 2 * i)
+        if start > end or end - start > _TTF_MAX_MAPPINGS:
+            continue
+        delta = _u16(b, delta_o + 2 * i)
+        iro = _u16(b, iro_o + 2 * i)
+        for cp in range(start, min(end, 0xFFFE) + 1):
+            if iro == 0:
+                gid = (cp + delta) & 0xFFFF
+            else:
+                # glyphIdArray indexed relative to THIS idRangeOffset slot
+                ga = iro_o + 2 * i + iro + 2 * (cp - start)
+                if ga + 2 > len(b):
+                    continue
+                gid = _u16(b, ga)
+                if gid == 0:
+                    continue  # .notdef: unmapped
+                gid = (gid + delta) & 0xFFFF
+            if gid and cp not in out:
+                out[cp] = gid
+            if len(out) >= _TTF_MAX_MAPPINGS:
+                return
+
+
+def _cmap_subtable_format12(b: bytes, off: int, out: dict[int, int]) -> None:
+    n_groups = _u32(b, off + 12)
+    if off + 16 + 12 * n_groups > len(b):
+        return
+    for g in range(n_groups):
+        o = off + 16 + 12 * g
+        start, end, gid0 = _u32(b, o), _u32(b, o + 4), _u32(b, o + 8)
+        if start > end or end - start > _TTF_MAX_MAPPINGS or end > 0x10FFFF:
+            continue
+        for cp in range(start, end + 1):
+            if cp not in out:
+                out[cp] = gid0 + (cp - start)
+            if len(out) >= _TTF_MAX_MAPPINGS:
+                return
+
+
+def _cmap_subtable_format6(b: bytes, off: int, out: dict[int, int]) -> None:
+    first, count = _u16(b, off + 6), _u16(b, off + 8)
+    if off + 10 + 2 * count > len(b):
+        return
+    for i in range(count):
+        gid = _u16(b, off + 10 + 2 * i)
+        if gid and (first + i) not in out:
+            out[first + i] = gid
+
+
+def _cmap_subtable_format0(b: bytes, off: int, out: dict[int, int]) -> None:
+    if off + 6 + 256 > len(b):
+        return
+    for cp in range(256):
+        gid = b[off + 6 + cp]
+        if gid and cp not in out:
+            out[cp] = gid
+
+
+def parse_ttf_cmap(data: bytes) -> dict[int, int]:
+    """Unicode codepoint → glyph id from a TrueType/OpenType font program.
+
+    Walks the sfnt table directory to the ``cmap`` table and parses its
+    best Unicode subtable — preference (3,10) format-12 > (3,1)/(0,x)
+    format-4 > formats 6/0 — exactly the selection order shaping engines
+    use. Total: anything malformed returns {} (or a partial map)."""
+    try:
+        if len(data) < 12 or data[:4] not in _SFNT_VERSIONS:
+            return {}
+        n_tables = _u16(data, 4)
+        if n_tables > 512:
+            return {}
+        cmap_off = cmap_len = None
+        for i in range(n_tables):
+            o = 12 + 16 * i
+            if o + 16 > len(data):
+                return {}
+            if data[o : o + 4] == b"cmap":
+                cmap_off, cmap_len = _u32(data, o + 8), _u32(data, o + 12)
+                break
+        if cmap_off is None or cmap_off + 4 > len(data):
+            return {}
+        b, off = data, cmap_off
+        n_sub = _u16(b, off + 2)
+        # rank candidate subtables: full-Unicode first, then BMP, then legacy
+        ranked: list[tuple[int, int]] = []
+        for i in range(min(n_sub, 64)):
+            o = off + 4 + 8 * i
+            if o + 8 > len(b):
+                break
+            plat, enc_id = _u16(b, o), _u16(b, o + 2)
+            sub = off + _u32(b, o + 4)
+            if sub + 2 > len(b):
+                continue
+            if plat == 3 and enc_id == 10:
+                rank = 0
+            elif plat == 0 and enc_id in (4, 6):
+                rank = 0
+            elif plat == 3 and enc_id == 1:
+                rank = 1
+            elif plat == 0:
+                rank = 1
+            elif plat == 3 and enc_id == 0:
+                rank = 2  # symbol: F0xx codes, still better than nothing
+            else:
+                rank = 3
+            ranked.append((rank, sub))
+        out: dict[int, int] = {}
+        for _, sub in sorted(ranked):
+            fmt = _u16(b, sub)
+            if fmt == 4:
+                _cmap_subtable_format4(b, sub, out)
+            elif fmt == 12:
+                _cmap_subtable_format12(b, sub, out)
+            elif fmt == 6:
+                _cmap_subtable_format6(b, sub, out)
+            elif fmt == 0:
+                _cmap_subtable_format0(b, sub, out)
+            if out:
+                break  # best-ranked parseable subtable wins
+        return out
+    except Exception:
+        return {}
+
+
+def invert_ttf_cmap(uni_to_gid: dict[int, int]) -> dict[int, str]:
+    """Glyph id → character; the smallest codepoint wins when several map
+    to one glyph (deterministic, matches how subsetters assign gids)."""
+    inv: dict[int, str] = {}
+    for cp in sorted(uni_to_gid):
+        gid = uni_to_gid[cp]
+        if gid not in inv:
+            inv[gid] = chr(cp)
+    return inv
+
+
+def _type0_fontfile_map(font: dict, resolve, decode_stream) -> dict[int, str]:
+    """Identity-H code (== glyph id) → text via the embedded font program's
+    own cmap, for Type0 fonts that carry no /ToUnicode. Applies only when
+    /CIDToGIDMap is /Identity (or absent — Identity is the default,
+    PDF 32000-1 §9.7.4.2), so codes and gids coincide."""
+    try:
+        desc = resolve(font.get("DescendantFonts"))
+        if not isinstance(desc, list) or not desc:
+            return {}
+        cid = resolve(desc[0])
+        if isinstance(cid, tuple) and cid[0] == "stream":
+            cid = cid[1]
+        if not isinstance(cid, dict):
+            return {}
+        c2g = resolve(cid.get("CIDToGIDMap"))
+        if c2g is not None and str(c2g) != "Identity":
+            return {}
+        fd = resolve(cid.get("FontDescriptor"))
+        if not isinstance(fd, dict):
+            return {}
+        ff = resolve(fd.get("FontFile2")) or resolve(fd.get("FontFile3"))
+        if not (isinstance(ff, tuple) and ff[0] == "stream"):
+            return {}
+        program = decode_stream(ff[1], ff[2])
+        return invert_ttf_cmap(parse_ttf_cmap(program))
+    except Exception:
+        return {}
+
+
 # -- per-font decoder ------------------------------------------------------------------
 
 
@@ -336,6 +534,10 @@ def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None
             w, cmap = parse_tounicode(data)
             if subtype != "Type0":
                 width = w
+        if subtype == "Type0" and not cmap:
+            # no /ToUnicode: invert the embedded font program's own cmap
+            # (VERDICT r4 item 4) — priority below a real ToUnicode CMap
+            cmap = _type0_fontfile_map(font, resolve, decode_stream)
         if isinstance(enc, str) and not isinstance(enc, dict):
             diffs.update(_base_encoding_map(str(enc)))
         elif isinstance(enc, dict):

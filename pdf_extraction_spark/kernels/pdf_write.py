@@ -13,7 +13,9 @@ This replaces the reference pipeline's dependence on ad-hoc local PDFs
 
 from __future__ import annotations
 
+import math
 import re
+import struct
 import zlib
 
 from . import afm
@@ -250,6 +252,153 @@ class _Type0Encoder:
             ),
             tounico: (
                 b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+            ),
+        }
+        return obj3, extra
+
+
+def _ttf_pad4(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _ttf_checksum(b: bytes) -> int:
+    b = _ttf_pad4(b)
+    return sum(
+        int.from_bytes(b[i : i + 4], "big") for i in range(0, len(b), 4)
+    ) & 0xFFFFFFFF
+
+
+def _cmap_format4(cps_gids: list[tuple[int, int]]) -> bytes:
+    """Format-4 cmap subtable over sorted BMP (codepoint, gid) pairs.
+    Segments are maximal runs where both advance by 1, so idDelta alone
+    carries the mapping (idRangeOffset stays 0 throughout)."""
+    segs: list[tuple[int, int, int]] = []  # (startCode, endCode, idDelta)
+    i = 0
+    while i < len(cps_gids):
+        j = i
+        while (
+            j + 1 < len(cps_gids)
+            and cps_gids[j + 1][0] == cps_gids[j][0] + 1
+            and cps_gids[j + 1][1] == cps_gids[j][1] + 1
+        ):
+            j += 1
+        cp0, g0 = cps_gids[i]
+        segs.append((cp0, cps_gids[j][0], (g0 - cp0) & 0xFFFF))
+        i = j + 1
+    segs.append((0xFFFF, 0xFFFF, 1))  # required terminator maps FFFF->0
+    n = len(segs)
+    sel = max(0, int(math.log2(n)))
+    search = 2 ** sel * 2
+    head = struct.pack(
+        ">7H", 4, 16 + 8 * n, 0, 2 * n, search, sel, 2 * n - search
+    )
+    ends = struct.pack(">%dH" % n, *(s[1] for s in segs))
+    starts = struct.pack(">%dH" % n, *(s[0] for s in segs))
+    deltas = struct.pack(">%dH" % n, *(s[2] for s in segs))
+    iros = b"\x00\x00" * n
+    return head + ends + b"\x00\x00" + starts + deltas + iros
+
+
+def _cmap_format12(cps_gids: list[tuple[int, int]]) -> bytes:
+    groups: list[tuple[int, int, int]] = []
+    i = 0
+    while i < len(cps_gids):
+        j = i
+        while (
+            j + 1 < len(cps_gids)
+            and cps_gids[j + 1][0] == cps_gids[j][0] + 1
+            and cps_gids[j + 1][1] == cps_gids[j][1] + 1
+        ):
+            j += 1
+        groups.append((cps_gids[i][0], cps_gids[j][0], cps_gids[i][1]))
+        i = j + 1
+    body = b"".join(struct.pack(">3I", *g) for g in groups)
+    return struct.pack(">HHIII", 12, 0, 16 + len(body), 0, len(groups)) + body
+
+
+def build_subset_ttf(char_to_gid: dict[str, int]) -> bytes:
+    """Deterministic minimal TrueType font program: sfnt directory with
+    real checksums over ``head`` / ``maxp`` / ``cmap``, where cmap carries a
+    (3,1) format-4 subtable (plus a (3,10) format-12 one when the charset
+    leaves the BMP). Glyph outlines are irrelevant to text extraction, so
+    none are emitted — exactly the part a parser must NOT depend on."""
+    pairs = sorted((ord(ch), gid) for ch, gid in char_to_gid.items())
+    bmp = [(cp, g) for cp, g in pairs if cp < 0xFFFF]
+    astral = len(bmp) != len(pairs)
+    subs: list[tuple[int, int, bytes]] = [(3, 1, _cmap_format4(bmp))]
+    if astral:
+        subs.append((3, 10, _cmap_format12(pairs)))
+    hdr = struct.pack(">HH", 0, len(subs))
+    recs = b""
+    off = 4 + 8 * len(subs)
+    bodies = b""
+    for plat, enc, body in subs:
+        recs += struct.pack(">HHI", plat, enc, off)
+        off += len(body)
+        bodies += body
+    cmap = hdr + recs + bodies
+    n_glyphs = max(char_to_gid.values(), default=0) + 1
+    head = struct.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000, 0x00010000, 0, 0x5F0F3CF5,  # version, rev, csAdj, magic
+        0, 1000,                                 # flags, unitsPerEm
+        0, 0,                                    # created, modified
+        0, 0, 1000, 1000,                        # xMin yMin xMax yMax
+        0, 8,                                    # macStyle, lowestRecPPEM
+        2, 0, 0,                                 # directionHint, locFmt, glyphFmt
+    )
+    maxp = struct.pack(">IH", 0x00005000, n_glyphs)  # version 0.5
+    tables = sorted([(b"cmap", cmap), (b"head", head), (b"maxp", maxp)])
+    n = len(tables)
+    sel = int(math.log2(n))
+    search = 2 ** sel * 16
+    out = struct.pack(">IHHHH", 0x00010000, n, search, sel, n * 16 - search)
+    data_off = 12 + 16 * n
+    dir_entries = b""
+    payload = b""
+    for tag, body in tables:
+        dir_entries += struct.pack(
+            ">4sIII", tag, _ttf_checksum(body), data_off + len(payload), len(body)
+        )
+        payload += _ttf_pad4(body)
+    return out + dir_entries + payload
+
+
+class _Type0TTFEncoder(_Type0Encoder):
+    """Identity-H subset font carrying NO /ToUnicode: the way back to
+    Unicode exists only inside the embedded FontFile2's own ``cmap`` table
+    (codepoint → gid, which the Identity mapping makes codepoint → code).
+    The parser must walk DescendantFonts → FontDescriptor → FontFile2 and
+    invert that table (pdf_fonts.parse_ttf_cmap) — VERDICT r4 item 4."""
+
+    def font_objects(self, next_free: int):
+        desc, fdesc, ffile = next_free, next_free + 1, next_free + 2
+        obj3 = (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /SUBSET+SynthTTF "
+            "/Encoding /Identity-H /DescendantFonts [%d 0 R] >>" % desc
+        ).encode()
+        warr = " ".join(
+            "%d" % afm.char_width(ch)
+            for ch, _ in sorted(self.code.items(), key=lambda kv: kv[1])
+        )
+        ttf = build_subset_ttf(self.code)
+        extra = {
+            desc: (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SUBSET+SynthTTF "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 1000 "
+                b"/W [1 [" + warr.encode() + b"]] "
+                b"/FontDescriptor %d 0 R >>" % fdesc
+            ),
+            fdesc: (
+                b"<< /Type /FontDescriptor /FontName /SUBSET+SynthTTF "
+                b"/Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0 "
+                b"/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 "
+                b"/FontFile2 %d 0 R >>" % ffile
+            ),
+            ffile: (
+                b"<< /Length %d /Length1 %d >>\nstream\n" % (len(ttf), len(ttf))
+                + ttf + b"\nendstream"
             ),
         }
         return obj3, extra
@@ -919,6 +1068,9 @@ def build_pdf(
     * ``simple`` — Type1 font, literal strings with UTF-8 octal escapes;
     * ``type0``  — Identity-H subset-font emulation: 2-byte glyph codes in
       hex strings, mapped back only by the /ToUnicode CMap;
+    * ``type0-ttf`` — Identity-H with NO /ToUnicode: an embedded FontFile2
+      subset-TTF whose own ``cmap`` table is the only way back to Unicode
+      (VERDICT r4 item 4);
     * ``differences`` — Type1 with /Encoding /Differences remapping letters
       and all non-ASCII chars to codes >= 128 with AGL glyph names.
 
@@ -969,6 +1121,8 @@ def build_pdf(
         charset = set("".join(shown))
         if encoding == "type0":
             encoder = _Type0Encoder(charset)
+        elif encoding == "type0-ttf":
+            encoder = _Type0TTFEncoder(charset)
         else:
             try:
                 encoder = _DifferencesEncoder(charset)

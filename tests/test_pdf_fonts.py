@@ -130,3 +130,88 @@ def test_fast2_unmapped_surrogate_pair_matches_per_code_path():
     assert dec._fast2  # map touches no surrogates: fast path armed
     b = b"\x00\x41\xd8\x01\xdc\x37\x00\x41"  # A, <high><low>, A
     assert dec.decode(b) == "A��A"
+
+
+# -- TrueType cmap fallback (embedded FontFile2, no /ToUnicode) ------------------
+
+
+def _ttf_for(chars: str) -> tuple[dict, bytes]:
+    from pdf_extraction_spark.kernels.pdf_write import build_subset_ttf
+
+    code = {ch: i + 1 for i, ch in enumerate(sorted(set(chars)))}
+    return code, build_subset_ttf(code)
+
+
+def test_ttf_cmap_format4_roundtrip():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_ttf_cmap
+
+    code, ttf = _ttf_for("Hello, World! 0123")
+    m = parse_ttf_cmap(ttf)
+    assert m == {ord(ch): gid for ch, gid in code.items()}
+
+
+def test_ttf_cmap_format12_astral():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_ttf_cmap
+
+    code, ttf = _ttf_for("ab\U0001D11E\U0001F600")  # BMP + two astral chars
+    m = parse_ttf_cmap(ttf)
+    assert m == {ord(ch): gid for ch, gid in code.items()}
+
+
+def test_ttf_cmap_format4_idrangeoffset_path():
+    # hand-built single-segment subtable exercising the glyphIdArray branch
+    # (idRangeOffset != 0), which subsetters emit for non-monotone gid runs
+    import struct
+
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_ttf_cmap
+
+    seg = 2  # [0x41..0x43] via glyphIdArray, terminator
+    sub = struct.pack(">7H", 4, 0, 0, 2 * seg, 4, 1, 0)
+    sub += struct.pack(">2H", 0x43, 0xFFFF)          # endCode
+    sub += b"\x00\x00"                               # reservedPad
+    sub += struct.pack(">2H", 0x41, 0xFFFF)          # startCode
+    sub += struct.pack(">2H", 0, 1)                  # idDelta
+    # idRangeOffset[0] points past itself+terminator slot to glyphIdArray
+    sub += struct.pack(">2H", 4, 0)
+    sub += struct.pack(">3H", 9, 7, 8)               # glyphIdArray (A->9 B->7 C->8)
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    # wrap in a minimal sfnt shell
+    font = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    font += struct.pack(">4sIII", b"cmap", 0, 12 + 16, len(cmap)) + cmap
+    m = parse_ttf_cmap(font)
+    assert m == {0x41: 9, 0x42: 7, 0x43: 8}
+
+
+def test_ttf_cmap_total_on_garbage():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_ttf_cmap
+
+    assert parse_ttf_cmap(b"") == {}
+    assert parse_ttf_cmap(b"\x00\x01\x00\x00") == {}
+    assert parse_ttf_cmap(b"not a font at all" * 10) == {}
+    _, ttf = _ttf_for("abc")
+    # bit-flips must never raise
+    for i in range(0, len(ttf), 7):
+        mutated = bytearray(ttf)
+        mutated[i] ^= 0xFF
+        parse_ttf_cmap(bytes(mutated))
+
+
+def test_type0_ttf_pdf_decodes_without_tounicode():
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    text = "embedded cmap only: 한국어 텍스트 and ascii words mix here"
+    pdf = build_pdf(text, encoding="type0-ttf", compress=True)
+    assert b"ToUnicode" not in pdf.replace(b"stream", b"")  # truly absent
+    res = extract_document(pdf)
+    assert res["text"].replace("\n", " ").strip() == text
+
+
+def test_type0_ttf_priority_below_tounicode():
+    # a font carrying BOTH keeps ToUnicode as the authority: the ttf map is
+    # consulted only when the CMap is absent (priority tier below CMap)
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    pdf = build_pdf("plain type0 words", encoding="type0")
+    assert "plain type0 words" in extract_pdf(pdf)["text"]
