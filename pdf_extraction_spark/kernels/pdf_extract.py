@@ -1180,7 +1180,7 @@ def _normalize_rotation(rotate, pw, ph, runs, hl, vl, rects, images):
         (bx0, by0, bx1 - bx0, by1 - by0)
         for bx0, by0, bx1, by1 in (seg(x, y, x + w, y + h) for x, y, w, h in rects)
     ]
-    images = [seg(*b) for b in images]
+    images = [seg(*b[:4]) + (b[4],) for b in images]
     return pw, ph, runs, hl, vl, rects, images
 
 
@@ -1198,7 +1198,7 @@ def _interpret_content(
     runs: (x, y, size, text). Lines/rects mirror the reference's vector
     primitives (pdf_vector_utils.py:38-90): hlines/vlines as
     (x0, y0, x1, y1), rects as (x, y, w, h). images: placed image XObject
-    bboxes (x0, y0, x1, y1) — the unit square through the CTM at each
+    bboxes (x0, y0, x1, y1, name) — the unit square through the CTM at each
     ``name Do`` whose name is in ``image_names`` (the page's
     /Resources/XObject entries with /Subtype /Image), the rebuild of the
     reference's type==1 image blocks (advanced_layout_extractor.py:359-386).
@@ -1399,7 +1399,7 @@ def _interpret_content(
                     a, b_, c_, d, e, f = ctm
                     xs = (e, a + e, c_ + e, a + c_ + e)
                     ys = (f, b_ + f, d + f, b_ + d + f)
-                    images.append((min(xs), min(ys), max(xs), max(ys)))
+                    images.append((min(xs), min(ys), max(xs), max(ys), xname))
                 elif xname in forms and _depth < _FORM_MAX_DEPTH:
                     fm = forms[xname]
                     sub_ctm = (
@@ -1430,7 +1430,7 @@ def _interpret_content(
                     a, b_, c_, d, e, f = ctm
                     xs = (e, a + e, c_ + e, a + c_ + e)
                     ys = (f, b_ + f, d + f, b_ + d + f)
-                    images.append((min(xs), min(ys), max(xs), max(ys)))
+                    images.append((min(xs), min(ys), max(xs), max(ys), None))
         except Exception:
             pass
         stack = []
@@ -1772,7 +1772,7 @@ def extract_pdf(payload: bytes) -> dict:
             )
             grids = _grid_regions(hl, vl, inter=inter)
             grid_conf = _grid_confidence(hl, vl, inter=inter) if grids else 0.0
-            caption_regions = grids + images
+            caption_regions = grids + [b[:4] for b in images]
             lines = _group_lines(runs)
             med = _median([line["size"] for line in lines])
             cols = _cluster_columns(lines)
@@ -1843,7 +1843,9 @@ def extract_pdf(payload: bytes) -> dict:
                 prev_y = line["y"]
                 prev_col = cols[idx]
             # image-only figure elements after the page's text flow, top→down
-            for ix0, iy0, ix1, iy1 in sorted(images, key=lambda b: (-b[3], b[0])):
+            for ix0, iy0, ix1, iy1, _nm in sorted(
+                images, key=lambda b: (-b[3], b[0])
+            ):
                 blocks.append(
                     {
                         "kind": "figure",
@@ -1958,5 +1960,147 @@ def extract_pdf_form_fields(payload: bytes) -> list[dict]:
         if not doc.try_decrypt():
             return []
         return doc.form_fields()
+    except Exception:
+        return []
+
+
+def _image_intrinsics(doc: "_Doc", sdict: dict, raw: bytes) -> dict:
+    """Intrinsic pixel metadata of one /Subtype /Image XObject.
+
+    DCTDecode payloads ARE JPEG bytes (the filter chain passes them
+    through), so they route through the shared container header parser
+    (kernels/containers.py) — VERDICT r4 item 5 — and the parsed SOF dims
+    take precedence over the dict's. Other codecs fall back to the
+    mandatory /Width /Height entries (§8.9.5.1). fmt: 'jpeg' | 'jpx' |
+    'raw' (uncompressed or Flate samples) | 'corrupt' (DCT header that
+    does not parse)."""
+    w = doc.resolve(sdict.get("Width"))
+    h = doc.resolve(sdict.get("Height"))
+    w = int(w) if isinstance(w, (int, float)) else -1
+    h = int(h) if isinstance(h, (int, float)) else -1
+    filt = doc.resolve(sdict.get("Filter"))
+    names = [str(f) for f in (filt if isinstance(filt, list) else [filt]) if f]
+    fmt = "raw"
+    if "DCTDecode" in names:
+        from .containers import decode_container
+
+        try:
+            info = decode_container(_decode_stream(sdict, raw))
+            fmt = info["fmt"]  # 'jpeg', or 'corrupt' on a lying header
+            if info["width"] >= 0:
+                w, h = info["width"], info["height"]
+        except Exception:
+            fmt = "corrupt"
+    elif "JPXDecode" in names:
+        fmt = "jpx"
+    return {"width": w, "height": h, "fmt": fmt}
+
+
+def _image_meta_from_res(doc: "_Doc", res, depth: int = 0) -> dict:
+    """Name → intrinsic metadata for every /Subtype /Image XObject
+    reachable from a resource dict, recursing through /Subtype /Form
+    resources (first name wins on the rare cross-scope collision)."""
+    meta: dict = {}
+    try:
+        res = doc.resolve(res) or {}
+        xobjs = doc.resolve(res.get("XObject")) or {}
+        if not isinstance(xobjs, dict):
+            return meta
+        for name, ref in xobjs.items():
+            obj = doc.resolve(ref)
+            if not (isinstance(obj, tuple) and obj[0] == "stream"):
+                continue
+            sdict = obj[1]
+            sub = str(sdict.get("Subtype", ""))
+            if sub == "Image" and str(name) not in meta:
+                meta[str(name)] = _image_intrinsics(doc, sdict, obj[2])
+            elif sub == "Form" and depth < _FORM_MAX_DEPTH:
+                for k, v in _image_meta_from_res(
+                    doc, sdict.get("Resources"), depth + 1
+                ).items():
+                    meta.setdefault(k, v)
+    except Exception:
+        pass
+    return meta
+
+
+def extract_pdf_images(payload: bytes) -> list[dict]:
+    """(page, bbox, intrinsic dims, fmt, caption) per placed image — the
+    PDF twin of the HTML ``image_alt_pairs`` operator (VERDICT r4 item 5):
+    LAION-style (image, caption) pair mining needs the placement bbox AND
+    the payload's real pixel dimensions to filter thumbnails/trackers.
+
+    Returns ``[{page, x0, y0, x1, y1, width, height, fmt, caption}]`` with
+    the bbox normalized to page space exactly like figure spans (rounded to
+    6 decimals, top-left origin). ``caption`` is the text of the nearest
+    caption element on the same page under the reference proximity rule
+    (horizontal overlap + vertical gap ≤ 5% of page height,
+    table_figure_classifier.py:155-192), or None. Inline BI images carry
+    fmt='inline' with -1 dims (their dict never leaves the content stream
+    in this parser). Never raises."""
+    try:
+        doc = _Doc(payload)
+        if not doc.try_decrypt():
+            return []
+        full = extract_pdf(payload)
+        # caption spans per page: (cy0, cy1, cx0, cx1, text)
+        caps: dict[int, list] = {}
+        text = full["text"]
+        for s in full["spans"]:
+            if s[0] == "caption":
+                bx = s[4]
+                caps.setdefault(s[1], []).append(
+                    (bx[1], bx[3], bx[0], bx[2], text[s[2] : s[3]])
+                )
+        rows: list[dict] = []
+        for pno, page in enumerate(doc.pages()):
+            pw, ph = doc.page_size(page)
+            content = doc.page_content(page)
+            if not content:
+                continue
+            img_names, fts, frms = doc.page_paint(page)
+            _, _, _, _, images = _interpret_content(
+                content, img_names, fonts=fts, forms=frms
+            )
+            if not images:
+                continue
+            meta = _image_meta_from_res(doc, doc.page_attr(page, "Resources"))
+            rot = doc.page_rotate(page)
+            if rot:
+                pw, ph, _, _, _, _, images = _normalize_rotation(
+                    rot, pw, ph, [], [], [], [], images
+                )
+            for ix0, iy0, ix1, iy1, nm in sorted(
+                images, key=lambda b: (-b[3], b[0])
+            ):
+                m = meta.get(nm) if nm else None
+                bbox = (
+                    max(0.0, ix0 / pw),
+                    max(0.0, 1.0 - iy1 / ph),
+                    min(1.0, ix1 / pw),
+                    min(1.0, 1.0 - iy0 / ph),
+                )
+                # nearest same-page caption under the proximity rule, in
+                # normalized display coordinates (y grows downward there)
+                best = None
+                margin = CAPTION_VGAP_FRAC
+                for cy0, cy1, cx0, cx1, ctext in caps.get(pno, []):
+                    if not (cx0 < bbox[2] and cx1 > bbox[0]):
+                        continue
+                    gap = min(abs(cy0 - bbox[3]), abs(bbox[1] - cy1))
+                    if gap <= margin and (best is None or gap < best[0]):
+                        best = (gap, ctext)
+                rows.append(
+                    {
+                        "page": pno,
+                        "x0": round(bbox[0], 6), "y0": round(bbox[1], 6),
+                        "x1": round(bbox[2], 6), "y1": round(bbox[3], 6),
+                        "width": m["width"] if m else -1,
+                        "height": m["height"] if m else -1,
+                        "fmt": m["fmt"] if m else "inline",
+                        "caption": best[1] if best else None,
+                    }
+                )
+        return rows
     except Exception:
         return []

@@ -697,6 +697,7 @@ def _assemble(
     outline: list | None = None, outline_named: bool = False,
     attachments: list | None = None, acroform: list | None = None,
     base_font: str = "Helvetica",
+    image_fmt: str = "gray", image_dims: tuple = (4, 4),
 ) -> bytes:
     """Assemble objects + xref. Classic xref table or a cross-reference
     stream (PDF 1.5) depending on ``xref_stream``. ``with_image`` adds a
@@ -732,10 +733,20 @@ def _assemble(
         objs.update(extra)
     res_extra = ""
     if with_image:
-        pixels = bytes(range(16))  # 4x4 deterministic gray ramp
+        iw, ih = image_dims
+        if image_fmt == "jpeg":
+            # DCTDecode: the stream bytes ARE a JPEG; the reader must parse
+            # the SOF header for intrinsic dims (VERDICT r4 item 5)
+            from .containers import build_jpeg
+
+            pixels = build_jpeg(iw, ih)
+            filt = " /Filter /DCTDecode /ColorSpace /DeviceRGB"
+        else:
+            pixels = bytes(i % 256 for i in range(iw * ih))  # gray ramp
+            filt = " /ColorSpace /DeviceGray"
         objs[img_num] = (
-            ("<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
-             "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>" % len(pixels)).encode()
+            ("<< /Type /XObject /Subtype /Image /Width %d /Height %d%s "
+             "/BitsPerComponent 8 /Length %d >>" % (iw, ih, filt, len(pixels))).encode()
             + b"\nstream\n" + pixels + b"\nendstream"
         )
         res_extra = " /XObject << /Im1 %d 0 R >>" % img_num
@@ -1035,6 +1046,8 @@ def build_pdf(
     footer: str | None = None,
     caption: str | None = None,
     figure: bool = False,
+    image_fmt: str = "gray",
+    image_dims: tuple = (4, 4),
     list_items: list[str] | None = None,
     equations: list[str] | None = None,
     references: list[str] | None = None,
@@ -1176,6 +1189,7 @@ def build_pdf(
         form_xobject=form_xobject, links=links, info=info, outline=outline,
         outline_named=outline_named, attachments=attachments,
         acroform=acroform, base_font=base_font,
+        image_fmt=image_fmt, image_dims=image_dims,
     )
 
 

@@ -474,3 +474,68 @@ SELECT doc_id,
        || ' ' || w[1] || ' ' || w[2] || ' ' || w[3] || ' ' || w[4] AS extracted
 FROM w
 """
+
+
+def q_pdf_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image, caption, intrinsic dims) pairs from PDF figures — the PDF
+    twin of the HTML ``image_alt_pairs`` operator (VERDICT r4 item 5), the
+    shape LAION-style multimodal pair mining needs: placement bbox, the
+    payload's REAL pixel dimensions (DCT streams parsed as JPEG via the
+    shared container-header kernel), and the caption text joined by the
+    reference proximity rule. Each doc gets a deterministic figure PDF:
+    JPEG (DCTDecode) on even ids with doc_id-derived dims, raw gray
+    otherwise; every 5th page rotated, every 13th AES-128-encrypted, every
+    7th carries no caption (NULL lane). One Arrow pass, zero shuffle; at
+    10^12 docs this is embarrassingly parallel."""
+    import pandas as pd
+
+    from ..kernels import pdf_write
+    from ..kernels.pdf_extract import extract_pdf_images
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "fmt": [],
+                    "caption": [], "x0": [], "y0": [], "x1": [], "y1": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                words = str(text).split(" ")[:6]
+                cap = (None if i % 7 == 0
+                       else "Figure 1: " + " ".join(words[:3]))
+                payload = pdf_write.build_pdf(
+                    " ".join(words), figure=True, caption=cap,
+                    image_fmt=("jpeg" if i % 2 == 0 else "gray"),
+                    image_dims=(16 + i % 97, 9 + i % 53),
+                    compress=(i % 3 == 0),
+                    rotate=(90 if i % 5 == 0 else 0),
+                    encrypt=("aes-128" if i % 13 == 0 else None),
+                )
+                for img in extract_pdf_images(payload):
+                    rows["doc_id"].append(i)
+                    for c in ("width", "height", "fmt", "caption",
+                              "x0", "y0", "x1", "y1"):
+                        rows[c].append(img[c])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema=("doc_id long, width int, height int, fmt string, "
+                "caption string, x0 double, y0 double, x1 double, y1 double"),
+    )
+
+
+SQL_PDF_IMAGE_PAIRS = """
+SELECT doc_id,
+       CAST(16 + doc_id % 97 AS INT) AS width,
+       CAST(9 + doc_id % 53 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'raw' END AS fmt,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Figure 1: ' || array_to_string(
+                     list_slice(string_split(text, ' '), 1, 3), ' ')
+       END AS caption,
+       0.620915 AS x0, 0.166667 AS y0, 0.882353 AS x1, 0.292929 AS y1
+FROM documents
+"""

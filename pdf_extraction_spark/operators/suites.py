@@ -109,6 +109,12 @@ DOCMETA_PARTS = (
     # the value-level gate (VERDICT r4 item 3)
     ("charset_sniff", docmeta.q_charset_sniff, docmeta.SQL_CHARSET_SNIFF,
      ["doc_id"], [("charset", STR), ("extracted", STR)]),
+    # PDF figure→caption multimodal pairs with intrinsic pixel dims parsed
+    # from the DCT payload's JPEG header (VERDICT r4 item 5)
+    ("pdf_image_pairs", docmeta.q_pdf_image_pairs, docmeta.SQL_PDF_IMAGE_PAIRS,
+     ["doc_id"],
+     [("width", NUM), ("height", NUM), ("fmt", STR), ("caption", STR),
+      ("x0", NUM), ("y0", NUM), ("x1", NUM), ("y1", NUM)]),
 )
 
 CRAWL_PARTS = (

@@ -588,7 +588,7 @@ def test_form_without_resources_inherits_page_context():
     runs, _hl, _vl, _re, images = _interpret_content(
         b"/Fx Do", image_names=frozenset({"Im1"}), forms=forms)
     assert [r[:4] for r in runs] == [(105.0, 205.0, 10.0, "in")]
-    assert images == [(100.0, 200.0, 104.0, 204.0)]
+    assert images == [(100.0, 200.0, 104.0, 204.0, "Im1")]
 
 
 def test_form_self_reference_terminates():
@@ -747,3 +747,65 @@ def test_inline_image_emits_figure_placement():
                {"encoding": "type0"}, {"form_xobject": True}):
         r = extract_pdf(pdf_write.build_pdf(text, inline_figure=True, **kw))
         assert r["error"] is None and "figure" in [s[0] for s in r["spans"]], kw
+
+
+# -- image→caption pairs (VERDICT r4 item 5) --------------------------------------
+
+
+def test_pdf_image_pairs_dims_and_caption():
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf_images
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    pdf = build_pdf(
+        "body words for the page", figure=True, image_fmt="jpeg",
+        image_dims=(640, 480), caption="Figure 1: a jpeg pair",
+    )
+    rows = extract_pdf_images(pdf)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["fmt"]) == (640, 480, "jpeg")
+    assert r["caption"] == "Figure 1: a jpeg pair"
+    assert 0.0 < r["x0"] < r["x1"] <= 1.0 and 0.0 < r["y0"] < r["y1"] <= 1.0
+
+
+def test_pdf_image_pairs_dct_header_beats_dict_dims():
+    # a lying /Width: the JPEG SOF header is the authority for DCT payloads
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf_images
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    pdf = build_pdf("words", figure=True, image_fmt="jpeg", image_dims=(33, 7))
+    lying = pdf.replace(b"/Width 33 /Height 7", b"/Width 99 /Height 1")
+    rows = extract_pdf_images(lying)
+    assert rows and (rows[0]["width"], rows[0]["height"]) == (33, 7)
+
+
+def test_pdf_image_pairs_raw_rotated_encrypted_form():
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf_images
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    for kw in (dict(rotate=90), dict(encrypt="aes-128", compress=True),
+               dict(form_xobject=True)):
+        pdf = build_pdf("some body text", figure=True,
+                        caption="Figure 2: variant", **kw)
+        rows = extract_pdf_images(pdf)
+        assert len(rows) == 1, kw
+        assert (rows[0]["width"], rows[0]["height"], rows[0]["fmt"]) == (4, 4, "raw")
+        assert rows[0]["caption"] == "Figure 2: variant", kw
+
+
+def test_pdf_image_pairs_no_caption_and_inline():
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf_images
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    rows = extract_pdf_images(build_pdf("words only no caption", figure=True))
+    assert rows and rows[0]["caption"] is None
+    rows = extract_pdf_images(build_pdf("inline image page", inline_figure=True))
+    assert rows and rows[0]["fmt"] == "inline"
+    assert (rows[0]["width"], rows[0]["height"]) == (-1, -1)
+
+
+def test_pdf_image_pairs_total_on_garbage():
+    from pdf_extraction_spark.kernels.pdf_extract import extract_pdf_images
+
+    assert extract_pdf_images(b"") == []
+    assert extract_pdf_images(b"%PDF-1.5 garbage") == []
