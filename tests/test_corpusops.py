@@ -154,3 +154,16 @@ def test_module_stays_jvm_side(spark):
         corpusops.q_ccnet_perplexity,
     ):
         assert "BatchEvalPython" not in plan_of(q(spark, SF))
+
+
+def test_crawl_frontier_respects_robots_policy(spark):
+    """Even-suffixed hosts disallow /about (per-host RFC 9309 verdicts,
+    broadcast-joined into the frontier); odd hosts keep both targets and
+    every host keeps its root."""
+    from pdf_extraction_spark.operators import links
+
+    rows = links.q_crawl_frontier(spark, "/root/testdata/sf0.001").collect()
+    targets = {r["target"] for r in rows}
+    assert "https://src1.example.com/about" in targets
+    assert "https://src2.example.com/about" not in targets  # disallowed
+    assert "https://src2.example.com/" in targets  # root always allowed

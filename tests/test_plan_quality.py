@@ -124,12 +124,14 @@ def test_keep_best_no_cartesian_no_python(spark):
 
 def test_crawl_frontier_anti_join_no_cartesian(spark):
     """Frontier composition: the already-crawled exclusion must be an
-    anti-join (no cartesian, no Python), and the per-target dedup a
-    window — all relational."""
+    anti-join (no cartesian, no Python), the robots-policy intersection a
+    BROADCAST join (the per-host verdict table must never shuffle the
+    frontier side), and the per-target dedup a window — all relational."""
     from pdf_extraction_spark.operators import links
 
     plan = plan_of(links.q_crawl_frontier(spark, SF))
     assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # robots policy rides a broadcast
     assert "CartesianProduct" not in plan
 
 
