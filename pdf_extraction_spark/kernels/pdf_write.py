@@ -176,9 +176,15 @@ class _Type0Encoder:
     runs, bfchar for strays) carries the way back to Unicode. The companion
     parser must reverse it byte-identically (pdf_fonts.parse_tounicode)."""
 
-    def __init__(self, charset: set[str]):
+    def __init__(self, charset: set[str], metrics: afm.Metrics = afm.HELVETICA):
         # code 0 is conventionally .notdef; start at 1
         self.code = {ch: i + 1 for i, ch in enumerate(sorted(charset))}
+        # the family whose AFM advances the layout engine positions runs
+        # by; declared /W widths MUST come from the same table or split-run
+        # gap inference drifts (sf1 scale-up found the Helvetica hard-code:
+        # Courier x differences x split_runs first co-occurs at doc_id
+        # 35409+, beyond every small-sf corpus)
+        self.metrics = metrics
 
     def show(self, s: str) -> str:
         return "<" + "".join("%04X" % self.code[ch] for ch in s) + ">"
@@ -240,8 +246,8 @@ class _Type0Encoder:
         # real per-CID metrics (/W, array form) from the shared AFM table:
         # codes are 1..N in sorted-charset order
         warr = " ".join(
-            "%d" % afm.char_width(ch) for ch, _ in sorted(self.code.items(),
-                                                          key=lambda kv: kv[1])
+            "%d" % self.metrics.char_width(ch)
+            for ch, _ in sorted(self.code.items(), key=lambda kv: kv[1])
         )
         extra = {
             desc: (
@@ -378,7 +384,7 @@ class _Type0TTFEncoder(_Type0Encoder):
             "/Encoding /Identity-H /DescendantFonts [%d 0 R] >>" % desc
         ).encode()
         warr = " ".join(
-            "%d" % afm.char_width(ch)
+            "%d" % self.metrics.char_width(ch)
             for ch, _ in sorted(self.code.items(), key=lambda kv: kv[1])
         )
         ttf = build_subset_ttf(self.code)
@@ -418,7 +424,8 @@ class _DifferencesEncoder:
     whose non-ASCII charset overflows the 128 available codes raise
     ValueError (callers fall back to another encoding)."""
 
-    def __init__(self, charset: set[str]):
+    def __init__(self, charset: set[str], metrics: afm.Metrics = afm.HELVETICA):
+        self.metrics = metrics  # must match the layout engine's family
         self.code: dict[str, int] = {}
         names: list[tuple[int, str]] = []
         nxt = _DIFF_BASE
@@ -463,14 +470,15 @@ class _DifferencesEncoder:
         by_code = {c: ch for ch, c in self.code.items()}
         last = max([126] + list(by_code))
         widths = " ".join(
-            "%d" % afm.char_width(by_code.get(c, chr(c) if c <= 126 else " "))
+            "%d" % self.metrics.char_width(by_code.get(c, chr(c) if c <= 126 else " "))
             for c in range(32, last + 1)
         )
         obj3 = (
-            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            "<< /Type /Font /Subtype /Type1 /BaseFont /%s "
             "/FirstChar 32 /LastChar %d /Widths [%s] "
             "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
-            "/Differences %s >> >>" % (last, widths, self._diff_array)
+            "/Differences %s >> >>"
+            % (self.metrics.name, last, widths, self._diff_array)
         ).encode()
         return obj3, {}
 
@@ -1132,17 +1140,18 @@ def build_pdf(
         for row in table_rows or []:
             shown.extend(row)
         charset = set("".join(shown))
+        family = afm.metrics_for(base_font)
         if encoding == "type0":
-            encoder = _Type0Encoder(charset)
+            encoder = _Type0Encoder(charset, metrics=family)
         elif encoding == "type0-ttf":
-            encoder = _Type0TTFEncoder(charset)
+            encoder = _Type0TTFEncoder(charset, metrics=family)
         else:
             try:
-                encoder = _DifferencesEncoder(charset)
+                encoder = _DifferencesEncoder(charset, metrics=family)
             except ValueError:
                 # charset too rich for 128 remap codes (e.g. CJK-heavy
                 # documents): the Type0 layout is what real producers use
-                encoder = _Type0Encoder(charset)
+                encoder = _Type0Encoder(charset, metrics=family)
         enc = encoder.show
         make_font = encoder.font_objects
     show = _show_kerned(enc) if tj_kerning else _show_plain(enc)

@@ -666,6 +666,24 @@ def test_metrics_for_basefont_names():
     assert afm.metrics_for(None) is afm.HELVETICA
 
 
+def test_split_runs_custom_encoding_base_font_widths():
+    """Custom-encoding fonts (/Differences, Type0 /W, TTF-cmap /W) must
+    DECLARE widths from the same family AFM table the layout engine
+    positions split runs by. The sf1 scale-up caught the writer declaring
+    Helvetica widths under a Courier layout — that combination (Courier x
+    differences x split_runs) first co-occurs at doc_id lcm(3,11,29,37) =
+    35409, beyond every small-sf corpus, and drifted the reader's gap
+    inference into phantom mid-word spaces."""
+    text = ("spark batch table order part value column hash spark small "
+            "filter the slow hash sort key the sort slow query scan " * 4).strip()
+    for bf in ("Courier", "Times-Roman", "Helvetica"):
+        for enc in ("differences", "type0", "type0-ttf"):
+            got = extract_pdf(build_pdf(text, columns=2, encoding=enc,
+                                        base_font=bf, split_runs=True))
+            assert got["error"] is None, (bf, enc)
+            assert got["text"] == text, (bf, enc)
+
+
 def test_split_runs_non_latin_charset():
     """Out-of-AFM characters fall back to shared default metrics on both
     sides, so CJK documents still reassemble byte-identically."""

@@ -8,7 +8,9 @@ order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+import time
 
 sys.path.insert(0, ".")
 
@@ -92,12 +94,17 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # env overrides for scale-up oracle runs (the sf1 battery collects
+    # ~10x the rows of the sf0.01 driver run; default 8/2g matches the
+    # driver's shape)
+    cpus = os.environ.get("SPARK_ORACLE_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle_check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_ORACLE_DRIVER_MEM", "2g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,6 +120,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_spark = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -125,6 +133,8 @@ def main():
         if sql is None:
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
             continue
+        t_spark = time.monotonic() - t_spark
+        t_duck = time.monotonic()
         try:
             rel = con.sql(sql)
             ocols = list(rel.columns)
@@ -154,8 +164,9 @@ def main():
         status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
+        t_duck = time.monotonic() - t_duck
         print(
-            f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_hash else f'{sh[:8]} vs {oh[:8]}'}"
+            f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_hash else f'{sh[:8]} vs {oh[:8]}'} (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
         )
         if status == "FAIL" and ok_cols:
             # suite queries: name the failing part(s) from the collected
