@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": corpusops.q_stratified_sample,
         "dup_span_extract": corpusops.q_dup_span_extract,
         "ccnet_perplexity": corpusops.q_ccnet_perplexity,
+        # round-5 additions (3 of the 5 freed slots; 2 kept spare for r6)
+        "host_pagerank": links.q_host_pagerank,
+        "shard_balance": corpusops.q_shard_balance,
+        "host_length_quantiles": corpusops.q_host_length_quantiles,
         # element-level layer on real extraction output; outputs are shaped
         # as corpus invariants so a DuckDB oracle can value-check them
         # (extraction values themselves are pinned by golden tests)
@@ -154,6 +158,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": corpusops.SQL_STRATIFIED_SAMPLE,
         "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,
         "ccnet_perplexity": corpusops.SQL_CCNET_PERPLEXITY,
+        "host_pagerank": links.SQL_HOST_PAGERANK,
+        "shard_balance": corpusops.SQL_SHARD_BALANCE,
+        "host_length_quantiles": corpusops.SQL_HOST_LENGTH_QUANTILES,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,
         "elements_spatial_relations": elements.SQL_ELEMENTS_SPATIAL_RELATIONS,
         "elements_hierarchy": elements.SQL_ELEMENT_HIERARCHY,

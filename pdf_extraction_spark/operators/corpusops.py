@@ -984,3 +984,82 @@ SELECT doc_id,
        doc_id % 4 <> 0 AND doc_id % 5 <> 0 AS keep
 FROM documents
 """
+
+
+# -- output sharding ---------------------------------------------------------------
+
+N_SHARDS = 64  # content-addressed output shards (training-data file targets)
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed output sharding + balance report: every document
+    is assigned ``shard = md5(url) mod N_SHARDS`` and the query returns one
+    row per shard with its document count and byte mass. This is the write
+    layout of a training-data export (shard files of near-equal mass, not
+    partition-ordinal files): the md5 key is reproducible across retries,
+    speculative tasks, and cluster sizes — repartition-by-ordinal is none
+    of those — and the per-shard histogram IS the skew evidence a 100 TB
+    run records before committing the layout (the same first-32-bit slice
+    as :func:`q_stratified_sample`, modulo bias ~2e-8). One combinable
+    groupBy on a 64-value key; no sort, no driver collection."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(url), 1, 8), 16, 10).cast("long") % N_SHARDS
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+SQL_SHARD_BALANCE = f"""
+SELECT CAST(CAST(('0x' || substr(md5('https://' || source || '.example.com/doc/'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % {N_SHARDS} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_host_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document-length quantiles (median / p90 of ``n_chars``,
+    exact linear interpolation) — the data-mixture designer's first look at
+    a new crawl slice: hosts whose length distribution collapses are
+    template farms; heavy tails are concatenation bugs. Exact
+    ``percentile`` (not ``percentile_approx``) so the number is
+    reproducible and oracle-checkable; the group-by key is the host
+    vocabulary, so even at 10^12 docs the state is per-host, and exactness
+    costs a per-host sort of doc lengths only (at larger per-host counts a
+    production run flips to ``percentile_approx`` and stops being
+    oracle-exact). Interpolation arithmetic is the same IEEE formula in
+    Spark and DuckDB (``quantile_cont``) over integer inputs, so the
+    doubles agree bit-for-bit."""
+    docs = tbl(spark, sf_dir, "documents").select("source", "n_chars")
+    return (
+        docs.groupBy(F.col("source").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        )
+    )
+
+
+SQL_HOST_LENGTH_QUANTILES = """
+SELECT source AS host,
+       COUNT(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents
+GROUP BY source
+"""

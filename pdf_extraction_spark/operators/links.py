@@ -550,3 +550,120 @@ SELECT doc_id, CAST(1 AS INT),
        'https://' || source || '.example.com/atom.xml', 'atom'
 FROM documents WHERE doc_id % 2 = 0
 """
+
+
+# -- host-graph PageRank -----------------------------------------------------------
+
+PR_ITERS = 3                    # power-iteration rounds (oracle unrolls the same 3)
+PR_SCALE = 1_000_000_000_000    # ranks as exact integer micro-units (1e-12)
+PR_TELEPORT_NUM = 150_000_000_000  # 0.15 * PR_SCALE
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank power iteration over the host link graph (damping 0.85,
+    ``PR_ITERS`` rounds) — the canonical iterative web-graph operator a
+    crawl/quality pipeline runs beside the frontier (OPIC-style host
+    priors; the reference has no link path, see module docstring).
+
+    Graph: nodes are the corpus hosts (distinct ``source``); each document
+    contributes one edge ``source -> 'src'||(doc_id % 10)``, grouped to
+    weighted host pairs and inner-joined against the (broadcast) node set
+    so targets outside the corpus drop out. Every host has at least one
+    document, hence at least one out-edge — no dangling-mass term.
+
+    Arithmetic is integer-exact so the DuckDB oracle matches bit-for-bit:
+    ranks live as BIGINT micro-units (``PR_SCALE`` = 1e12) and each round
+    computes ``pr' = (0.15*SCALE) DIV n_hosts + (85 * SUM((pr * n_links)
+    DIV outdeg)) DIV 100`` — integer sums are order-independent, so the
+    result is identical across partitionings, engines, and cluster sizes
+    (a float PageRank hashes differently per aggregation order). Bound:
+    ``pr * n_links`` stays under 2^63 while any single host-pair carries
+    < 9.2e6 links; beyond that a production run shards the multiply or
+    moves to doubles and stops being oracle-exact.
+
+    Scale shape: the per-round shuffle key is ``dst`` host (vocabulary-
+    bounded, like :func:`q_link_host_degree`); ranks are a host-cardinality
+    table re-joined to the static edge list each round; ``localCheckpoint``
+    per round caps logical-plan growth exactly like
+    ``dedup.connected_components``."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    nodes = docs.select(F.col("source").alias("host")).distinct()
+    edges = (
+        docs.select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 10).cast("string")).alias("dst"),
+        )
+        .join(F.broadcast(nodes.select(F.col("host").alias("dst"))), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("n_links").alias("outdeg"))
+    edges = edges.join(outdeg, "src").localCheckpoint()
+    n_hosts = nodes.count()  # host vocabulary: a scalar, not a data collect
+    pr = nodes.select(
+        "host", F.lit(PR_SCALE // n_hosts).cast("long").alias("rank_micro")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.host)
+            .select(
+                "dst",
+                F.expr("(rank_micro * n_links) DIV outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .select(
+                "host",
+                (
+                    F.lit(PR_TELEPORT_NUM // n_hosts)
+                    + F.expr("85 * coalesce(contrib, 0L) DIV 100")
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+def _pagerank_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.host,
+         CAST({PR_TELEPORT_NUM} // (SELECT n FROM nn) +
+              85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM((p.rank_micro * e.n_links) // e.outdeg) AS contrib
+    FROM edges e JOIN {prev} p ON e.src = p.host
+    GROUP BY e.dst
+  ) c ON n.host = c.dst
+)"""
+
+
+SQL_HOST_PAGERANK = f"""
+WITH nodes AS (SELECT DISTINCT source AS host FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+raw_edges AS (
+  SELECT d.source AS src, 'src' || CAST(d.doc_id % 10 AS VARCHAR) AS dst
+  FROM documents d
+),
+edges0 AS (
+  SELECT r.src, r.dst, COUNT(*) AS n_links
+  FROM raw_edges r JOIN nodes n ON r.dst = n.host
+  GROUP BY r.src, r.dst
+),
+edges AS (
+  SELECT e.src, e.dst, e.n_links, o.outdeg
+  FROM edges0 e JOIN (
+    SELECT src, SUM(n_links) AS outdeg FROM edges0 GROUP BY src
+  ) o ON e.src = o.src
+),
+pr0 AS (
+  SELECT host, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank_micro
+  FROM nodes
+),{_pagerank_round_sql('pr0', 'pr1')},{_pagerank_round_sql('pr1', 'pr2')},{_pagerank_round_sql('pr2', 'pr3')}
+SELECT host, rank_micro FROM pr3
+"""

@@ -212,6 +212,78 @@ def cosine_pairs_excluded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+PAIRS_TILE_ROWS = 2048  # row tile for the blockwise cosine matrix
+
+
+def _cosine_block_pairs(pdf):
+    """Per-label numpy kernel behind :func:`q_embedding_cosine_pairs`.
+
+    Computes the full within-block cosine matrix with a dimension-sequential
+    accumulation (``S += outer(X[:, d], X[:, d])`` for d = 0..dim-1, all in
+    float64) — the SAME multiply-then-add order as the JVM
+    ``F.aggregate``/``zip_with`` left-fold it replaces and as the DuckDB
+    ``list_sum`` oracle, so the raw doubles are bit-identical by
+    construction, not by luck (a plain ``X @ X.T`` would sum pairwise/SIMD
+    and could flip a round(·, 4) boundary). Rows are tiled
+    (``PAIRS_TILE_ROWS`` × block) so a block at the ``PAIRS_MAX_BLOCK`` cap
+    needs ~2048·10000·8 B ≈ 160 MB transient, not the 800 MB full matrix.
+    The kernel prefilters on raw cos ≥ 0.9499 (strictly looser than the
+    rounded ≥ 0.95 gate, which stays JVM-side with Spark's exact HALF_UP
+    rounding) so only near-threshold pairs cross Arrow."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    n = len(ids)
+    empty = pd.DataFrame(
+        {
+            "label": pd.array([], dtype="int32"),
+            "id_a": pd.array([], dtype="int64"),
+            "id_b": pd.array([], dtype="int64"),
+            "cos_raw": pd.array([], dtype="float64"),
+        }
+    )
+    if n < 2:
+        return empty
+    label = pdf["label"].iloc[0]
+    X = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    dim = X.shape[1]
+    nsq = np.zeros(n)
+    for d in range(dim):
+        col = X[:, d]
+        nsq += col * col
+    norm = np.sqrt(nsq)
+    out_a, out_b, out_c = [], [], []
+    jidx = np.arange(n)
+    for start in range(0, n - 1, PAIRS_TILE_ROWS):
+        stop = min(start + PAIRS_TILE_ROWS, n)
+        rows = slice(start, stop)
+        S = np.zeros((stop - start, n))
+        for d in range(dim):
+            col = X[:, d]
+            S += col[rows, None] * col[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = S / (norm[rows, None] * norm[None, :])
+        keep = (C >= 0.9499) & (jidx[None, :] > np.arange(start, stop)[:, None])
+        i_loc, j = np.nonzero(keep)
+        out_a.append(ids[i_loc + start])
+        out_b.append(ids[j])
+        out_c.append(C[i_loc, j])
+    if not out_a:
+        return empty
+    id_a = np.concatenate(out_a)
+    return pd.DataFrame(
+        {
+            "label": np.full(len(id_a), label, dtype="int32"),
+            "id_a": id_a,
+            "id_b": np.concatenate(out_b),
+            "cos_raw": np.concatenate(out_c),
+        }
+    )
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.95 among pairs blocked by
     ``label`` (IVF-cell-style blocking bounds the pair space). Deterministic
@@ -221,7 +293,19 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     5: a skewed block key is quadratic — at scale such cells go through the
     LSH/IVF candidate paths, not exact all-pairs). Production runs pair
     this with :func:`cosine_pairs_excluded_metrics` (same vector set, same
-    cap) so the skipped mass is reported, not inferred."""
+    cap) so the skipped mass is reported, not inferred.
+
+    The within-block all-pairs cosine runs as one Arrow-batched
+    ``applyInPandas`` numpy kernel per label (:func:`_cosine_block_pairs`)
+    instead of a JVM pair-join: the join shape shuffled BOTH 64-float
+    embedding arrays into every candidate pair row and evaluated an
+    interpreted higher-order fold per pair — ~29 M pair·folds at sf1
+    (175.8 s); the kernel moves each vector across the shuffle once and
+    does the O(n²·dim) arithmetic as tiled float64 array ops in the exact
+    fold order, so results are unchanged bit-for-bit (round-5 perf item;
+    sf1: 175.8 s → see BENCH/SF1.md)."""
+    from pyspark.sql import types as T
+
     base = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     mutants = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -232,26 +316,19 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = all_emb.groupBy("label").agg(F.count("*").alias("n_block")).filter(
         F.col("n_block") <= PAIRS_MAX_BLOCK
     )
-    emb = _with_norm(all_emb.join(F.broadcast(ok.select("label")), "label"))
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"), F.col("label").alias("label"),
+    emb = all_emb.join(F.broadcast(ok.select("label")), "label")
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"), F.col("label").alias("label"),
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "label",
-            "id_a",
-            "id_b",
-            F.round(_cosine(F.col("e_a"), F.col("e_b"), F.col("n_a"), F.col("n_b")), 4).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.95)
-    )
+    pairs = emb.groupBy("label").applyInPandas(_cosine_block_pairs, out_schema)
+    return pairs.select(
+        "label", "id_a", "id_b", F.round("cos_raw", 4).alias("cos")
+    ).filter(F.col("cos") >= 0.95)
 
 
 SQL_EMBEDDING_COSINE_PAIRS = """

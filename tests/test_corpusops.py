@@ -167,3 +167,67 @@ def test_crawl_frontier_respects_robots_policy(spark):
     assert "https://src1.example.com/about" in targets
     assert "https://src2.example.com/about" not in targets  # disallowed
     assert "https://src2.example.com/" in targets  # root always allowed
+
+
+# -- round-5 additions: pagerank / sharding / quantiles ----------------------------
+
+
+def test_host_pagerank_integer_mass_conservation(spark):
+    from pdf_extraction_spark.operators import links
+
+    rows = links.q_host_pagerank(spark, SF).collect()
+    assert len(rows) == 20  # the host vocabulary
+    total = sum(r.rank_micro for r in rows)
+    # each integer DIV loses < 1 micro-unit per term; mass stays within
+    # rounding dust of the exact 1.0
+    assert 0.98 * links.PR_SCALE < total <= links.PR_SCALE
+
+
+def test_host_pagerank_sinks_get_exactly_teleport(spark):
+    from pdf_extraction_spark.operators import links
+
+    rows = {r.host: r.rank_micro for r in links.q_host_pagerank(spark, SF).collect()}
+    # edges only ever point at src0..src9, so src10..src19 receive no link
+    # mass: their rank is EXACTLY the teleport share — integer arithmetic
+    # makes this an equality, not a tolerance
+    teleport = links.PR_TELEPORT_NUM // 20
+    for i in range(10, 20):
+        assert rows[f"src{i}"] == teleport
+    for i in range(10):
+        assert rows[f"src{i}"] > teleport
+
+
+def test_host_pagerank_no_python_stages(spark):
+    from pdf_extraction_spark.operators import links
+
+    plan = plan_of(links.q_host_pagerank(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_balance_partitions_the_corpus(spark):
+    import duckdb
+
+    rows = corpusops.q_shard_balance(spark, SF).collect()
+    n_docs = duckdb.connect().execute(
+        f"select count(*), sum(n_chars) from read_parquet('{SF}/documents.parquet')"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_docs[0]
+    assert sum(r.n_chars_total for r in rows) == n_docs[1]
+    assert all(0 <= r.shard < corpusops.N_SHARDS for r in rows)
+    # content-addressing spreads 500 docs across nearly all 64 shards
+    assert len(rows) > corpusops.N_SHARDS * 0.8
+
+
+def test_shard_balance_plan_is_one_combinable_agg(spark):
+    plan = plan_of(corpusops.q_shard_balance(spark, SF))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_length_quantiles_bounds(spark):
+    rows = corpusops.q_host_length_quantiles(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.p50_chars <= r.p90_chars
+        assert r.n_docs > 0
