@@ -96,8 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": corpusops.q_stratified_sample,
         "dup_span_extract": corpusops.q_dup_span_extract,
         "ccnet_perplexity": corpusops.q_ccnet_perplexity,
-        # round-5 additions (3 of the 5 freed slots; 2 kept spare for r6)
+        # round-5 additions (4 of the 5 freed slots; 1 kept spare)
         "host_pagerank": links.q_host_pagerank,
+        "cdx_index": links.q_cdx_index,
         "shard_balance": corpusops.q_shard_balance,
         "host_length_quantiles": corpusops.q_host_length_quantiles,
         # element-level layer on real extraction output; outputs are shaped
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_extract": corpusops.SQL_DUP_SPAN_EXTRACT,
         "ccnet_perplexity": corpusops.SQL_CCNET_PERPLEXITY,
         "host_pagerank": links.SQL_HOST_PAGERANK,
+        "cdx_index": links.SQL_CDX_INDEX,
         "shard_balance": corpusops.SQL_SHARD_BALANCE,
         "host_length_quantiles": corpusops.SQL_HOST_LENGTH_QUANTILES,
         "elements_reading_order": elements.SQL_ELEMENTS_READING_ORDER,

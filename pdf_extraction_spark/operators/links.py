@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import corpus_from_documents
+from .common import tbl
 
 _LINKS_SCHEMA = ("url string, href string, resolved string, "
                  "chrome boolean, nofollow boolean")
@@ -666,4 +667,53 @@ pr0 AS (
   FROM nodes
 ),{_pagerank_round_sql('pr0', 'pr1')},{_pagerank_round_sql('pr1', 'pr2')},{_pagerank_round_sql('pr2', 'pr3')}
 SELECT host, rank_micro FROM pr3
+"""
+
+
+# -- CDX capture index -------------------------------------------------------------
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over the corpus — the lookup artifact a web
+    archive (and Common Crawl itself) publishes beside its WARCs: one row
+    per capture keyed by the SURT (Sort-friendly URI Reordering Transform)
+    form of the URL, so that a range scan over the sorted key space groups
+    every capture of a host/path prefix together (`com,example)/doc/7`).
+    Columns follow the CDXJ core: surt key, capture timestamp, original
+    url, content digest (md5 of the document text — content-addressed, so
+    re-crawls dedup on it), byte length, mime.
+
+    SURT here is the deterministic subset the synthetic corpus needs
+    (reversed comma-joined host labels + ')' + path, no www-folding or
+    scheme/port rules — documented, not hidden); everything is JVM column
+    algebra (split/reverse/concat), zero Python, no shuffle at all — the
+    index is a narrow map over the corpus and the SINK's sort order (range
+    partition by surt_key at write time) is what gives the range-scan
+    property at 10^12 captures."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    surt = F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, "\\."))),
+        F.lit(")/doc/"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        surt.alias("surt_key"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.md5("text").alias("digest"),
+        F.col("n_chars").alias("length"),
+        F.lit("text/html").alias("mime"),
+    )
+
+
+SQL_CDX_INDEX = """
+SELECT array_to_string(list_reverse(string_split(source || '.example.com', '.')), ',')
+         || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+       TIMESTAMP '2025-01-01 00:00:00' AS warc_ts,
+       'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS digest,
+       n_chars AS length,
+       'text/html' AS mime
+FROM documents
 """

@@ -231,3 +231,26 @@ def test_host_length_quantiles_bounds(spark):
     for r in rows:
         assert r.p50_chars <= r.p90_chars
         assert r.n_docs > 0
+
+
+def test_cdx_index_surt_groups_hosts(spark):
+    from pdf_extraction_spark.operators import links
+
+    df = links.q_cdx_index(spark, SF)
+    plan = plan_of(df)
+    # a capture index is a narrow map: no shuffle, no Python stage
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    # SURT property: sorting by key groups every capture of a host together
+    ordered = sorted(rows, key=lambda r: r.surt_key)
+    hosts = [r.url.split("/")[2] for r in ordered]
+    seen, prev = set(), None
+    for h in hosts:
+        if h != prev:
+            assert h not in seen, f"host {h} split into non-contiguous runs"
+            seen.add(h)
+            prev = h
+    assert all(r.surt_key.startswith("com,example,") for r in rows)
+    assert all(len(r.digest) == 32 for r in rows)
