@@ -198,14 +198,26 @@ _CJK_PROBE_CANDIDATES = (
 _NON_ASCII_RE = re.compile("[^\x00-\x7f]")
 
 # Floor gates shared by all candidates: at least 8 core characters, at
-# least 5 DISTINCT ones. cp1252 pages cannot flip: their isolated high
-# bytes (an accented letter between ASCII letters) are invalid as a lone
-# CJK lead byte so the strict decode fails, and an adversarial page built
-# from one repeated accent pair decodes to a single distinct syllable —
-# under the distinct floor (bounds pinned by tests/test_html_kernel.py).
+# least 5 DISTINCT ones, and — the structural gate — at least one pair of
+# ADJACENT high bytes somewhere in the payload. The floors alone do NOT
+# protect Latin pages (hypothesis found the hole the original comment here
+# missed): an accented letter followed by an ASCII letter IS a valid GBK/
+# cp949/cp932 pair (0xE0 0x61 → one hanzi), so a page with ≥8 mid-word
+# accents over ≥5 distinct bigrams ("Müller Böhm Jürgen…") strict-decodes
+# and passes every fraction gate. What separates the scripts structurally:
+# Latin text never puts two ≥0x80 bytes side by side, while real CJK text
+# in these encodings always does (EUC-KR hangul and GB2312 hanzi encode
+# both bytes ≥0xA1; any hiragana has a ≥0x9F Shift-JIS trail) — verified
+# 0/6000 misses on random per-script pages and on every probe-detected
+# corpus page. Known trade-off, documented: an undeclared Shift-JIS page
+# of PURE katakana/fullwidth punctuation (all ASCII-range trails, no
+# hiragana/kanji) now falls to the cp1252 lane — exactly its pre-r5
+# behavior, and far rarer than Latin pages with mid-word accents.
+# Bounds pinned by tests/test_html_kernel.py + tests/test_properties.py.
 _CJK_MIN_CORE = 8
 _CJK_MIN_DISTINCT = 5
 _CJK_BROAD_FRACTION = 2.0 / 3.0
+_HIGH_PAIR_RE = re.compile(rb"[\x80-\xff]{2}")
 
 
 def _probe_cjk(payload) -> str | None:
@@ -214,6 +226,8 @@ def _probe_cjk(payload) -> str | None:
     script gates above, or None. Runs only on the minority non-UTF-8
     undeclared path; each attempt is one C-level decode plus three
     C-level regex scans."""
+    if not _HIGH_PAIR_RE.search(payload):
+        return None  # Latin-shaped: no adjacent high bytes anywhere
     for codec, core_re, broad_re, core_frac in _CJK_PROBE_CANDIDATES:
         try:
             s = str(payload, codec)

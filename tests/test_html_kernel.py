@@ -228,6 +228,11 @@ def test_charset_cjk_probe_cp1252_no_flip():
         "<html><body><p>café crème — déjà vu € naïve ±façade héros</p></body></html>",
         "<html><body><p>Überraschung größer — schön für München</p></body></html>",
         "<html><body><p>" + "±ç" * 40 + " plain ascii words</p></body></html>",
+        # ALL accents mid-word (accent+letter IS a valid GBK pair, so the
+        # fraction/distinct floors alone would flip this page — only the
+        # adjacent-high-pair structural gate saves it; found by hypothesis)
+        "<html><body><p>Müller Böhm Jürgen Köln Würde schöne Mädchen Tür</p></body></html>",
+        "<html><body><p>aàa bâb cäc dåd eæe fçf gèg héh</p></body></html>",
     ]
     for page in pages:
         payload = page.encode("cp1252")

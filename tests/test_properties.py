@@ -2,7 +2,7 @@
 raises), offsets are in-bounds, and spans exactly tile the text — for
 arbitrary, including hostile, inputs. Pure-kernel tests, no Spark session."""
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from pdf_extraction_spark.kernels.dispatch import extract_document
@@ -304,3 +304,82 @@ def test_pdf_total_on_injected_object_garbage(pdf, junk):
 
     i = _re.search(rb"\d+ 0 obj", pdf).start()
     check_result_shape(extract_pdf(pdf[:i] + junk + pdf[i:]))
+
+
+# -- undeclared-CJK probe guarantees (round 5) --------------------------------
+#
+# The probe is a deterministic heuristic over an inherently ambiguous input
+# (no declared encoding), so its guarantee is statistical, not total:
+# measured on uniform-random script soup, false flips are 0/3000 for cp949
+# and cp932 at any length, and occur for gbk ONLY on very short pages
+# (17/4000 at 12-20 hanzi, 0/12000 at 20+ — a flip needs EVERY byte pair of
+# the page to also be valid cp949 with a ≥2/3 hangul reading, which decays
+# geometrically with length). These properties pin exactly that contract.
+
+_HANGUL_CHARS = st.integers(0xAC00, 0xD7A3).map(chr)
+_KANA_CHARS = st.integers(0x30A1, 0x30F6).map(chr)
+_HANZI_CHARS = st.integers(0x4E00, 0x9FA5).map(chr)
+
+
+def _word_page(chars):
+    words = ["".join(chars[i:i + 3]) for i in range(0, len(chars), 3)]
+    return f"<html><body><p>{' '.join(words)}</p></body></html>"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_HANGUL_CHARS, min_size=12, max_size=60))
+def test_undeclared_cp949_page_roundtrips(chars):
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
+    page = _word_page(chars)
+    try:
+        payload = page.encode("cp949")
+    except UnicodeEncodeError:
+        assume(False)
+    assert decode_payload(payload) == page
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_KANA_CHARS, min_size=12, max_size=60))
+def test_undeclared_cp932_page_roundtrips(chars):
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
+    page = _word_page(chars)
+    try:
+        payload = page.encode("cp932")
+    except UnicodeEncodeError:
+        assume(False)
+    assert decode_payload(payload) == page
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_HANZI_CHARS, min_size=20, max_size=80))
+def test_undeclared_gbk_page_roundtrips_above_ambiguity_floor(chars):
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
+    page = _word_page(chars)
+    try:
+        payload = page.encode("gbk")
+    except UnicodeEncodeError:
+        assume(False)
+    assert decode_payload(payload) == page
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6),
+    st.sampled_from("àâäåæçéèêëíìîïñóòôöøúùûüý"),
+), min_size=3, max_size=40))
+def test_cp1252_pages_with_isolated_accents_never_flip(pairs):
+    """The documented no-flip guarantee: accented letters ISOLATED between
+    ASCII letters (real Latin-script text) are invalid as lone CJK lead
+    bytes, so such pages must always take the windows-1252 lane."""
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    body = " ".join(a + c + a for a, c in pairs)
+    page = f"<html><body><p>{body}</p></body></html>"
+    payload = page.encode("latin-1")
+    assert decode_payload(payload) == page
