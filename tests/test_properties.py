@@ -383,3 +383,51 @@ def test_cp1252_pages_with_isolated_accents_never_flip(pairs):
     page = f"<html><body><p>{body}</p></body></html>"
     payload = page.encode("latin-1")
     assert decode_payload(payload) == page
+
+
+# -- TTF cmap build/parse inversion (round 5) ---------------------------------
+
+_BMP_CPS = st.integers(0x0020, 0xD7FF)  # BMP scalar values below surrogates
+_ASTRAL_CPS = st.integers(0x10000, 0x10FFF)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(_BMP_CPS, st.just(0), min_size=1, max_size=60),
+       st.lists(_ASTRAL_CPS, max_size=4, unique=True))
+def test_ttf_cmap_build_parse_inversion(bmp_cps, astral):
+    """build_subset_ttf → parse_ttf_cmap is the identity on the mapping
+    for ARBITRARY charsets (the fixed-string unit tests can't explore
+    segment-boundary shapes: adjacent runs, singletons, 0xD7FF edges,
+    astral spill into the format-12 subtable)."""
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        invert_ttf_cmap, parse_ttf_cmap)
+    from pdf_extraction_spark.kernels.pdf_write import build_subset_ttf
+
+    cps = sorted(set(bmp_cps) | set(astral))
+    char_to_gid = {chr(cp): gid for gid, cp in enumerate(cps, start=1)}
+    ttf = build_subset_ttf(char_to_gid)
+    parsed = parse_ttf_cmap(ttf)
+    assert parsed == {ord(ch): gid for ch, gid in char_to_gid.items()}
+    inv = invert_ttf_cmap(parsed)
+    for ch, gid in char_to_gid.items():
+        assert inv[gid] == ch
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(_BMP_CPS, st.just(0), min_size=1, max_size=20),
+       st.binary(min_size=1, max_size=64), st.integers(0, 400))
+def test_ttf_cmap_parse_total_on_spliced_garbage(bmp_cps, junk, pos):
+    """Splicing junk into a valid font at any offset never raises and never
+    fabricates mappings for glyphs outside the original gid range."""
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_ttf_cmap
+    from pdf_extraction_spark.kernels.pdf_write import build_subset_ttf
+
+    cps = sorted(bmp_cps)
+    char_to_gid = {chr(cp): gid for gid, cp in enumerate(cps, start=1)}
+    ttf = build_subset_ttf(char_to_gid)
+    pos = min(pos, len(ttf))
+    mutated = ttf[:pos] + junk + ttf[pos + len(junk):]
+    out = parse_ttf_cmap(mutated)
+    assert isinstance(out, dict)
+    for cp, gid in out.items():
+        assert isinstance(cp, int) and isinstance(gid, int)
