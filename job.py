@@ -3,7 +3,7 @@
 
     spark-submit --master local[32] --py-files pdf_extraction_spark.zip \
         job.py --input /path/corpus_parquet --output /path/out \
-               --buckets 64 --salt 8 [--partitions 64] [--fresh] [--wet]
+               --buckets 64 --salt 8 [--partitions 64] [--fresh] [--wet] [--cdx]
 
 The input is a parquet table with the BASELINE.json input_hint shape
 ``(url string, warc_ts timestamp, html binary, text string, lang string)``.
@@ -53,6 +53,13 @@ def main() -> None:
         help="also publish the extracted text as gzipped WET segments "
         "(<output>/wet parquet of (segment, n_docs, wet_gz) rows - the "
         "Common Crawl interchange layout for extracted text)",
+    )
+    ap.add_argument(
+        "--cdx", action="store_true",
+        help="also publish a SURT-keyed CDX capture index of the extraction "
+        "output (<output>/cdx parquet of (surt_key, url, digest, length), "
+        "range-partitioned and sorted by surt_key so host/path-prefix "
+        "lookups are parquet range scans)",
     )
     ap.add_argument(
         "--trials", type=int, default=1,
@@ -114,6 +121,21 @@ def main() -> None:
         )
         summary["wet_segments"] = (
             spark.read.parquet(args.output.rstrip("/") + "/wet").count()
+        )
+
+    if args.cdx:
+        from pdf_extraction_spark.operators.links import cdx_from_sink
+
+        extracted = spark.read.parquet(args.output.rstrip("/") + "/docs")
+        (
+            cdx_from_sink(extracted)
+            .repartitionByRange(max(args.partitions or 1, 1), "surt_key")
+            .sortWithinPartitions("surt_key")
+            .write.mode("overwrite")
+            .parquet(args.output.rstrip("/") + "/cdx")
+        )
+        summary["cdx_captures"] = (
+            spark.read.parquet(args.output.rstrip("/") + "/cdx").count()
         )
 
     out_hash = None

@@ -673,6 +673,34 @@ SELECT host, rank_micro FROM pr3
 # -- CDX capture index -------------------------------------------------------------
 
 
+def surt_key(url):
+    """SURT (Sort-friendly URI Reordering Transform) column expression —
+    the deterministic subset this engine uses end-to-end: reversed
+    comma-joined host labels + ``)`` + path-and-query, no www-folding or
+    scheme/port rules. Shared by the :func:`q_cdx_index` oracle query and
+    the ``job.py --cdx`` deployment sink so the two can never drift."""
+    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/]+(.*)$", 1)
+    return F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, "\\."))), F.lit(")"), path
+    )
+
+
+def cdx_from_sink(extracted: DataFrame) -> DataFrame:
+    """CDX capture index over REAL extraction output (the ``job.py --cdx``
+    deployment form of :func:`q_cdx_index`): one row per extracted
+    document, SURT-keyed, digest = md5 of the extracted text. The caller
+    range-partitions + sorts on ``surt_key`` at write time — that sorted
+    layout is what makes host/path-prefix lookups a parquet range scan at
+    10^12 captures instead of a full shuffle."""
+    return extracted.select(
+        surt_key(F.col("url")).alias("surt_key"),
+        "url",
+        F.md5("extracted_text").alias("digest"),
+        F.length("extracted_text").alias("length"),
+    )
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index over the corpus — the lookup artifact a web
     archive (and Common Crawl itself) publishes beside its WARCs: one row
@@ -692,12 +720,10 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     property at 10^12 captures."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
     host = F.concat(F.col("source"), F.lit(".example.com"))
-    surt = F.concat(
-        F.concat_ws(",", F.reverse(F.split(host, "\\."))),
-        F.lit(")/doc/"), F.col("doc_id").cast("string"),
-    )
+    url_col = F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                       F.col("doc_id").cast("string"))
     return docs.select(
-        surt.alias("surt_key"),
+        surt_key(url_col).alias("surt_key"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
         F.concat(F.lit("https://"), host, F.lit("/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),

@@ -254,3 +254,24 @@ def test_cdx_index_surt_groups_hosts(spark):
             prev = h
     assert all(r.surt_key.startswith("com,example,") for r in rows)
     assert all(len(r.digest) == 32 for r in rows)
+
+
+def test_cdx_from_sink_shapes_real_urls(spark):
+    from pdf_extraction_spark.operators import links
+
+    rows = spark.createDataFrame(
+        [
+            ("https://news.example.co.uk/world/2025/story?id=7", "Body text"),
+            ("https://example.com/", ""),
+            ("http://a.b/x", "zz"),
+        ],
+        "url string, extracted_text string",
+    )
+    out = {r.url: r for r in links.cdx_from_sink(rows).collect()}
+    r = out["https://news.example.co.uk/world/2025/story?id=7"]
+    assert r.surt_key == "uk,co,example,news)/world/2025/story?id=7"
+    assert r.length == len("Body text")
+    assert out["https://example.com/"].surt_key == "com,example)/"
+    assert out["http://a.b/x"].surt_key == "b,a)/x"
+    import hashlib
+    assert r.digest == hashlib.md5(b"Body text").hexdigest()
