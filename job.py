@@ -129,7 +129,10 @@ def main() -> None:
         extracted = spark.read.parquet(args.output.rstrip("/") + "/docs")
         (
             cdx_from_sink(extracted)
-            .repartitionByRange(max(args.partitions or 1, 1), "surt_key")
+            .repartitionByRange(
+                args.partitions or spark.sparkContext.defaultParallelism,
+                "surt_key",
+            )
             .sortWithinPartitions("surt_key")
             .write.mode("overwrite")
             .parquet(args.output.rstrip("/") + "/cdx")

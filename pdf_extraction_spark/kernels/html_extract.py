@@ -198,26 +198,49 @@ _CJK_PROBE_CANDIDATES = (
 _NON_ASCII_RE = re.compile("[^\x00-\x7f]")
 
 # Floor gates shared by all candidates: at least 8 core characters, at
-# least 5 DISTINCT ones, and — the structural gate — at least one pair of
-# ADJACENT high bytes somewhere in the payload. The floors alone do NOT
-# protect Latin pages (hypothesis found the hole the original comment here
-# missed): an accented letter followed by an ASCII letter IS a valid GBK/
-# cp949/cp932 pair (0xE0 0x61 → one hanzi), so a page with ≥8 mid-word
-# accents over ≥5 distinct bigrams ("Müller Böhm Jürgen…") strict-decodes
-# and passes every fraction gate. What separates the scripts structurally:
-# Latin text never puts two ≥0x80 bytes side by side, while real CJK text
-# in these encodings always does (EUC-KR hangul and GB2312 hanzi encode
-# both bytes ≥0xA1; any hiragana has a ≥0x9F Shift-JIS trail) — verified
-# 0/6000 misses on random per-script pages and on every probe-detected
-# corpus page. Known trade-off, documented: an undeclared Shift-JIS page
-# of PURE katakana/fullwidth punctuation (all ASCII-range trails, no
-# hiragana/kanji) now falls to the cp1252 lane — exactly its pre-r5
-# behavior, and far rarer than Latin pages with mid-word accents.
+# least 5 DISTINCT ones, and — the structural gate — the payload must not
+# be LATIN-SHAPED. The floors alone do NOT protect Latin pages (hypothesis
+# found the hole the original comment here missed): an accented letter
+# followed by an ASCII letter IS a valid GBK/cp949/cp932 pair (0xE0 0x61 →
+# one hanzi), so a page with ≥8 mid-word accents over ≥5 distinct bigrams
+# ("Müller Böhm Jürgen…") strict-decodes and passes every fraction gate.
+# The shape that separates the scripts: in Latin text the high bytes ARE
+# Latin letters (0xC0-0xFF minus ×÷ — where every Western-European accent
+# lives) sitting against ASCII letters inside words; in CJK byte streams
+# the high bytes are leads/trails whose neighbors are other high bytes,
+# ASCII *trail* bytes of NON-letter leads (katakana 0x83, fullwidth punct
+# 0x81), or whitespace. `_latin_shape` counts high bytes that read as a
+# Latin letter with an ASCII-letter neighbor; ≥2/3 of all high bytes →
+# the CJK ladder is skipped. Measured: every Latin flip corpus vetoed;
+# 0/8000 wrongly-vetoed random hangul/hiragana/KATAKANA/hanzi pages (an
+# earlier adjacent-high-pair gate regressed pure-katakana Shift-JIS —
+# all-ASCII trails — which this veto detects correctly again).
 # Bounds pinned by tests/test_html_kernel.py + tests/test_properties.py.
 _CJK_MIN_CORE = 8
 _CJK_MIN_DISTINCT = 5
 _CJK_BROAD_FRACTION = 2.0 / 3.0
-_HIGH_PAIR_RE = re.compile(rb"[\x80-\xff]{2}")
+_HIGH_BYTE_RE = re.compile(rb"[\x80-\xff]")
+_LATIN_LETTER_BYTES = frozenset(range(0xC0, 0x100)) - {0xD7, 0xF7}
+
+
+def _latin_shape(payload) -> bool:
+    """True when >=2/3 of the payload's high bytes are cp1252 Latin letters
+    adjacent to an ASCII letter — the signature of accented Latin words,
+    never of a legacy CJK byte stream (see gate comment above)."""
+    data = bytes(payload)
+    n_high = latin_like = 0
+    for m in _HIGH_BYTE_RE.finditer(data):
+        n_high += 1
+        i = m.start()
+        if data[i] not in _LATIN_LETTER_BYTES:
+            continue
+        prev = data[i - 1] if i else 0
+        nxt = data[i + 1] if i + 1 < len(data) else 0
+        if (65 <= prev <= 90 or 97 <= prev <= 122) or (
+            65 <= nxt <= 90 or 97 <= nxt <= 122
+        ):
+            latin_like += 1
+    return n_high > 0 and latin_like * 3 >= n_high * 2
 
 
 def _probe_cjk(payload) -> str | None:
@@ -226,8 +249,8 @@ def _probe_cjk(payload) -> str | None:
     script gates above, or None. Runs only on the minority non-UTF-8
     undeclared path; each attempt is one C-level decode plus three
     C-level regex scans."""
-    if not _HIGH_PAIR_RE.search(payload):
-        return None  # Latin-shaped: no adjacent high bytes anywhere
+    if _latin_shape(payload):
+        return None  # accented Latin words, not a CJK byte stream
     for codec, core_re, broad_re, core_frac in _CJK_PROBE_CANDIDATES:
         try:
             s = str(payload, codec)

@@ -760,8 +760,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         surt_key(url_col).alias("surt_key"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
-        F.concat(F.lit("https://"), host, F.lit("/doc/"),
-                 F.col("doc_id").cast("string")).alias("url"),
+        url_col.alias("url"),
         F.md5("text").alias("digest"),
         F.col("n_chars").alias("length"),
         F.lit("text/html").alias("mime"),

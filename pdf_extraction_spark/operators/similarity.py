@@ -266,7 +266,15 @@ def _cosine_block_pairs(pdf):
             S += col[rows, None] * col[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             C = S / (norm[rows, None] * norm[None, :])
-        keep = (C >= 0.9499) & (jidx[None, :] > np.arange(start, stop)[:, None])
+        # NaN pairs (zero-norm vectors) must survive the prefilter: the JVM
+        # path this kernel replaced emitted them (Spark orders NaN above
+        # every double, so round(NaN) >= 0.95 holds) and DuckDB's NaN
+        # comparison agrees — numpy's IEEE NaN >= x is False, so without
+        # the explicit isnan the kernel would silently diverge from the
+        # oracle the moment a zero vector appears.
+        keep = ((C >= 0.9499) | np.isnan(C)) & (
+            jidx[None, :] > np.arange(start, stop)[:, None]
+        )
         i_loc, j = np.nonzero(keep)
         out_a.append(ids[i_loc + start])
         out_b.append(ids[j])

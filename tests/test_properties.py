@@ -317,7 +317,8 @@ def test_pdf_total_on_injected_object_garbage(pdf, junk):
 # geometrically with length). These properties pin exactly that contract.
 
 _HANGUL_CHARS = st.integers(0xAC00, 0xD7A3).map(chr)
-_KANA_CHARS = st.integers(0x3041, 0x3093).map(chr)  # hiragana: SJIS trails are >=0x9F
+_KANA_CHARS = st.one_of(st.integers(0x3041, 0x3093),
+                        st.integers(0x30A1, 0x30F6)).map(chr)  # hiragana + katakana
 _HANZI_CHARS = st.integers(0x4E00, 0x9FA5).map(chr)
 
 
@@ -343,10 +344,11 @@ def test_undeclared_cp949_page_roundtrips(chars):
 @settings(max_examples=150, deadline=None)
 @given(st.lists(_KANA_CHARS, min_size=12, max_size=60))
 def test_undeclared_cp932_page_roundtrips(chars):
-    """Hiragana-bearing Japanese (every real page) roundtrips: hiragana
-    Shift-JIS trail bytes are >=0x9F, so the adjacent-high-pair structural
-    gate sees them. PURE-katakana pages (all ASCII-range trails) are the
-    documented fallback-to-cp1252 trade-off, pinned separately below."""
+    """Hiragana AND katakana pages roundtrip — including pure katakana,
+    whose Shift-JIS trail bytes are all ASCII-range (an interim
+    adjacent-high-pair gate wrongly sent those to the cp1252 lane; the
+    Latin-shape veto keys on cp1252 LETTER bytes beside ASCII letters,
+    which katakana leads 0x83 never are)."""
     from pdf_extraction_spark.kernels.html_extract import decode_payload
 
     assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
@@ -437,18 +439,17 @@ def test_ttf_cmap_parse_total_on_spliced_garbage(bmp_cps, junk, pos):
         assert isinstance(cp, int) and isinstance(gid, int)
 
 
-def test_pure_katakana_page_falls_back_to_cp1252_lane():
-    """The documented trade-off of the structural gate: an undeclared
-    Shift-JIS page of PURE katakana (trail bytes all in the ASCII range,
-    so no two adjacent high bytes anywhere) is indistinguishable-by-
-    structure from Latin text and takes the cp1252 lane — its pre-r5
-    behavior. One hiragana character (or any fullwidth char with a high
-    trail) flips it back to correct cp932 detection."""
+def test_latin_pages_with_adjacent_punctuation_never_flip():
+    """The flips the first structural gate missed (found by code review):
+    an em-dash or curly quote directly against an accented letter creates
+    an adjacent high-byte PAIR, but the page is still Latin-shaped — the
+    veto counts letter-vs-ASCII adjacency, not byte pairs."""
     from pdf_extraction_spark.kernels.html_extract import decode_payload
 
-    kata = "アイウエオ カキクケコ サシスセソ"
-    page = f"<html><body><p>{kata}</p></body></html>"
-    payload = page.encode("cp932")
-    assert decode_payload(payload) != page  # documented fallback, not a crash
-    page2 = f"<html><body><p>{kata} の</p></body></html>"  # one hiragana
-    assert decode_payload(page2.encode("cp932")) == page2
+    pages = [
+        "<html><body><p>Müller Böhm Jürgen Köln Würde schöne Mädchen Tür —ältere</p></body></html>",
+        "<html><body><p>“Böse” Müller—Köln für große—Änderung schön wäre Tür</p></body></html>",
+    ]
+    for page in pages:
+        payload = page.encode("cp1252")
+        assert decode_payload(payload) == page, page[:40]

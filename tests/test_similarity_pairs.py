@@ -115,3 +115,19 @@ def test_query_plan_has_no_pair_join(spark):
     assert all(r.cos >= 0.95 and r.id_a < r.id_b for r in rows)
     # the deterministic x1.5 mutants are exact near-dups of their source
     assert any(r.id_b == r.id_a + 1_000_000 and r.cos == 1.0 for r in rows)
+
+
+def test_kernel_keeps_nan_pairs_like_the_jvm_path_did():
+    """Zero-norm vectors make cosine NaN. Spark and DuckDB both order NaN
+    above every double, so the replaced JVM path and the unchanged oracle
+    EMIT such pairs; numpy's IEEE `NaN >= x` is False, so the kernel must
+    keep them explicitly or silently diverge from the oracle."""
+    dim = 64
+    zero = np.zeros(dim, dtype=np.float32)
+    v = ((np.arange(dim) % 5) + 1.0).astype(np.float32)
+    out = similarity._cosine_block_pairs(_block([zero, v, v * 2]))
+    pairs = {tuple(p) for p in out[["id_a", "id_b"]].values}
+    assert (0, 1) in pairs and (0, 2) in pairs  # NaN pairs survive
+    assert (1, 2) in pairs
+    nan_rows = out[out.id_a == 0]
+    assert np.isnan(nan_rows.cos_raw).all()
