@@ -55,31 +55,16 @@ def main() -> None:
             flush=True,
         )
 
-    order = sorted(range(len(results)), key=lambda i: results[i]["scaling_efficiency"])
-    med = order[len(order) // 2] if len(order) % 2 else order[len(order) // 2 - 1]
-    effs = [r["scaling_efficiency"] for r in results]
-    sj, smd = snapshots[med]
-    shutil.copy(sj, BENCH / "scaling.json")
-    shutil.copy(smd, BENCH / "BASELINE.md")
-    published = json.loads((BENCH / "scaling.json").read_text())
-    published["attempt_efficiencies"] = effs
-    published["published_attempt"] = med + 1
-    published["selection"] = "median"
-    (BENCH / "scaling.json").write_text(json.dumps(published, indent=2))
-    lines = "\n".join(
-        f"| {r['_attempt']} | {r['scaling_efficiency']} | "
-        f"{r['throughput_N_docs_per_sec']} | {r['throughput_4N_docs_per_sec']} |"
-        f"{' **published (median)**' if i == med else ''}"
-        for i, r in enumerate(results)
+    # publish via the shared helper so the live-batch and resume
+    # (tools/pool_attempts.py) paths cannot drift
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from pool_attempts import publish_median
+
+    med, effs = publish_median(
+        results,
+        lambda n: (BENCH / f"scaling.attempt{n}.json",
+                   BENCH / f"BASELINE.attempt{n}.md"),
     )
-    with open(BENCH / "BASELINE.md", "a") as f:
-        f.write(
-            f"\n## All attempts (median published, no ratchet)\n\n"
-            f"| attempt | efficiency | N docs/s | 4N docs/s |\n|---|---|---|---|\n"
-            f"{lines}\n\n"
-            f"Efficiencies across {len(effs)} complete attempts: {effs} "
-            f"(published median {effs[med]}, min {min(effs)}, max {max(effs)}).\n"
-        )
     for s_j, s_md in snapshots:
         s_j.unlink(missing_ok=True)
         s_md.unlink(missing_ok=True)
