@@ -160,6 +160,10 @@ def main():
             "and /Differences font variants, AES-128-encrypted docs) - r1/r2 "
             "rounds timed a plain-font unencrypted corpus, so extract_pdf and "
             "extract_docs_per_sec are not comparable across those rounds; "
+            "round 5 hardened it again (embedded-FontFile2 type0-ttf docs "
+            "whose sfnt cmap must be parsed, family-correct split-run "
+            "widths) and extract_html gained undeclared-cp949 pages, so "
+            "r4 extract numbers are also not directly comparable; "
             "corpus is materialized to tmpfs parquet before timing so the "
             "timed jobs measure extraction over an existing table, not "
             "fixture synthesis"
