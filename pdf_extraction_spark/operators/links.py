@@ -777,3 +777,65 @@ SELECT array_to_string(list_reverse(string_split(source || '.example.com', '.'))
        'text/html' AS mime
 FROM documents
 """
+
+
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness table — the third thing a crawler reads out of
+    robots.txt beside allow rules (q_robots_allowed) and discovery
+    (sitemap_urls): the RFC 9309 kernel's Crawl-delay (hosts whose numeric
+    suffix d satisfies d % 5 != 0 publish `Crawl-delay: d % 5`; the rest
+    omit it → NULL = crawl at default rate) and sitemap count (1 + d % 2
+    Sitemap lines). The scheduler joins this tiny per-host table broadcast
+    against the frontier to budget fetch slots. One Arrow pass over the
+    distinct hosts, zero shuffle."""
+    import pandas as pd
+
+    hosts = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("source")
+        .distinct()
+    )
+
+    def gen(batches):
+        from ..kernels.robots import parse_robots
+
+        for pdf in batches:
+            rows = {"host": [], "crawl_delay": [], "n_sitemaps": []}
+            for s in pdf["source"]:
+                s = str(s)
+                d = int("".join(c for c in s if c.isdigit()) or 0)
+                robots = "User-agent: *\n"
+                if d % 5:
+                    robots += f"Crawl-delay: {d % 5}\n"
+                for k in range(1 + d % 2):
+                    robots += f"Sitemap: https://{s}.example.com/sitemap{k}.xml\n"
+                parsed = parse_robots(robots)
+                delay = parsed["crawl_delay"].get("*")
+                rows["host"].append(f"{s}.example.com")
+                rows["crawl_delay"].append(
+                    None if delay is None else float(delay)
+                )
+                rows["n_sitemaps"].append(len(parsed["sitemaps"]))
+            yield pd.DataFrame(
+                {
+                    "host": rows["host"],
+                    "crawl_delay": pd.array(rows["crawl_delay"], dtype="float64"),
+                    "n_sitemaps": pd.array(rows["n_sitemaps"], dtype="int32"),
+                }
+            )
+
+    return hosts.mapInPandas(
+        gen, schema="host string, crawl_delay double, n_sitemaps int"
+    )
+
+
+SQL_ROBOTS_CRAWL_DELAY = """
+SELECT DISTINCT source || '.example.com' AS host,
+       CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 = 0
+            THEN NULL
+            ELSE CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 AS DOUBLE)
+       END AS crawl_delay,
+       CAST(1 + CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS INT)
+         AS n_sitemaps
+FROM documents
+"""

@@ -140,6 +140,9 @@ CRAWL_PARTS = (
     ("anchor_text_rollup", links.q_anchor_text_rollup,
      links.SQL_ANCHOR_TEXT_ROLLUP, ["resolved", "anchor"],
      [("n_links", NUM), ("n_sources", NUM)]),
+    ("robots_crawl_delay", links.q_robots_crawl_delay,
+     links.SQL_ROBOTS_CRAWL_DELAY, ["host"],
+     [("crawl_delay", NUM), ("n_sitemaps", NUM)]),
 )
 
 
