@@ -471,7 +471,7 @@ SELECT doc_id,
          WHEN 1 THEN 'これは日本語の本文テキストですデータ'
          WHEN 2 THEN '这是中文正文文本示例段落编码检测'
          ELSE 'café crème — déjà vu € naïve' END
-       || ' ' || w[1] || ' ' || w[2] || ' ' || w[3] || ' ' || w[4] AS extracted
+       || ' ' || array_to_string(w[1:4], ' ') AS extracted
 FROM w
 """
 

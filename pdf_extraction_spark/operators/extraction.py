@@ -149,28 +149,30 @@ def _multipart_unpivot(df: DataFrame, parts) -> DataFrame:
 
 
 def q_extraction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four north-rule roundtrips as one driver-checked query."""
+    """All four north-rule roundtrips as one driver-checked query.
+
+    Every part's key/value metadata is SLICED from ``EXTRACTION_PARTS`` —
+    the same tuple the oracle is generated from — so the Spark unpivot and
+    the DuckDB unpivot cannot drift (adding a value column in one place
+    updates both sides or neither)."""
+    shared = [
+        (name, keys, vals)
+        for name, _fn, _sql, keys, vals in EXTRACTION_PARTS
+        if name in ("html_roundtrip", "spans_tile")
+    ]
     html_out = extract_corpus(
         corpus_from_documents(spark, sf_dir, payload="html"), repartition=False
     ).select("url", "extracted_text", "n_elements", *_span_tile_cols())
-    html_branch = _multipart_unpivot(
-        html_out,
-        [
-            ("html_roundtrip", ["url"],
-             [("extracted_text", STR), ("n_elements", NUM)]),
-            ("spans_tile", ["url"],
-             [("n_chars", NUM), ("span_chars", NUM), ("n_spans", NUM)]),
-        ],
-    )
-    pdf_branch = _unpivot(
-        q_extract_pdf_roundtrip(spark, sf_dir), "pdf_roundtrip",
-        ["url"], [("extracted_text", STR), ("method", STR)],
-    )
-    wet_branch = _unpivot(
-        wetmod.q_wet_roundtrip(spark, sf_dir), "wet_roundtrip",
-        ["url"], [("extracted_text", STR)],
-    )
-    return html_branch.unionByName(pdf_branch).unionByName(wet_branch)
+    html_branch = _multipart_unpivot(html_out, shared)
+    branches = [html_branch]
+    for name, fn, _sql, keys, vals in EXTRACTION_PARTS:
+        if name in ("html_roundtrip", "spans_tile"):
+            continue
+        branches.append(_unpivot(fn(spark, sf_dir), name, keys, vals))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 SQL_EXTRACTION_SUITE = make_suite_sql(EXTRACTION_PARTS)

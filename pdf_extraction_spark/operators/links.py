@@ -20,6 +20,7 @@ cardinality is sub-linear in corpus size. No driver-side collection.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -99,8 +100,10 @@ def q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by every search/ranking pipeline from the link graph. nofollow edges
     are excluded, as ranking pipelines do. Map-side-combinable groupBy on
     (resolved, anchor) — cardinality is the target×vocabulary space, far
-    below the edge count, and the heavy lifting (anchor extraction) is the
-    same single Arrow pass as :func:`q_extract_outlinks`."""
+    below the edge count. Run standalone this re-extracts outlinks (Spark
+    cannot reuse a shuffle-free mapInPandas subtree across suite parts);
+    a production pipeline materializes the outlinks table once and feeds
+    every link-derived rollup from it."""
     lk = q_extract_outlinks(spark, sf_dir).filter(~F.col("nofollow"))
     return (
         lk.groupBy("resolved", "anchor")
@@ -467,11 +470,12 @@ def _robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"host": [], "path": [], "allowed": []}
             for s in pdf["source"]:
                 s = str(s)
-                digits = "".join(c for c in s if c.isdigit())
+                # FIRST digit run, like the oracle's regexp_extract — a
+                # host like 'a1b2' must not read '12' here and '1' there
+                m = _re.search(r"[0-9]+", s)
+                d = int(m.group()) if m else 1  # digitless -> odd -> allow
                 robots = "User-agent: *\n" + (
-                    "Disallow: /about\n"
-                    if digits and int(digits) % 2 == 0
-                    else ""
+                    "Disallow: /about\n" if d % 2 == 0 else ""
                 )
                 rules = parse_robots(robots)
                 for p in ("/", "/about"):
@@ -531,7 +535,8 @@ SELECT 'https://' || source || '.example.com' || u.href AS target,
 FROM documents
 CROSS JOIN (VALUES ('/'), ('/about')) AS u(href)
 WHERE NOT (u.href = '/about'
-           AND CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0)
+           AND COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT),
+                        1) % 2 = 0)
 GROUP BY source, u.href
 """
 
@@ -803,7 +808,8 @@ def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"host": [], "crawl_delay": [], "n_sitemaps": []}
             for s in pdf["source"]:
                 s = str(s)
-                d = int("".join(c for c in s if c.isdigit()) or 0)
+                m = _re.search(r"[0-9]+", s)
+                d = int(m.group()) if m else 0  # first run, like the oracle
                 robots = "User-agent: *\n"
                 if d % 5:
                     robots += f"Crawl-delay: {d % 5}\n"
@@ -830,12 +836,13 @@ def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ROBOTS_CRAWL_DELAY = """
-SELECT DISTINCT source || '.example.com' AS host,
-       CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 = 0
-            THEN NULL
-            ELSE CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 AS DOUBLE)
-       END AS crawl_delay,
-       CAST(1 + CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS INT)
-         AS n_sitemaps
-FROM documents
+WITH h AS (
+  SELECT DISTINCT source,
+         COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT), 0) AS d
+  FROM documents
+)
+SELECT source || '.example.com' AS host,
+       CASE WHEN d % 5 = 0 THEN NULL ELSE CAST(d % 5 AS DOUBLE) END AS crawl_delay,
+       CAST(1 + d % 2 AS INT) AS n_sitemaps
+FROM h
 """

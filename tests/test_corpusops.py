@@ -275,3 +275,76 @@ def test_cdx_from_sink_shapes_real_urls(spark):
     assert out["http://a.b/x"].surt_key == "b,a)/x"
     import hashlib
     assert r.digest == hashlib.md5(b"Body text").hexdigest()
+
+
+def test_robots_digit_parity_on_exotic_hosts(spark, tmp_path):
+    """Spark and the DuckDB oracle must agree on hosts the synthetic
+    corpus never produces (review finding): multiple digit runs ('a1b2'
+    must read its FIRST run on both sides) and digitless sources (the
+    oracle used to raise on CAST('' AS BIGINT))."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.operators import links
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma", "w x y z q", "a b c d e", "m n o p q"],
+            "lang": ["en"] * 4,
+            "source": ["a1b2", "news", "src3", "x10y"],
+            "n_chars": [16, 9, 9, 7],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for fn, sql, key in [
+        (links.q_robots_crawl_delay, links.SQL_ROBOTS_CRAWL_DELAY, "host"),
+        (links.q_crawl_frontier, links.SQL_CRAWL_FRONTIER, "target"),
+    ]:
+        srows = {tuple(r) for r in fn(spark, str(sf)).collect()}
+        orows = {tuple(r) for r in con.execute(sql).fetchall()}
+        assert srows == orows, f"{key}: {srows ^ orows}"
+    # 'a1b2' first run = 1 (odd) -> /about allowed into the frontier
+    targets = {r.target for r in links.q_crawl_frontier(spark, str(sf)).collect()}
+    assert "https://a1b2.example.com/about" in targets
+    # 'x10y' first run = 10 (even) -> /about robots-disallowed
+    assert "https://x10y.example.com/about" not in targets
+
+
+def test_charset_sniff_parity_on_short_docs(spark, tmp_path):
+    """Docs with <4 words: the oracle's old 'w[1]||…||w[4]' concat
+    NULL-propagated while the kernel truncates (review finding); both
+    sides must now truncate identically."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.operators import docmeta
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["solo", "two words", "three little words", "now four words here"],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [4, 9, 18, 19],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = {tuple(r) for r in docmeta.q_charset_sniff(spark, str(sf)).collect()}
+    orows = {tuple(r) for r in con.execute(docmeta.SQL_CHARSET_SNIFF).fetchall()}
+    assert srows == orows, srows ^ orows
+    assert all(r[2] is not None for r in orows)
