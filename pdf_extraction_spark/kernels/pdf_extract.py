@@ -1713,8 +1713,14 @@ def _near_caption_region(line: dict, regions: list[tuple], ph: float) -> bool:
     return False
 
 
-def extract_pdf(payload: bytes) -> dict:
+def extract_pdf(payload: bytes, _collect_images: list | None = None) -> dict:
     """Extract text + typed spans from one PDF payload. Never raises.
+
+    ``_collect_images`` (private): when a list is passed,
+    per-page placed-image records ``{page, pw, ph, images, meta}`` are
+    appended to it during the SAME parse/interpret pass — how
+    :func:`extract_pdf_images` avoids parsing and interpreting every page
+    twice. The public result shape is unchanged.
 
     Returns the same record shape as :func:`html_extract.extract_html`
     with ``method="pdf"``. Reading order: per page, columns left→right,
@@ -1764,6 +1770,13 @@ def extract_pdf(payload: bytes) -> dict:
                 pw, ph, runs, hl, vl, rects, images = _normalize_rotation(
                     rot, pw, ph, runs, hl, vl, rects, images
                 )
+            if _collect_images is not None and images:
+                _collect_images.append({
+                    "page": pno, "pw": pw, "ph": ph, "images": list(images),
+                    "meta": _image_meta_from_res(
+                        doc, doc.page_attr(page, "Resources")
+                    ),
+                })
             if not runs and not images:
                 continue
             inter = (
@@ -2039,10 +2052,14 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
     fmt='inline' with -1 dims (their dict never leaves the content stream
     in this parser). Never raises."""
     try:
-        doc = _Doc(payload)
-        if not doc.try_decrypt():
+        # ONE parse/decrypt/interpret pass: extract_pdf computes everything
+        # (including per-page placed images, collected via the private
+        # out-param) — this function used to rebuild its own _Doc and
+        # re-interpret every page just to re-derive the same image tuples
+        collected: list[dict] = []
+        full = extract_pdf(payload, _collect_images=collected)
+        if full["error"] == "encrypted":
             return []
-        full = extract_pdf(payload)
         # caption spans per page: (cy0, cy1, cx0, cx1, text)
         caps: dict[int, list] = {}
         text = full["text"]
@@ -2053,23 +2070,9 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                     (bx[1], bx[3], bx[0], bx[2], text[s[2] : s[3]])
                 )
         rows: list[dict] = []
-        for pno, page in enumerate(doc.pages()):
-            pw, ph = doc.page_size(page)
-            content = doc.page_content(page)
-            if not content:
-                continue
-            img_names, fts, frms = doc.page_paint(page)
-            _, _, _, _, images = _interpret_content(
-                content, img_names, fonts=fts, forms=frms
-            )
-            if not images:
-                continue
-            meta = _image_meta_from_res(doc, doc.page_attr(page, "Resources"))
-            rot = doc.page_rotate(page)
-            if rot:
-                pw, ph, _, _, _, _, images = _normalize_rotation(
-                    rot, pw, ph, [], [], [], [], images
-                )
+        for entry in collected:
+            pno, pw, ph = entry["page"], entry["pw"], entry["ph"]
+            images, meta = entry["images"], entry["meta"]
             for ix0, iy0, ix1, iy1, nm in sorted(
                 images, key=lambda b: (-b[3], b[0])
             ):
@@ -2087,9 +2090,17 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                 for cy0, cy1, cx0, cx1, ctext in caps.get(pno, []):
                     if not (cx0 < bbox[2] and cx1 > bbox[0]):
                         continue
-                    gap = min(abs(cy0 - bbox[3]), abs(bbox[1] - cy1))
-                    if gap <= margin and (best is None or gap < best[0]):
-                        best = (gap, ctext)
+                    # SIGNED gaps like _near_caption_region: strictly below
+                    # (caption top under the image bottom) or strictly
+                    # above — an abs() here attaches captions that overlap
+                    # the image interior to the WRONG neighbor
+                    gaps = [
+                        g
+                        for g in (cy0 - bbox[3], bbox[1] - cy1)
+                        if 0 <= g <= margin
+                    ]
+                    if gaps and (best is None or min(gaps) < best[0]):
+                        best = (min(gaps), ctext)
                 rows.append(
                     {
                         "page": pno,

@@ -241,8 +241,12 @@ def _cmap_subtable_format12(b: bytes, off: int, out: dict[int, int]) -> None:
         if start > end or end - start > _TTF_MAX_MAPPINGS or end > 0x10FFFF:
             continue
         for cp in range(start, end + 1):
-            if cp not in out:
-                out[cp] = gid0 + (cp - start)
+            gid = gid0 + (cp - start)
+            # skip gid 0 like the format-4/6/0 parsers: .notdef must never
+            # acquire a character, or Identity-H code 0x0000 decodes to
+            # real text instead of U+FFFD
+            if gid and cp not in out:
+                out[cp] = gid
             if len(out) >= _TTF_MAX_MAPPINGS:
                 return
 
@@ -334,9 +338,15 @@ def parse_ttf_cmap(data: bytes) -> dict[int, int]:
 
 def invert_ttf_cmap(uni_to_gid: dict[int, int]) -> dict[int, str]:
     """Glyph id → character; the smallest codepoint wins when several map
-    to one glyph (deterministic, matches how subsetters assign gids)."""
+    to one glyph (deterministic, matches how subsetters assign gids).
+    Surrogate codepoints (a hostile cmap can map 0xD800-0xDFFF) and
+    anything beyond U+10FFFF are dropped — a lone surrogate in extracted
+    text is not UTF-8-encodable, so it would kill the whole Arrow batch
+    downstream instead of degrading one glyph to U+FFFD."""
     inv: dict[int, str] = {}
     for cp in sorted(uni_to_gid):
+        if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            continue
         gid = uni_to_gid[cp]
         if gid not in inv:
             inv[gid] = chr(cp)

@@ -234,6 +234,16 @@ class _Type0Encoder:
         out += [b"endcmap CMapName currentdict /CMap defineresource pop end end"]
         return b"\n".join(out)
 
+    def _w_array(self) -> str:
+        """Real per-CID metrics (/W, array form) from the shared AFM table:
+        codes are 1..N in sorted-charset order. One definition for BOTH the
+        ToUnicode and the FontFile2 lane — the round-5 sf1 run already
+        caught one declared-vs-layout width drift; don't reopen the class."""
+        return " ".join(
+            "%d" % self.metrics.char_width(ch)
+            for ch, _ in sorted(self.code.items(), key=lambda kv: kv[1])
+        )
+
     def font_objects(self, next_free: int):
         """(object-3 body, extra objects) for :func:`_assemble`."""
         desc, tounico = next_free, next_free + 1
@@ -243,12 +253,7 @@ class _Type0Encoder:
             "/Encoding /Identity-H /DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
             % (desc, tounico)
         ).encode()
-        # real per-CID metrics (/W, array form) from the shared AFM table:
-        # codes are 1..N in sorted-charset order
-        warr = " ".join(
-            "%d" % self.metrics.char_width(ch)
-            for ch, _ in sorted(self.code.items(), key=lambda kv: kv[1])
-        )
+        warr = self._w_array()
         extra = {
             desc: (
                 b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SUBSET+Synth "
@@ -293,6 +298,12 @@ def _cmap_format4(cps_gids: list[tuple[int, int]]) -> bytes:
         i = j + 1
     segs.append((0xFFFF, 0xFFFF, 1))  # required terminator maps FFFF->0
     n = len(segs)
+    if 16 + 8 * n > 0xFFFF:
+        # the subtable length and segCountX2 fields are uint16: a charset
+        # of >8189 non-contiguous BMP runs cannot be a format-4 table —
+        # raise like _DifferencesEncoder so callers fall back to plain
+        # Type0 instead of dying in struct.pack
+        raise ValueError("charset too fragmented for a format-4 cmap")
     sel = max(0, int(math.log2(n)))
     search = 2 ** sel * 2
     head = struct.pack(
@@ -377,17 +388,23 @@ class _Type0TTFEncoder(_Type0Encoder):
     The parser must walk DescendantFonts → FontDescriptor → FontFile2 and
     invert that table (pdf_fonts.parse_ttf_cmap) — VERDICT r4 item 4."""
 
+    def __init__(self, charset, metrics: "afm.Metrics" = None):  # type: ignore[assignment]
+        if metrics is None:
+            metrics = afm.HELVETICA
+        super().__init__(charset, metrics=metrics)
+        # build the font program NOW so an over-fragmented charset raises
+        # ValueError at construction, where build_pdf's fallback can catch
+        # it — not later inside font_objects
+        self._ttf = build_subset_ttf(self.code)
+
     def font_objects(self, next_free: int):
         desc, fdesc, ffile = next_free, next_free + 1, next_free + 2
         obj3 = (
             "<< /Type /Font /Subtype /Type0 /BaseFont /SUBSET+SynthTTF "
             "/Encoding /Identity-H /DescendantFonts [%d 0 R] >>" % desc
         ).encode()
-        warr = " ".join(
-            "%d" % self.metrics.char_width(ch)
-            for ch, _ in sorted(self.code.items(), key=lambda kv: kv[1])
-        )
-        ttf = build_subset_ttf(self.code)
+        warr = self._w_array()
+        ttf = self._ttf
         extra = {
             desc: (
                 b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SUBSET+SynthTTF "
@@ -1144,7 +1161,12 @@ def build_pdf(
         if encoding == "type0":
             encoder = _Type0Encoder(charset, metrics=family)
         elif encoding == "type0-ttf":
-            encoder = _Type0TTFEncoder(charset, metrics=family)
+            try:
+                encoder = _Type0TTFEncoder(charset, metrics=family)
+            except ValueError:
+                # charset too fragmented for a format-4 cmap (>8189 BMP
+                # runs): real producers ship a ToUnicode CMap instead
+                encoder = _Type0Encoder(charset, metrics=family)
         else:
             try:
                 encoder = _DifferencesEncoder(charset, metrics=family)
