@@ -79,6 +79,33 @@ def _append_lineage(spark: SparkSession, output_path: str, rows: list[tuple]) ->
     )
 
 
+def _check_bucket_grid(spark: SparkSession, output_path: str, n_buckets: int) -> None:
+    """Refuse to resume under a DIFFERENT bucket grid: ``done`` bucket ids
+    only mean anything under the ``pmod(xxhash64(host), n_buckets)`` that
+    wrote them — resuming 64-bucket lineage with ``n_buckets=32`` would
+    skip documents whose NEW bucket id collides with an OLD done id and
+    leave stale dirs behind, silently. The grid is recorded once in
+    ``<output>/_meta`` (1-row parquet, same storage layer as the lineage
+    table)."""
+    meta_path = output_path.rstrip("/") + "/_meta"
+    try:
+        prev = spark.read.schema("n_buckets int").parquet(meta_path).head()
+    except Exception:
+        prev = None
+    if prev is not None:
+        if prev["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"output at {output_path} was bucketed with n_buckets="
+                f"{prev['n_buckets']}; resuming with n_buckets={n_buckets} "
+                "would silently skip documents — rerun with the original "
+                "bucket count or start fresh"
+            )
+        return
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(meta_path)
+
+
 def run_resumable(
     corpus: DataFrame,
     output_path: str,
@@ -108,6 +135,7 @@ def run_resumable(
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.monotonic()
 
+    _check_bucket_grid(spark, output_path, n_buckets)
     done = completed_buckets(spark, output_path)
     tagged = corpus.withColumn("bucket", bucket_col(n_buckets))
 

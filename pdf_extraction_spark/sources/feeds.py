@@ -25,12 +25,35 @@ _TAG = {
     )
     for name in ("title", "link", "pubdate", "published", "updated", "guid", "id")
 }
-_ATOM_LINK = re.compile(
-    r"""<link\b[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>""", re.IGNORECASE
-)
+_ATOM_LINK_TAG = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
+_ATOM_HREF = re.compile(r"""href\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+_ATOM_REL = re.compile(r"""rel\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+
+
+def _atom_entry_link(block: str) -> str | None:
+    """The entry's ARTICLE link: RFC 4287 makes rel="alternate" the
+    document link and an absent rel default to alternate — a Blogger-style
+    entry lists rel="replies"/"self"/"edit" links FIRST, so taking the
+    first href crawls the comments feed instead of the post."""
+    best: tuple[int, str] | None = None
+    for m in _ATOM_LINK_TAG.finditer(block):
+        tag = m.group(0)
+        href = _ATOM_HREF.search(tag)
+        if not href:
+            continue
+        rel = _ATOM_REL.search(tag)
+        rank = 0 if (rel is None or rel.group(1).lower() == "alternate") else 1
+        if best is None or rank < best[0]:
+            best = (rank, href.group(1))
+        if best[0] == 0:
+            break
+    return best[1] if best else None
 _CDATA = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.DOTALL)
-_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-             ("&quot;", '"'), ("&apos;", "'"), ("&#39;", "'"))
+# &amp; must decode LAST: doing it first turns the nested entity
+# '&amp;lt;' (a literal '&lt;') into '&lt;' and then into '<' — a classic
+# double-unescape
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&"))
 
 
 def _text(raw: str) -> str | None:
@@ -80,8 +103,8 @@ def parse_feed(payload: bytes | str) -> dict:
             block = m.group(2)
             link = _field(block, "link")
             if not link:  # Atom: self-closing <link href=...>
-                lm = _ATOM_LINK.search(block)
-                link = _text(lm.group(1)) if lm else None
+                lm = _atom_entry_link(block)
+                link = _text(lm) if lm else None
             e = {
                 "title": _field(block, "title"),
                 "link": link,

@@ -30,8 +30,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def is_table_ref(ref: str) -> bool:
-    """True for ``catalog.db.table`` refs, False for filesystem paths."""
-    return "/" not in ref and "." in ref
+    """True for ``catalog.db.table`` refs, False for filesystem paths.
+
+    A slash always means a path; a dot alone does NOT mean a table — a
+    relative filename like ``corpus.parquet`` in the working directory is
+    a path too (it used to be misrouted to the Iceberg branch and error
+    out), as is anything with a data-file extension or that actually
+    exists on the local filesystem."""
+    import os
+
+    if "/" in ref or "\\" in ref:
+        return False
+    if "." not in ref:
+        return False
+    low = ref.lower()
+    if low.endswith((".parquet", ".pq", ".orc", ".json", ".csv", ".warc",
+                     ".gz", ".wet")):
+        return False
+    return not os.path.exists(ref)
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -49,10 +49,16 @@ CORPUS_SCHEMA = T.StructType(
 def iter_warc_records(stream) -> "iter[tuple[dict, bytes]]":
     """Stream (headers, payload) for each WARC record in a raw byte stream.
 
-    Tolerant: malformed trailing garbage ends iteration instead of raising
-    (the swallow-and-degrade posture of the reference,
-    advanced_layout_extractor.py:690-691, but bounded to the tail).
+    Tolerant: a malformed record (bad leader, unparseable Content-Length)
+    RESYNCS to the next ``WARC/`` leader line instead of silently ending
+    iteration — mid-file corruption in a 1 GB segment must cost one
+    record, not every record after it (the swallow-and-degrade posture of
+    the reference, advanced_layout_extractor.py:690-691). Only a payload
+    truncated by EOF ends the stream. Header values decode as UTF-8
+    (WARC 1.0 §4: header content is UTF-8 — an ASCII decode mangles every
+    non-ASCII WARC-Target-URI and breaks the write_warc round-trip).
     """
+    bad_leaders = 0
     while True:
         line = stream.readline()
         if not line:
@@ -60,7 +66,12 @@ def iter_warc_records(stream) -> "iter[tuple[dict, bytes]]":
         if line.strip() == b"":
             continue
         if not line.startswith(b"WARC/"):
-            return  # malformed leader — stop
+            # corruption: skip forward line-by-line to the next record
+            # leader (bounded — each readline consumes input)
+            bad_leaders += 1
+            if bad_leaders > 100_000:
+                return  # not a WARC at all; stop scanning
+            continue
         headers: dict[str, str] = {}
         while True:
             h = stream.readline()
@@ -68,16 +79,16 @@ def iter_warc_records(stream) -> "iter[tuple[dict, bytes]]":
                 break
             if b":" in h:
                 k, v = h.split(b":", 1)
-                headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
-                    "ascii", "replace"
+                headers[k.strip().decode("utf-8", "replace").lower()] = v.strip().decode(
+                    "utf-8", "replace"
                 )
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            continue  # resync: this record is unreadable, the next may not be
         payload = stream.read(length)
         if len(payload) < length:
-            return  # truncated record
+            return  # truncated by EOF
         yield headers, payload
 
 

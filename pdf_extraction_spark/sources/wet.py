@@ -27,6 +27,7 @@ import gzip
 import io
 import zlib
 
+from . import warc as warcmod
 from .warc import CRLF, iter_warc_records
 
 WET_SCHEMA = "url string, warc_ts timestamp, text string"
@@ -174,7 +175,7 @@ def read_wet(spark, paths: list[str], partitions: int | None = None):
                         f.seek(0)
                     for row in parse_wet_stream(stream):
                         out.append(row)
-                        if len(out) >= 2048:
+                        if len(out) >= warcmod.ROWS_PER_BATCH:
                             yield pd.DataFrame(out, columns=cols)
                             out = []
             yield pd.DataFrame(out, columns=cols)

@@ -26,16 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from .pipeline import extract_corpus
-
-CORPUS_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ]
-)
+from .sources.warc import CORPUS_SCHEMA  # ONE corpus schema, not a copy
 
 
 def stream_extract(
@@ -43,8 +34,6 @@ def stream_extract(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    partitions: int | None = None,
-    salt: int = 8,
     max_files_per_trigger: int | None = None,
 ):
     """Start an AvailableNow streaming extraction; returns the query.
@@ -59,7 +48,7 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     corpus = reader.parquet(input_dir)
 
-    extracted = extract_corpus(corpus, partitions=partitions, salt=salt, repartition=False)
+    extracted = extract_corpus(corpus, repartition=False)
     # NOTE: repartition=False — a streaming micro-batch is already split into
     # file-sized tasks; the salted shuffle matters for hot-host batch scans,
     # while per-micro-batch repartition would add a shuffle per trigger.
@@ -256,7 +245,17 @@ def stream_dedup_exact(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     corpus = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
-    keyed = corpus.select(F.xxhash64("text").alias("content_key"), "url")
+    # content key falls back html -> url when text is null: xxhash64(NULL)
+    # is the constant seed, so a null-text corpus (exactly what the WARC
+    # source writes — text is populated by EXTRACTION, not ingest) would
+    # otherwise collapse into ONE state group and "dedup" away everything
+    # but a single keeper
+    content = F.when(F.col("text").isNotNull(), F.xxhash64("text")).otherwise(
+        F.when(F.col("html").isNotNull(), F.xxhash64("html")).otherwise(
+            F.xxhash64("url")
+        )
+    )
+    keyed = corpus.select(content.alias("content_key"), "url")
     kept = keyed.groupBy("content_key").applyInPandasWithState(
         _update_dedup,
         outputStructType=DEDUP_OUTPUT,

@@ -57,3 +57,41 @@ def test_read_feeds_on_executors(spark, tmp_path):
     by_link = {r["link"]: r for r in rows}
     assert by_link["https://a.example/e1"]["kind"] == "atom"
     assert by_link["https://b.example/p1"]["feed_title"] == "My Blog"
+
+
+def test_nested_entities_not_double_unescaped():
+    """'&amp;lt;' is the literal text '&lt;' — decoding &amp; first used
+    to turn it into '<' (review finding; same table in sitemap.py)."""
+    from pdf_extraction_spark.sources.feeds import parse_feed
+    from pdf_extraction_spark.sources.sitemap import parse_sitemap
+
+    feed = (
+        "<rss><channel><item><title>Use &amp;lt;table&amp;gt; tags</title>"
+        "<link>https://x/a</link></item></channel></rss>"
+    )
+    entry = parse_feed(feed)["entries"][0]
+    assert entry["title"] == "Use &lt;table&gt; tags"
+    sm = parse_sitemap(
+        "<urlset><url><loc>https://x/?q=a&amp;amp;b</loc></url></urlset>"
+    )
+    assert sm["entries"][0]["loc"] == "https://x/?q=a&amp;b"
+
+
+def test_atom_entry_link_prefers_alternate_over_replies():
+    """RFC 4287: rel='alternate' (or no rel) is the article link; Blogger
+    lists rel='replies'/'self' links first (review finding)."""
+    from pdf_extraction_spark.sources.feeds import parse_feed
+
+    feed = (
+        "<feed><entry><title>post</title>"
+        "<link rel='replies' href='https://x/comments'/>"
+        "<link rel='self' href='https://x/self'/>"
+        "<link rel='alternate' href='https://x/post'/>"
+        "</entry><entry><title>bare</title>"
+        "<link rel='edit' href='https://x/edit'/>"
+        "<link href='https://x/norel'/>"
+        "</entry></feed>"
+    )
+    entries = parse_feed(feed)["entries"]
+    assert entries[0]["link"] == "https://x/post"
+    assert entries[1]["link"] == "https://x/norel"

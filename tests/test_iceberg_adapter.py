@@ -40,3 +40,18 @@ def test_parquet_fallback_roundtrip(spark, tmp_path):
         "https://a.example.com/1",
         "https://b.example.com/2",
     ]
+
+
+def test_relative_parquet_filename_is_a_path(tmp_path, monkeypatch):
+    """'corpus.parquet' (relative, dotted) must route to the parquet
+    branch, not be mistaken for a catalog.db.table ref (review finding)."""
+    from pdf_extraction_spark.sources.iceberg import is_table_ref
+
+    assert not is_table_ref("corpus.parquet")
+    assert not is_table_ref("data.warc.gz")
+    assert not is_table_ref("/abs/path/x")
+    assert is_table_ref("cat.db.pages")
+    # an existing dotted local file is a path even without a known extension
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "my.data").write_text("x")
+    assert not is_table_ref("my.data")

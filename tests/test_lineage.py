@@ -96,3 +96,24 @@ def test_bucket_pruning_pushdown(spark, corpus_df, tmp_path):
     scan = spark.read.parquet(out + "/docs").filter(F.col("bucket") == 3)
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_resume_with_different_bucket_grid_refuses(spark, tmp_path):
+    """Resuming 8-bucket lineage with n_buckets=4 would silently skip
+    documents whose new bucket id collides with an old done id (review
+    finding) — it must raise instead."""
+    import pytest
+
+    from pdf_extraction_spark.lineage import run_resumable
+
+    corpus = spark.createDataFrame(
+        [(f"https://h{i}.x/d{i}", None, None, None, None) for i in range(8)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "out")
+    run_resumable(corpus, out, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_resumable(corpus, out, n_buckets=4)
+    # same grid resumes cleanly and skips all done buckets
+    s = run_resumable(corpus, out, n_buckets=8)
+    assert s["buckets_run"] == 0 and s["resumed"]

@@ -187,3 +187,37 @@ def test_stream_dedup_exact_across_drains(spark, tmp_path):
     q2 = stream_dedup_exact(spark, str(tmp_path / "in"), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(texts) + 3
+
+
+def test_stream_dedup_null_text_keys_on_html(spark, tmp_path):
+    """An ingest-shaped corpus (text=None everywhere, the WARC source's
+    output) must dedup on the html payload, NOT collapse into the single
+    xxhash64(NULL)=seed state group that kept exactly one document
+    (review finding)."""
+    from pdf_extraction_spark.streaming import stream_dedup_exact
+
+    rows = [
+        {"url": f"https://h{i}.x/d{i}", "warc_ts": None,
+         "html": f"<html><body><p>doc {i % 3}</p></body></html>".encode(),
+         "text": None, "lang": None}
+        for i in range(9)  # 3 distinct payloads, 3 copies each
+    ]
+    (tmp_path / "in").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array([None] * len(rows), pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([None] * len(rows), pa.string()),
+                "lang": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "in" / "part-0001.parquet"),
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_dedup_exact(spark, str(tmp_path / "in"), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # one keeper per distinct payload, not 1 total
+    assert got.agg({"batch_dups": "sum"}).collect()[0][0] == 6

@@ -125,3 +125,53 @@ def test_http_envelope_meta_signals():
     assert http_envelope_meta(b"HTTP/1.1 bogus\r\n\r\n") == (None, None)
     assert http_envelope_meta(b"HTTP/1.1 404 NF\r\nCONTENT-TYPE: Text/HTML\r\n\r\n") == (
         404, "text/html")
+
+
+def test_warc_non_ascii_target_uri_roundtrips():
+    """WARC 1.0 headers are UTF-8; an ASCII decode mangles every
+    non-ASCII WARC-Target-URI (review finding)."""
+    import io
+
+    from pdf_extraction_spark.sources.warc import iter_warc_records
+
+    url = "https://example.com/café/日本"
+    body = b"<html><body>x</body></html>"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    rows = list(iter_warc_records(io.BytesIO(rec)))
+    assert len(rows) == 1
+    assert rows[0][0]["warc-target-uri"] == url
+
+
+def test_warc_mid_file_corruption_resyncs():
+    """A malformed record mid-file must cost ONE record, not the rest of
+    the segment (review finding: iteration used to stop at the first bad
+    leader/Content-Length)."""
+    import io
+
+    from pdf_extraction_spark.sources.warc import iter_warc_records
+
+    def rec(url, body):
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body + b"\r\n\r\n"
+        )
+
+    good1 = rec(b"https://a/1", b"one")
+    bad_leader = b"GARBAGE NOT A RECORD\r\nmore junk\r\n"
+    bad_length = (
+        b"WARC/1.0\r\nWARC-Target-URI: https://a/broken\r\n"
+        b"Content-Length: nonsense\r\n\r\n"
+    )
+    good2 = rec(b"https://a/2", b"two")
+    stream = io.BytesIO(good1 + bad_leader + bad_length + good2)
+    urls = [h["warc-target-uri"] for h, _ in iter_warc_records(stream)]
+    assert urls == ["https://a/1", "https://a/2"]
