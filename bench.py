@@ -58,7 +58,7 @@ def replicated_corpus(spark, sf_dir: str, copies: int):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = (lambda b: b[2:] if b.startswith("sf") else b)(os.path.basename(sf_dir.rstrip("/")))
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,10 +160,12 @@ def main():
             "and /Differences font variants, AES-128-encrypted docs) - r1/r2 "
             "rounds timed a plain-font unencrypted corpus, so extract_pdf and "
             "extract_docs_per_sec are not comparable across those rounds; "
-            "round 5 hardened it again (embedded-FontFile2 type0-ttf docs "
-            "whose sfnt cmap must be parsed, family-correct split-run "
-            "widths) and extract_html gained undeclared-cp949 pages, so "
-            "r4 extract numbers are also not directly comparable; "
+            "round 5 hardened the PDF mix again (embedded-FontFile2 "
+            "type0-ttf docs whose sfnt cmap must be parsed, family-correct "
+            "split-run widths), so r4 extract_pdf numbers are not directly "
+            "comparable; the benchmark's HTML corpus is all-UTF-8 template "
+            "pages - the charset-probe variants live in the goldens and "
+            "oracle corpora, NOT in these timings; "
             "corpus is materialized to tmpfs parquet before timing so the "
             "timed jobs measure extraction over an existing table, not "
             "fixture synthesis"

@@ -24,7 +24,7 @@ Steps:
    as HTML + x1 as deterministic PDFs) — distributed generation, written
    once, read by both runs;
 2. zip the package for --py-files;
-3. spark-submit job.py at local[8] and local[32] (fresh output each);
+3. spark-submit job.py at the two pinned sizes (default local[2] and local[8]) (fresh output each);
 4. compute docs/sec from each job's internal extract wall (excludes JVM/
    session startup, which is a per-driver constant, not a scaling term),
    efficiency = (thr_4N / thr_N) / 4, and require byte-identical output

@@ -12,7 +12,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -41,17 +41,32 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:NaN"
-        return "f:" + f"{v:.6f}".rstrip("0").rstrip(".")
+        out = f"{v:.6f}".rstrip("0").rstrip(".")
+        if out == "-0":  # -1e-8 and 1e-8 are equal at 6dp; so are -0.0/0.0
+            out = "0"
+        return "f:" + out
     if isinstance(v, decimal.Decimal):
         return f"d:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    return str(v)
+        # NOTE: PySpark collect() renders TimestampType in the HOST zone
+        # regardless of spark.sql.session.timeZone — timestamp-returning
+        # queries must pre-cast to epoch BIGINT (every current one does)
+        return "t:" + v.isoformat()
+    return "s:" + str(v)
+
+
+def _esc(cell: str) -> str:
+    """Make the cell/row separators unambiguous: without escaping, the row
+    ('a|b','c') and ('a','b|c') serialize identically and a real engine
+    divergence hashes as OK."""
+    return cell.replace("\\", "\\\\").replace("|", "\\|").replace("\n", "\\n")
 
 
 def frame_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "|".join(_esc(norm_cell(r[i])) for i in order) for r in rows
+    )
     h = hashlib.md5()
     for ln in lines:
         h.update(ln.encode())
@@ -116,6 +131,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo here used to run ZERO checks and exit green — the one
+        # failure mode a verification tool must not have
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -156,6 +176,7 @@ def main():
                 f"(cast to BIGINT/DOUBLE in the SQL)"
             )
             continue
+        t_duck = time.monotonic() - t_duck  # duckdb cost only, not hashing
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         sh = frame_hash(scols, srows)
@@ -164,7 +185,6 @@ def main():
         status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
-        t_duck = time.monotonic() - t_duck
         print(
             f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_hash else f'{sh[:8]} vs {oh[:8]}'} (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
         )
