@@ -228,6 +228,31 @@ ARTICLE_PREFIX = (
 ARTICLE_SUFFIX = "</p></main>" + _FOOTER + "</body></html>"
 
 
+def spread_docs(docs):
+    """Hash-spread a small-file ``documents`` scan across all cores BEFORE
+    the payload-generation / extraction stages that hang off it.
+
+    The oracle corpora are synthesized from ``documents.parquet``; at
+    sf ≤ 1 that is a single file under ``maxPartitionBytes``, so the scan
+    yields ONE partition and every expensive Arrow stage downstream (the
+    deterministic PDF writer UDF, the extraction kernels) serializes on one
+    core — observed as 83–123 s single-task stages per elements query at
+    sf1. Repartitioning the pre-payload TEXT rows by ``doc_id`` hash
+    spreads that work for the cost of shuffling kilobyte text rows; the
+    generated binary payloads themselves still never shuffle (the oracle
+    queries keep ``extract_corpus(..., repartition=False)``). At production
+    scale the scan arrives pre-parallel from thousands of files, so the
+    shuffle is SKIPPED there (guarded on the scan's actual partition
+    count) — forcing a full text shuffle on an already-parallel 100 TB
+    scan would be pure waste. No downstream query depends on row order
+    (per-doc aggregates only, and the driver comparator sorts).
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= parallelism:
+        return docs
+    return docs.repartition(parallelism, "doc_id")
+
+
 def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
     """Build the corpus table from ``{sf_dir}/documents.parquet``.
 
@@ -239,7 +264,7 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
     url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
                    F.col("doc_id").cast("string")).alias("url")
     base = docs.select(

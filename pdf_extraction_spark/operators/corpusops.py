@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..corpus import spread_docs
 from .common import tbl
 
 
@@ -826,7 +827,7 @@ def q_indexable_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels.html_extract import extract_html
     from ..kernels.urlnorm import resolve_link
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "source"
     )
 
@@ -936,7 +937,7 @@ def q_warc_http_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.warc import http_envelope_meta, iter_warc_records
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "source"
     )
 

@@ -5,7 +5,9 @@ text: the head ``<title>`` and robots/author ``<meta>`` tags for HTML, the
 trailer /Info dictionary for PDF (what PyMuPDF exposes as ``doc.metadata``
 in the reference's stack — the reference itself never reads it). Both run
 as one Arrow-batched ``mapInPandas`` pass over the corpus; at 10^12 docs
-this is embarrassingly parallel with no shuffle at all.
+this is embarrassingly parallel, partitioned by the source scan (with the
+``spread_docs`` rebalance kicking in only when a small-file scan would
+starve the cores — see :func:`..corpus.spread_docs`).
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..corpus import corpus_from_documents
+from ..corpus import corpus_from_documents, spread_docs
 
 _META_SCHEMA = ("url string, title string, author string, "
                 "robots string, canonical string")
@@ -92,7 +94,7 @@ def q_pdf_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels import pdf_write
     from ..kernels.pdf_extract import extract_pdf_outline
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -145,7 +147,7 @@ def q_html_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..kernels.html_extract import extract_html
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -193,7 +195,7 @@ def q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..kernels.html_extract import extract_jsonld
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text", "source"
     )
 
@@ -257,7 +259,7 @@ def q_opengraph_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..kernels.html_extract import extract_meta_map
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text", "source"
     )
 
@@ -317,7 +319,7 @@ def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels import pdf_write
     from ..kernels.pdf_extract import extract_pdf_attachments
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -371,7 +373,7 @@ def q_pdf_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels import pdf_write
     from ..kernels.pdf_extract import extract_pdf_form_fields
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -435,7 +437,7 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..kernels.html_extract import detect_charset, extract_html
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -492,7 +494,7 @@ def q_pdf_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels import pdf_write
     from ..kernels.pdf_extract import extract_pdf_images
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..corpus import spread_docs
 from ..kernels import pdf_write
 from ..pipeline import extract_corpus
 
@@ -33,7 +34,7 @@ from ..pipeline import extract_corpus
 def _titled_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF corpus with a title block per doc (>= 2 elements each), so the
     element graph has pairs to relate."""
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
 
     @F.pandas_udf(T.BinaryType())
     def make_pdf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
@@ -81,7 +82,7 @@ def elements_df(extracted: DataFrame) -> DataFrame:
 def _figured_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF corpus where every doc carries the full element taxonomy: title,
     header/footer chrome, a figure XObject, and a proximity caption."""
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
 
     @F.pandas_udf(T.BinaryType())
     def make_pdf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
@@ -187,7 +188,7 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf_vector_utils.py:169-192), and emit one row per cell. The DuckDB
     oracle recomputes every cell's text directly from ``documents`` —
     cell (r, c) must equal word r*3+c+1 of the document."""
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -309,7 +310,7 @@ def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     use a rowspan/colspan variant so WHATWG span occupancy (cells sliding
     past rowspan-claimed slots, spans clamped) is exercised under the DuckDB
     oracle, not just unit goldens."""
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -400,7 +401,7 @@ def q_confidence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid confidence, the admitted count, and which gate path fired.
     (Figure leniency — conf ≥ 0.6 admits, reference :407-415 — is pinned
     by the per-kind constants in tests/test_pdf_kernel.py.)"""
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 

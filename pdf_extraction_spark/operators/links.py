@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..corpus import corpus_from_documents
+from ..corpus import corpus_from_documents, spread_docs
 from .common import tbl
 
 _LINKS_SCHEMA = ("url string, href string, resolved string, "
@@ -160,7 +160,7 @@ def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels.html_extract import extract_html
     from ..kernels.urlnorm import resolve_link
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text", "source"
     )
 
@@ -213,7 +213,7 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels.html_extract import extract_html_assets
     from ..kernels.urlnorm import resolve_link
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text", "source"
     )
 
@@ -279,7 +279,7 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.sitemap import parse_sitemap
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text", "source"
     )
 
@@ -339,7 +339,7 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..kernels.robots import is_allowed, parse_robots
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text"
     )
 
@@ -392,7 +392,7 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.feeds import parse_feed
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "text", "source"
     )
 
@@ -551,7 +551,7 @@ def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernels.html_extract import extract_feed_links
     from ..kernels.urlnorm import resolve_link
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "source"
     )
 
@@ -627,7 +627,7 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table re-joined to the static edge list each round; ``localCheckpoint``
     per round caps logical-plan growth exactly like
     ``dedup.connected_components``."""
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
         "doc_id", "source"
     )
     nodes = docs.select(F.col("source").alias("host")).distinct()
