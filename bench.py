@@ -40,9 +40,14 @@ def replicated_corpus(spark, sf_dir: str, copies: int):
     """documents × copies as HTML payloads (JVM-side template concat)."""
     from pyspark.sql import functions as F
 
-    from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX
+    from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX, spread_docs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # the ×copies url stride embeds the copy index at +1e7 per copy; a
+    # doc_id at or past the stride would collide with copy k+1's urls
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= 10_000_000:
+        raise ValueError(f"doc_id {mx} >= url stride 10_000_000: widen the stride")
     rep = docs.select(
         "doc_id", "text", "source", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
     )

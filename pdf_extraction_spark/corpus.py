@@ -280,8 +280,11 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
         # bytes (no BOM, no <meta charset>) with non-ASCII chrome (© / é in
         # the stripped footer, so the payload is genuinely invalid UTF-8):
         # the WHATWG sniff must decode windows-1252 and the roundtrip
-        # oracle still requires byte-identical text back (latin-1 and
-        # cp1252 agree outside 0x80-0x9F, which real text never encodes to)
+        # oracle still requires byte-identical text back, so the guard
+        # admits only code points where latin-1 and cp1252 agree: C1
+        # controls U+0080-U+009F are EXCLUDED (latin-1 encodes them to
+        # 0x80-0x9F, which cp1252 decodes to smart quotes/€/undefined —
+        # a doc carrying one would fail the byte-identity gate)
         legacy_page = F.concat(
             F.lit(ARTICLE_PREFIX), F.col("text"),
             F.lit(ARTICLE_SUFFIX.replace(
@@ -290,7 +293,7 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
             )),
         )
         legacy = (F.col("doc_id") % 10 == 7) & F.col("text").rlike(
-            "^[\\x00-\\xff]*$"
+            "^[\\x00-\\x7f\\xa0-\\xff]*$"
         )
         html = F.when(legacy, F.encode(legacy_page, "ISO-8859-1")).otherwise(
             F.encode(page, "UTF-8")

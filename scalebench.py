@@ -29,7 +29,10 @@ Steps:
    session startup, which is a per-driver constant, not a scaling term),
    efficiency = (thr_4N / thr_N) / 4, and require byte-identical output
    hashes across parallelism levels;
-5. write BENCH/scaling.json + BENCH/BASELINE.md.
+5. write BENCH/scaling.run.json + BENCH/BASELINE.run.md (or the canonical
+   scaling.json / BASELINE.md when SCALEBENCH_PUBLISH=1 — set by the batch
+   harness tools/bench_attempts.py, so bare runs never clobber the
+   pre-declared median-pooled batch artifacts).
 
 Usage: python scalebench.py [sf_dir] [html_copies]
 """
@@ -65,9 +68,16 @@ def materialize_corpus(sf_dir: str, html_copies: int, repeat: int = 8) -> tuple[
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
-    from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX, corpus_from_documents
+    from pdf_extraction_spark.corpus import (
+        ARTICLE_PREFIX, ARTICLE_SUFFIX, corpus_from_documents, spread_docs,
+    )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # the ×copies url stride embeds the copy index at +1e7 per copy; a
+    # doc_id at or past the stride would collide with copy k+1's urls
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= 10_000_000:
+        raise SystemExit(f"doc_id {mx} >= url stride 10_000_000: widen the stride")
     rep = docs.select(
         "doc_id", "text", "lang", "source",
         F.explode(F.sequence(F.lit(0), F.lit(html_copies - 1))).alias("k"),
@@ -94,6 +104,11 @@ def materialize_corpus(sf_dir: str, html_copies: int, repeat: int = 8) -> tuple[
     corpus.repartition(64).write.mode("overwrite").parquet(str(corpus_path))
     n = spark.read.parquet(str(corpus_path)).count()
     spark.stop()
+    # record the build parameters so a SCALEBENCH_REUSE run can refuse a
+    # corpus built with different inputs instead of mislabeling its results
+    (WORK / "corpus_meta.json").write_text(json.dumps(
+        {"sf_dir": sf_dir, "html_copies": html_copies, "repeat": repeat, "n_docs": n}
+    ))
     return str(corpus_path), n
 
 
@@ -152,8 +167,11 @@ def run_at(cores: int, corpus_path: str, zip_path: str, trials: int | None = Non
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:])
         raise SystemExit(f"job failed at local[{cores}]")
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    res = json.loads(line)
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not json_lines:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:])
+        raise SystemExit(f"job at local[{cores}] exited 0 but printed no JSON summary")
+    res = json.loads(json_lines[-1])
     res["cores"] = cores
     res["wall_total_s"] = round(wall_total, 3)
     return res
@@ -168,6 +186,10 @@ def main() -> None:
     WORK.mkdir(parents=True, exist_ok=True)
 
     zip_path = str(WORK / "pdf_extraction_spark.zip")
+    # always rebuild: `zip -qr` onto an existing archive only adds/refreshes
+    # entries, so a module deleted from the package would stay importable
+    # from the stale zip and the benchmarked jobs would run old code
+    pathlib.Path(zip_path).unlink(missing_ok=True)
     subprocess.run(
         ["zip", "-qr", zip_path, "pdf_extraction_spark", "-x", "*__pycache__*"],
         cwd=str(REPO), check=True,
@@ -175,7 +197,21 @@ def main() -> None:
 
     if os.environ.get("SCALEBENCH_REUSE") and (WORK / "corpus.parquet").exists():
         corpus_path = str(WORK / "corpus.parquet")
-        n_docs = None
+        meta_path = WORK / "corpus_meta.json"
+        if not meta_path.exists():
+            raise SystemExit(
+                "SCALEBENCH_REUSE: no corpus_meta.json next to the cached "
+                "corpus — rebuild without SCALEBENCH_REUSE"
+            )
+        meta = json.loads(meta_path.read_text())
+        want = {"sf_dir": sf_dir, "html_copies": html_copies, "repeat": repeat}
+        have = {k: meta.get(k) for k in want}
+        if have != want:
+            raise SystemExit(
+                f"SCALEBENCH_REUSE: cached corpus was built with {have}, "
+                f"this run asked for {want} — rebuild without SCALEBENCH_REUSE"
+            )
+        n_docs = meta["n_docs"]
     else:
         corpus_path, n_docs = materialize_corpus(sf_dir, html_copies, repeat)
     print(f"corpus: {n_docs} docs at {corpus_path}", file=sys.stderr)
@@ -226,7 +262,21 @@ def main() -> None:
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "scaling.json").write_text(json.dumps(result, indent=2))
+    # BENCH/scaling.json and BENCH/BASELINE.md hold the pre-declared
+    # median-pooled batch result; a bare confirmation run must not clobber
+    # them (it did once — restored in commit 3857fd3). Only the batch
+    # harness (tools/bench_attempts.py) sets SCALEBENCH_PUBLISH=1; bare
+    # runs land in *.run.* files.
+    publish = os.environ.get("SCALEBENCH_PUBLISH") == "1"
+    if not publish:
+        print(
+            "SCALEBENCH_PUBLISH unset: writing BENCH/scaling.run.json + "
+            "BENCH/BASELINE.run.md (canonical batch artifacts untouched)",
+            file=sys.stderr,
+        )
+    out_json = bench_dir / ("scaling.json" if publish else "scaling.run.json")
+    out_md = bench_dir / ("BASELINE.md" if publish else "BASELINE.run.md")
+    out_json.write_text(json.dumps(result, indent=2))
 
     md = f"""# BENCH/BASELINE.md — measured scaling numbers
 
@@ -264,9 +314,11 @@ not a best-of ratchet.
 - **output bytes identical across parallelism levels: {identical}** (distributed order-insensitive hash: per-row xxhash64 of `url|extracted_text` combined by count + decimal sum + bit_xor)
 - resumability: the same job is bucket-checkpointed (`_lineage` table); see tests/test_lineage.py
 
-Regenerate: `python scalebench.py {sf_dir} {html_copies} {repeat}`
+Regenerate (batch): `python tools/bench_attempts.py 9 {sf_dir} {html_copies} {repeat}`;
+a single bare `python scalebench.py` writes BENCH/*.run.* instead (set
+SCALEBENCH_PUBLISH=1 to overwrite the canonical artifacts).
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    out_md.write_text(md)
     print(json.dumps(result))
 
 

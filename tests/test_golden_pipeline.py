@@ -97,3 +97,48 @@ def test_iter_binary_views_zero_copy_and_fallbacks():
     assert [
         bytes(v) if v is not None else v for v in _iter_binary_views(lb)
     ] == vals
+
+
+def test_legacy_lane_excludes_c1_codepoints(spark, tmp_path):
+    """The undeclared-ISO-8859-1 lane of corpus_from_documents must skip any
+    doc whose text carries C1 controls U+0080-U+009F: latin-1 encodes them
+    to 0x80-0x9F, which the WHATWG cp1252 sniff decodes to smart quotes /
+    undefined, so such a doc could never round-trip byte-identically. The
+    guard keeps it on the UTF-8 lane instead (review finding, round 5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.corpus import corpus_from_documents
+
+    rows = [
+        # doc_id % 10 == 7 -> legacy-lane candidates
+        (7, "plain latin caf\xe9 cr\xe8me \xb1fa\xe7ade", "src-a", "en"),
+        (17, "smartquote c1 controls", "src-a", "en"),  # C1 -> UTF-8 lane
+        (27, "beyond latin-1 ž — em dash", "src-a", "en"),  # >0xFF -> UTF-8 lane
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "source": [r[2] for r in rows],
+        "lang": [r[3] for r in rows],
+    }), str(d / "documents.parquet"))
+
+    corpus = corpus_from_documents(spark, str(d), "html")
+    enc = {r["url"]: bytes(r["html"]) for r in corpus.collect()}
+    u7 = "https://src-a.example.com/doc/7"
+    u17 = "https://src-a.example.com/doc/17"
+    u27 = "https://src-a.example.com/doc/27"
+    # the eligible doc really took the legacy lane (its chrome carries the
+    # latin-1-encoded accented footer, which is invalid UTF-8)
+    assert "Soci\xe9t\xe9 G\xe9n\xe9rale".encode("ISO-8859-1") in enc[u7]
+    # C1-bearing and beyond-latin-1 docs stayed on the UTF-8 lane
+    assert "c1" in enc[u17].decode("utf-8")
+    assert "ž —" in enc[u27].decode("utf-8")
+
+    # and every doc still round-trips byte-identically
+    got = {r["url"]: r["extracted_text"]
+           for r in extract_corpus(corpus, partitions=2).collect()}
+    for doc_id, text, src, _ in rows:
+        assert got[f"https://{src}.example.com/doc/{doc_id}"] == text, doc_id

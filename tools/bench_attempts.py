@@ -14,6 +14,7 @@ Usage: python tools/bench_attempts.py [attempts] [sf_dir] [html_copies] [repeat]
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import shutil
 import subprocess
@@ -34,6 +35,9 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, str(REPO / "scalebench.py"), *extra],
             cwd=str(REPO), capture_output=True, text=True,
+            # only the batch harness may write the canonical BENCH
+            # artifacts; bare scalebench runs land in BENCH/*.run.*
+            env={**os.environ, "SCALEBENCH_PUBLISH": "1"},
         )
         if proc.returncode != 0:
             sys.stderr.write(proc.stdout[-1000:] + proc.stderr[-3000:])
