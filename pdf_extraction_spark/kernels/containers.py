@@ -235,9 +235,18 @@ def decode_container(payload: bytes) -> dict:
     raise ValueError("not a known media container")
 
 
-def _walk_bmff(payload: bytes, p: int, end: int, out: dict) -> None:
+def _walk_bmff(payload: bytes, p: int, end: int, out: dict, depth: int = 0) -> None:
     """Walk ISO-BMFF boxes in payload[p:end], recursing into moov/trak;
-    fills mvhd duration (ms) and tkhd track dimensions into ``out``."""
+    fills mvhd duration (ms) and tkhd track dimensions into ``out``.
+
+    Recursion is capped at 16 container levels: a real file nests 2
+    (moov > trak), but a hostile payload of back-to-back 8-byte ``trak``
+    headers nests once per 8 bytes — unbounded, that is a RecursionError
+    escaping a parser whose callers are promised totality (the multimodal
+    operator catches only ValueError, so one crafted payload would kill
+    its whole Arrow batch)."""
+    if depth > 16:
+        return
     while p + 8 <= end:
         (size,) = struct.unpack(">I", payload[p : p + 4])
         typ = payload[p + 4 : p + 8]
@@ -245,7 +254,7 @@ def _walk_bmff(payload: bytes, p: int, end: int, out: dict) -> None:
             return
         body = p + 8
         if typ in (b"moov", b"trak"):
-            _walk_bmff(payload, body, p + size, out)
+            _walk_bmff(payload, body, p + size, out, depth + 1)
         elif typ == b"mvhd" and size >= 32 and payload[body] == 0:
             timescale, duration = struct.unpack(">II", payload[body + 12 : body + 20])
             if timescale:

@@ -453,3 +453,88 @@ def test_latin_pages_with_adjacent_punctuation_never_flip():
     for page in pages:
         payload = page.encode("cp1252")
         assert decode_payload(payload) == page, page[:40]
+
+
+# -- media container header parser: total + shape-stable on hostile bytes ----
+
+_SIGS = [
+    b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF", b"GIF87a", b"GIF89a",
+    b"\x00\x00\x00\x08ftyp", b"RIFF\x00\x00\x00\x00WEBP",
+    b"RIFF\x00\x00\x00\x00WAVE",
+]
+_META_KEYS = {"fmt", "width", "height", "sample_rate", "channels", "duration_ms"}
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(_SIGS), st.binary(max_size=2048))
+def test_decode_container_total_on_garbage_after_signature(sig, tail):
+    """decode_container is total on arbitrary bytes after every container
+    signature it claims to handle: either ValueError (no signature — can't
+    happen here) or a shape-stable dict, never any other exception. The
+    multimodal operator catches only ValueError, so anything else would
+    kill its whole Arrow batch."""
+    from pdf_extraction_spark.kernels.containers import decode_container
+
+    meta = decode_container(sig + tail)
+    assert set(meta) == _META_KEYS
+    assert isinstance(meta["fmt"], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_decode_container_garbage_raises_only_valueerror(data):
+    from pdf_extraction_spark.kernels.containers import decode_container
+
+    try:
+        meta = decode_container(data)
+    except ValueError:
+        return
+    assert set(meta) == _META_KEYS
+
+
+def test_bmff_nested_trak_bomb_is_depth_capped():
+    """Regression (r5 review): back-to-back nested 8-byte trak headers
+    nested once per 8 payload bytes — unbounded recursion escaped as
+    RecursionError past the operator's ValueError handler."""
+    import struct as _s
+
+    from pdf_extraction_spark.kernels.containers import decode_container
+
+    nest = b""
+    for _ in range(5000):
+        nest = _s.pack(">I", len(nest) + 8) + b"trak" + nest
+    meta = decode_container(_s.pack(">I", 8) + b"ftyp" + nest)
+    assert set(meta) == _META_KEYS and meta["fmt"] == "corrupt"
+
+
+# -- outlink resolution: total + normalized + idempotent on hostile hrefs ----
+
+_URLISH = st.text(
+    alphabet="abc:/?#[]@!$&'()*+,;=%. \t\n\\0123456789-_~é中",
+    max_size=80,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_URLISH, _URLISH)
+def test_resolve_link_total_and_idempotent(base, href):
+    """resolve_link never raises on hostile (base, href) pairs — it runs
+    in-batch over crawled markup, where both come from untrusted pages —
+    and its output is already-normalized: resolving a result against any
+    base returns it unchanged (the frontier/url-dedup fixpoint)."""
+    from pdf_extraction_spark.kernels.urlnorm import resolve_link
+
+    out = resolve_link(base, href)
+    if out is None:
+        return
+    assert out.startswith(("http://", "https://"))
+    assert resolve_link("https://unrelated.example.com/x", out) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_URLISH)
+def test_resolve_link_total_on_hostile_href_with_real_base(href):
+    from pdf_extraction_spark.kernels.urlnorm import resolve_link
+
+    out = resolve_link("https://host.example.com/a/b?q=1", href)
+    assert out is None or out.startswith(("http://", "https://"))
