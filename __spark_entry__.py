@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textops.q_top_terms,
         "regex_counts": textops.q_regex_counts,
         "rag_retrieval": textops.q_rag_retrieval,
+        # round-5: fills the last free driver-window slot (final round, no
+        # future headroom needed) — term-based BM25 twin of rag_retrieval
+        "bm25_retrieval": textops.q_bm25_retrieval,
         # link graph
         "extract_outlinks": links.q_extract_outlinks,
         "link_host_degree": links.q_link_host_degree,
@@ -143,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textops.SQL_TOP_TERMS,
         "regex_counts": textops.SQL_REGEX_COUNTS,
         "rag_retrieval": textops.SQL_RAG_RETRIEVAL,
+        "bm25_retrieval": textops.SQL_BM25_RETRIEVAL,
         "extract_outlinks": links.SQL_EXTRACT_OUTLINKS,
         "link_host_degree": links.SQL_LINK_HOST_DEGREE,
         "crawl_suite": suites.SQL_CRAWL_SUITE,

@@ -507,6 +507,148 @@ SELECT qid, rank, doc_id, chunk_id, score FROM (
 """
 
 
+# -- BM25 retrieval (J8/W5 lexical twin: inverted index → integer-exact scoring) --------
+
+BM25_TOP_K = 5
+BM25_N_QUERIES = 3
+BM25_QUERY_WORDS = 5
+# k1 = 6/5, b = 3/4 folded into exact integer rationals below; idf is the
+# only transcendental, pre-rounded to 1e4 micro-units PER DISTINCT QUERY
+# TOKEN (~15 values) so a cross-engine libm ULP can only matter on ~15
+# round boundaries, never once per (query, doc, term) contribution.
+BM25_IDF_SCALE = 10_000
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval — the term-based twin of the embedding retrieval
+    family (reference's RAG loop, complete_multimodal_rag_evaluation.py:225,
+    rebuilt over an inverted index instead of FAISS). Queries are the first
+    5 words of the first 3 docs, scored against every other doc.
+
+    Integer-exact scoring: with k1=6/5, b=3/4, S=Σdl, N=#docs,
+
+        tfnorm = tf·(k1+1) / (tf + k1·(1−b+b·dl·N/S))
+               = 22·S·tf / (10·S·tf + 3·S + 9·dl·N)     (exact rational)
+        contrib = idf_u · 22·S·tf  div  (10·S·tf + 3·S + 9·dl·N)
+
+    where idf_u = round(ln(1+(N−df+0.5)/(df+0.5))·1e4). Every contribution
+    is a BIGINT, the per-(query,doc) score is a BIGINT sum — order- and
+    partitioning-independent, bit-equal across engines and cluster sizes
+    (the same discipline as host_pagerank's micro-unit integer sums).
+    Overflow bound: idf_u·22·S·tf < 9.2e18 holds to ~1e9 total corpus
+    tokens with tf ≤ 1e3; past that, rescale BM25_IDF_SCALE down.
+
+    Scale story: the token explode + (tok, doc) count is the inverted-index
+    build — one map-side-combinable shuffle keyed by term; the query side
+    (≤15 tokens) and the 1-row corpus stats broadcast; the final groupBy is
+    keyed by (qid, doc) over postings already filtered to query terms, so
+    no stage ever touches more than the matching postings lists."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size("w").cast("long").alias("dl"),
+        F.explode("w").alias("tok"),
+    ).filter(F.col("tok") != "")
+    q_toks = docs.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.array_distinct(F.slice(F.col("w"), 1, BM25_QUERY_WORDS))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # postings restricted to query terms BEFORE the tf aggregation: the
+    # inverted index is built only for the term subset in play.
+    matched = toks.join(F.broadcast(q_toks.select("tok").distinct()), "tok")
+    postings = matched.groupBy("tok", "doc_id", "dl").agg(
+        F.count("*").alias("tf")
+    )
+    stats = docs.agg(
+        F.sum(F.size("w").cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    idf = (
+        postings.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * BM25_IDF_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("idf_u"),
+        )
+    )
+    contrib = (
+        postings.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(q_toks), "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                "idf_u * (22 * s * tf) div (10 * s * tf + 3 * s + 9 * dl * n)"
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(F.sum("c").alias("score_u"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "rank", "doc_id", "score_u")
+    )
+
+
+SQL_BM25_RETRIEVAL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok FROM d
+  -- empty tokens removed below so dl still counts raw split size, matching
+  -- the Spark side (dl = size(w) before the filter)
+), q_toks AS (
+  SELECT DISTINCT doc_id AS qid, tok
+  FROM d, LATERAL (SELECT unnest(w[1:{BM25_QUERY_WORDS}]) AS tok)
+  WHERE doc_id < {BM25_N_QUERIES} AND tok <> ''
+), postings AS (
+  SELECT tok, doc_id, dl, count(*) AS tf
+  FROM toks WHERE tok <> '' AND tok IN (SELECT tok FROM q_toks)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM d
+), idf AS (
+  SELECT tok,
+         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * {BM25_IDF_SCALE}, 0) AS BIGINT) AS idf_u
+  FROM (SELECT tok, count(*) AS df FROM postings GROUP BY 1), stats
+), contrib AS (
+  SELECT q.qid, p.doc_id,
+         i.idf_u * (22 * st.s * p.tf) // (10 * st.s * p.tf + 3 * st.s + 9 * p.dl * st.n) AS c
+  FROM postings p
+  JOIN idf i ON p.tok = i.tok
+  JOIN q_toks q ON p.tok = q.tok
+  CROSS JOIN stats st
+  WHERE p.doc_id <> q.qid
+), scored AS (
+  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_u FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_u DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOP_K}
+"""
+
+
 # -- PII scrubbing (training-data hygiene) ----------------------------------------------
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
