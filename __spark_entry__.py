@@ -6,10 +6,13 @@ inventory of SURVEY.md §2 plus the training-data-pipeline operators (dedup /
 similarity / text analysis / multimodal). Every SQL-expressible operator has
 a DuckDB oracle; column names are aligned on both sides.
 
-Registry size is deliberately kept WELL under the driver's 50-query window
-(VERDICT r4): the four north-rule roundtrips live in ``extraction_suite``
-and the multimodal parts inside ``docmeta_suite``, so new queries always
-get a correctness row.
+Registry size is EXACTLY the driver's 50-query window (filled in round 5,
+the final round — r4 proved all 50 slots get correctness rows). The
+consolidation discipline still applies: the four north-rule roundtrips
+live in ``extraction_suite`` and the multimodal parts inside
+``docmeta_suite``. THERE IS NO FREE SLOT — a 51st entry would silently
+lose its correctness row (the r3 regression); fold new work into a suite
+part instead.
 """
 
 from __future__ import annotations

@@ -434,6 +434,29 @@ RAG_N_QUERIES = 3
 RAG_QUERY_WORDS = 5
 
 
+def _split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, w)`` with ``w`` = raw space-split tokens — shared by the
+    retrieval twins (rag_retrieval / bm25_retrieval) so corpus tokenization
+    cannot drift between them."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+
+
+def _first_words_queries(
+    docs: DataFrame, n_queries: int, n_words: int, drop_empty: bool = False
+) -> DataFrame:
+    """Query side shared by the retrieval twins: the distinct first-n words
+    of the first ``n_queries`` docs as ``(qid, tok)``. BM25 drops empty
+    tokens (they carry no idf); the RAG overlap kernel keeps the raw slice
+    on BOTH engine sides, so its pinned oracle semantics are untouched."""
+    q = docs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array_distinct(F.slice(F.col("w"), 1, n_words))).alias("tok"),
+    )
+    return q.filter(F.col("tok") != "") if drop_empty else q
+
+
 def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked retrieval (the reference's RAG loop,
     complete_multimodal_rag_evaluation.py:225-233: search_text k → top-3
@@ -442,9 +465,7 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query with deterministic tie-breaks. Token-join + window top-k — the
     same shape as embedding retrieval with the dot product replaced by a
     lexical overlap kernel."""
-    docs = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("w")
-    )
+    docs = _split_docs(spark, sf_dir)
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.size("w") - F.lit(CHUNK_WORDS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
@@ -456,11 +477,7 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS))).alias("tok"),
         )
     )
-    q_toks = (
-        docs.filter(F.col("doc_id") < RAG_N_QUERIES)
-        .select(F.col("doc_id").alias("qid"),
-                F.explode(F.array_distinct(F.slice(F.col("w"), 1, RAG_QUERY_WORDS))).alias("tok"))
-    )
+    q_toks = _first_words_queries(docs, RAG_N_QUERIES, RAG_QUERY_WORDS)
     scored = (
         q_toks.join(chunk_toks, "tok")
         .filter(F.col("doc_id") != F.col("qid"))
@@ -536,27 +553,27 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent, bit-equal across engines and cluster sizes
     (the same discipline as host_pagerank's micro-unit integer sums).
     Overflow bound: idf_u·22·S·tf < 9.2e18 holds to ~1e9 total corpus
-    tokens with tf ≤ 1e3; past that, rescale BM25_IDF_SCALE down.
+    tokens with tf ≤ 1e3; past that, rescale BM25_IDF_SCALE down. The
+    bound is ENFORCED, not just documented: a one-row guard (max tf / max
+    dl / max idf_u against the corpus stats, double math with a 2% margin)
+    raises before Spark's non-ANSI BIGINT arithmetic could wrap silently —
+    DuckDB already errors natively on BIGINT overflow, so both engines
+    fail loudly on the same inputs instead of diverging.
 
     Scale story: the token explode + (tok, doc) count is the inverted-index
     build — one map-side-combinable shuffle keyed by term; the query side
     (≤15 tokens) and the 1-row corpus stats broadcast; the final groupBy is
     keyed by (qid, doc) over postings already filtered to query terms, so
     no stage ever touches more than the matching postings lists."""
-    docs = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("w")
-    )
+    docs = _split_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.size("w").cast("long").alias("dl"),
         F.explode("w").alias("tok"),
     ).filter(F.col("tok") != "")
-    q_toks = docs.filter(F.col("doc_id") < BM25_N_QUERIES).select(
-        F.col("doc_id").alias("qid"),
-        F.explode(
-            F.array_distinct(F.slice(F.col("w"), 1, BM25_QUERY_WORDS))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+    q_toks = _first_words_queries(
+        docs, BM25_N_QUERIES, BM25_QUERY_WORDS, drop_empty=True
+    )
     # postings restricted to query terms BEFORE the tf aggregation: the
     # inverted index is built only for the term subset in play.
     matched = toks.join(F.broadcast(q_toks.select("tok").distinct()), "tok")
@@ -585,16 +602,57 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idf_u"),
         )
     )
+    # overflow guard: Spark's non-ANSI BIGINT arithmetic wraps silently, so
+    # check the worst-case numerator/denominator against LONG_MAX with a 2%
+    # margin (double math; coalesce(True) covers the empty-postings case,
+    # where there is nothing to overflow). bound_ok multiplies into the
+    # contribution (×1) so column pruning cannot drop the guard.
+    limits = postings.agg(
+        F.max("tf").alias("tf_mx"), F.max("dl").alias("dl_mx")
+    ).crossJoin(idf.agg(F.max("idf_u").alias("idf_mx")))
+    checked = stats.crossJoin(limits).select(
+        "s",
+        "n",
+        F.when(
+            F.coalesce(
+                (
+                    F.col("idf_mx").cast("double")
+                    * 22.0
+                    * F.col("s")
+                    * F.col("tf_mx")
+                    < 9.0e18
+                )
+                & (
+                    10.0 * F.col("s").cast("double") * F.col("tf_mx")
+                    + 3.0 * F.col("s")
+                    + 9.0 * F.col("dl_mx").cast("double") * F.col("n")
+                    < 9.0e18
+                ),
+                F.lit(True),
+            ),
+            F.lit(1).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bm25_retrieval: score would overflow BIGINT — "
+                    "lower BM25_IDF_SCALE for this corpus"
+                )
+            )
+        )
+        .alias("bound_ok"),
+    )
     contrib = (
         postings.join(F.broadcast(idf), "tok")
         .join(F.broadcast(q_toks), "tok")
         .filter(F.col("doc_id") != F.col("qid"))
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(checked))
         .select(
             "qid",
             "doc_id",
             F.expr(
-                "idf_u * (22 * s * tf) div (10 * s * tf + 3 * s + 9 * dl * n)"
+                "(idf_u * (22 * s * tf) div (10 * s * tf + 3 * s + 9 * dl * n))"
+                " * bound_ok"
             ).alias("c"),
         )
     )
@@ -631,6 +689,9 @@ WITH d AS (
          CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * {BM25_IDF_SCALE}, 0) AS BIGINT) AS idf_u
   FROM (SELECT tok, count(*) AS df FROM postings GROUP BY 1), stats
 ), contrib AS (
+  -- DuckDB raises natively on BIGINT overflow; the Spark side enforces the
+  -- same bound explicitly (bound_ok guard), so both engines fail loudly on
+  -- the same inputs instead of diverging
   SELECT q.qid, p.doc_id,
          i.idf_u * (22 * st.s * p.tf) // (10 * st.s * p.tf + 3 * st.s + 9 * p.dl * st.n) AS c
   FROM postings p

@@ -44,7 +44,10 @@ def _reference_bm25(sf_dir: str):
             tf[(tok, d)] = n
     df = Counter(tok for tok, _ in tf)
     idf_u = {
-        tok: int(round(math.log(1 + (N - df[tok] + 0.5) / (df[tok] + 0.5)) * textops.BM25_IDF_SCALE))
+        # floor(x+0.5), NOT Python round(): round() is banker's (HALF_EVEN)
+        # while Spark F.round and DuckDB round() are both HALF_UP — on an
+        # exact k+0.5 double they disagree (11/11 vs 10)
+        tok: math.floor(math.log(1 + (N - df[tok] + 0.5) / (df[tok] + 0.5)) * textops.BM25_IDF_SCALE + 0.5)
         for tok in df
     }
     scores = Counter()
@@ -87,6 +90,16 @@ def test_bm25_plan_jvm_only_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the query-token side is broadcast into the postings join
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_overflow_guard_fires(spark, monkeypatch):
+    """With the idf scale cranked to 1e15 the worst-case contribution
+    product exceeds LONG_MAX on the sf0.001 corpus; the guard must raise
+    loudly instead of letting non-ANSI BIGINT arithmetic wrap to a silently
+    wrong ranking (DuckDB errors natively on the same inputs)."""
+    monkeypatch.setattr(textops, "BM25_IDF_SCALE", 10**15)
+    with pytest.raises(Exception, match="overflow"):
+        textops.q_bm25_retrieval(spark, SF).collect()
 
 
 def test_bm25_output_shape(spark):
