@@ -461,6 +461,7 @@ class _DifferencesEncoder:
             names.append((nxt, name))
             nxt += 1
         # contiguous from _DIFF_BASE: one leading code, then bare names
+        self._names = names
         self._diff_array = "[%d %s]" % (
             _DIFF_BASE,
             " ".join("/" + n for _, n in names),
@@ -480,7 +481,7 @@ class _DifferencesEncoder:
                 out.append("\\%03o" % ord(ch))  # control chars, never emitted
         return "(" + "".join(out) + ")"
 
-    def font_objects(self, next_free: int):
+    def _widths_entry(self) -> tuple[int, str]:
         # explicit /Widths covering ASCII passthrough and the remap range,
         # from the shared AFM table (remapped codes get the mapped char's
         # real metric)
@@ -490,6 +491,10 @@ class _DifferencesEncoder:
             "%d" % self.metrics.char_width(by_code.get(c, chr(c) if c <= 126 else " "))
             for c in range(32, last + 1)
         )
+        return last, widths
+
+    def font_objects(self, next_free: int):
+        last, widths = self._widths_entry()
         obj3 = (
             "<< /Type /Font /Subtype /Type1 /BaseFont /%s "
             "/FirstChar 32 /LastChar %d /Widths [%s] "
@@ -498,6 +503,65 @@ class _DifferencesEncoder:
             % (self.metrics.name, last, widths, self._diff_array)
         ).encode()
         return obj3, {}
+
+
+class _Type1BuiltinEncoder(_DifferencesEncoder):
+    """Simple Type1 font whose remap table lives ONLY in the embedded
+    FontFile program's built-in /Encoding vector: the font dict carries NO
+    /Encoding, no /Differences and no /ToUnicode, so the parser's only way
+    back to the remapped characters is reading the cleartext Type1 header
+    and resolving its ``dup <code> /<name> put`` glyph names
+    (pdf_fonts.parse_type1_encoding — VERDICT r4 "missing" item 2, the
+    Type1 twin of the round-5 FontFile2 lane)."""
+
+    def _type1_program(self) -> bytes:
+        head = "\n".join(
+            [
+                "%!FontType1-1.0: SUBSET+SynthT1 001.001",
+                "/FontName /SUBSET+SynthT1 def",
+                "/PaintType 0 def",
+                "/FontType 1 def",
+                "/FontMatrix [0.001 0 0 0.001 0 0] readonly def",
+                "/FontBBox {0 0 1000 1000} readonly def",
+                "/Encoding 256 array",
+                "0 1 255 {1 index exch /.notdef put} for",
+            ]
+            + ["dup %d /%s put" % (c, n) for c, n in self._names]
+            + ["readonly def", "currentdict end", "currentfile eexec", ""]
+        ).encode("ascii")
+        # deterministic filler standing in for the eexec-encrypted private
+        # area (charstrings are irrelevant to text extraction), then the
+        # standard 512-zero + cleartomark trailer
+        private = bytes((i * 37 + 11) & 0xFF for i in range(256))
+        trailer = (b"0" * 64 + b"\n") * 8 + b"cleartomark\n"
+        self._lengths = (len(head), len(private), len(trailer))
+        return head + private + trailer
+
+    def font_objects(self, next_free: int):
+        last, widths = self._widths_entry()
+        fdesc, ffile = next_free, next_free + 1
+        t1 = self._type1_program()
+        l1, l2, l3 = self._lengths
+        obj3 = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /SUBSET+SynthT1 "
+            "/FirstChar 32 /LastChar %d /Widths [%s] "
+            "/FontDescriptor %d 0 R >>" % (last, widths, fdesc)
+        ).encode()
+        extra = {
+            fdesc: (
+                b"<< /Type /FontDescriptor /FontName /SUBSET+SynthT1 "
+                b"/Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0 "
+                b"/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 "
+                b"/FontFile %d 0 R >>" % ffile
+            ),
+            ffile: (
+                b"<< /Length %d /Length1 %d /Length2 %d /Length3 %d >>\nstream\n"
+                % (len(t1), l1, l2, l3)
+                + t1
+                + b"\nendstream"
+            ),
+        }
+        return obj3, extra
 
 
 def wrap_words(text: str, width: int) -> list[str]:
@@ -1110,7 +1174,11 @@ def build_pdf(
       subset-TTF whose own ``cmap`` table is the only way back to Unicode
       (VERDICT r4 item 4);
     * ``differences`` — Type1 with /Encoding /Differences remapping letters
-      and all non-ASCII chars to codes >= 128 with AGL glyph names.
+      and all non-ASCII chars to codes >= 128 with AGL glyph names;
+    * ``type1-builtin`` — the same remap, but carried ONLY by the embedded
+      Type1 program's built-in ``/Encoding`` vector (no font-dict /Encoding,
+      no /ToUnicode): the parser must read the cleartext FontFile header
+      (VERDICT r4 "missing" item 2).
 
     ``encrypt`` applies the standard security handler with EMPTY user/owner
     passwords: ``rc4-40``, ``rc4-128``, or ``aes-128`` (VERDICT r2 item 6).
@@ -1168,8 +1236,10 @@ def build_pdf(
                 # runs): real producers ship a ToUnicode CMap instead
                 encoder = _Type0Encoder(charset, metrics=family)
         else:
+            cls = (_Type1BuiltinEncoder if encoding == "type1-builtin"
+                   else _DifferencesEncoder)
             try:
-                encoder = _DifferencesEncoder(charset, metrics=family)
+                encoder = cls(charset, metrics=family)
             except ValueError:
                 # charset too rich for 128 remap codes (e.g. CJK-heavy
                 # documents): the Type0 layout is what real producers use

