@@ -167,7 +167,9 @@ def main():
             "extract_docs_per_sec are not comparable across those rounds; "
             "round 5 hardened the PDF mix again (embedded-FontFile2 "
             "type0-ttf docs whose sfnt cmap must be parsed, family-correct "
-            "split-run widths), so r4 extract_pdf numbers are not directly "
+            "split-run widths, embedded-font-only simple remaps: "
+            "type1-builtin cleartext vectors and type1c bare-CFF "
+            "Encoding+charset), so r4 extract_pdf numbers are not directly "
             "comparable; the benchmark's HTML corpus is all-UTF-8 template "
             "pages - the charset-probe variants live in the goldens and "
             "oracle corpora, NOT in these timings; "

@@ -154,11 +154,13 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
                     tj_kerning=kern, rotate=rot, form_xobject=form, split_runs=split,
                 )
             elif variant == 5:
-                # remapped simple fonts; every other one moves the remap out
-                # of the font dict into the embedded Type1 program's built-in
-                # /Encoding vector (no /Differences, no /ToUnicode — VERDICT
-                # r4 "missing" item 2)
-                enc5 = "type1-builtin" if (i // 8) % 2 == 1 else "differences"
+                # remapped simple fonts, rotating where the remap lives:
+                # the font dict (/Differences), the embedded Type1 program's
+                # cleartext built-in /Encoding vector, or an embedded
+                # bare-CFF's binary Encoding + charset (no /Differences, no
+                # /ToUnicode in either — VERDICT r4 "missing" item 2)
+                enc5 = ("differences", "type1-builtin",
+                        "type1c")[(i // 8) % 3]
                 payload = pdf_write.build_pdf(
                     body_text, title=title, encoding=enc5, tj_kerning=kern,
                     rotate=rot, form_xobject=form,
@@ -320,11 +322,13 @@ def corpus_from_documents(spark, sf_dir: str, payload: str = "html"):
                 # empty-password decryption end-to-end (VERDICT r2 items 1, 6)
                 # every other type0 doc swaps the ToUnicode CMap for an
                 # embedded FontFile2 cmap (no /ToUnicode — VERDICT r4 item 4);
-                # every other differences doc moves the remap into the
-                # embedded Type1 program's built-in /Encoding (r4 item 2)
+                # differences docs rotate the remap into embedded font
+                # programs: Type1 cleartext /Encoding (i%22) or bare-CFF
+                # binary Encoding+charset (i%33) — r4 item 2
                 encoding = (
                     ("type0-ttf" if i % 14 == 0 else "type0") if i % 7 == 0
-                    else (("type1-builtin" if i % 22 == 0 else "differences")
+                    else (("type1c" if i % 33 == 0 else
+                           "type1-builtin" if i % 22 == 0 else "differences")
                           if i % 11 == 0 else "simple")
                 )
                 encrypt = "aes-128" if i % 13 == 0 else None

@@ -474,20 +474,242 @@ def parse_type1_encoding(program: bytes) -> dict[int, str]:
         return {}
 
 
+# -- CFF / Type1C (FontFile3) built-in Encoding + charset ------------------------------
+#
+# Compact Font Format (Adobe TN #5176, public): the same built-in-encoding
+# problem as a cleartext Type1 program, but the vector lives in binary
+# structures — Encoding maps code→GID, charset maps GID→SID, and SID
+# resolves through the standard-strings table (SID < 391) or the font's
+# own String INDEX. Standard strings 0-228 cover the ISOAdobe Latin set;
+# the Expert set (229-390) holds small-caps/oldstyle variants with no
+# Unicode identity and is left unresolved on purpose.
+
+_CFF_STD_STRINGS = (
+    ".notdef space exclam quotedbl numbersign dollar percent ampersand "
+    "quoteright parenleft parenright asterisk plus comma hyphen period "
+    "slash zero one two three four five six seven eight nine colon "
+    "semicolon less equal greater question at A B C D E F G H I J K L M "
+    "N O P Q R S T U V W X Y Z bracketleft backslash bracketright "
+    "asciicircum underscore quoteleft a b c d e f g h i j k l m n o p q "
+    "r s t u v w x y z braceleft bar braceright asciitilde exclamdown "
+    "cent sterling fraction yen florin section currency quotesingle "
+    "quotedblleft guillemotleft guilsinglleft guilsinglright fi fl "
+    "endash dagger daggerdbl periodcentered paragraph bullet "
+    "quotesinglbase quotedblbase quotedblright guillemotright ellipsis "
+    "perthousand questiondown grave acute circumflex tilde macron breve "
+    "dotaccent dieresis ring cedilla hungarumlaut ogonek caron emdash "
+    "AE ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash "
+    "oslash oe germandbls onesuperior logicalnot mu trademark Eth "
+    "onehalf plusminus Thorn onequarter divide brokenbar degree thorn "
+    "threequarters twosuperior registered minus eth multiply "
+    "threesuperior copyright Aacute Acircumflex Adieresis Agrave Aring "
+    "Atilde Ccedilla Eacute Ecircumflex Edieresis Egrave Iacute "
+    "Icircumflex Idieresis Igrave Ntilde Oacute Ocircumflex Odieresis "
+    "Ograve Otilde Scaron Uacute Ucircumflex Udieresis Ugrave Yacute "
+    "Ydieresis Zcaron aacute acircumflex adieresis agrave aring atilde "
+    "ccedilla eacute ecircumflex edieresis egrave iacute icircumflex "
+    "idieresis igrave ntilde oacute ocircumflex odieresis ograve otilde "
+    "scaron uacute ucircumflex udieresis ugrave yacute ydieresis zcaron"
+).split()
+_CFF_MAX_GLYPHS = 0x10000  # hostile counts: CFF GIDs are 16-bit anyway
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Read one CFF INDEX at ``pos`` → (items, position after the INDEX)."""
+    count = _u16(data, pos)
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("bad offSize")
+    arr = pos + 3
+    offs = []
+    for i in range(count + 1):
+        o = 0
+        for b in data[arr + i * off_size : arr + (i + 1) * off_size]:
+            o = (o << 8) | b
+        offs.append(o)
+    base = arr + (count + 1) * off_size - 1  # offsets are 1-based
+    if offs[-1] <= 0 or base + offs[-1] > len(data):
+        raise ValueError("INDEX overruns data")
+    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[-1]
+
+
+def _cff_dict(data: bytes) -> dict[int, list[float]]:
+    """Parse a CFF DICT → {operator: operands}; 2-byte ops keyed 1200+op2."""
+    out: dict[int, list[float]] = {}
+    operands: list[float] = []
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        if b0 <= 21:  # operator
+            if b0 == 12:
+                out[1200 + data[i + 1]] = operands
+                i += 2
+            else:
+                out[b0] = operands
+                i += 1
+            operands = []
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            v = _u16(data, i + 1)
+            operands.append(v - 0x10000 if v >= 0x8000 else v)
+            i += 3
+        elif b0 == 29:
+            v = _u32(data, i + 1)
+            operands.append(v - 0x100000000 if v >= 0x80000000 else v)
+            i += 5
+        elif b0 == 30:  # real number: packed BCD nibbles until 0xf
+            i += 1
+            while i < len(data):
+                hi, lo = data[i] >> 4, data[i] & 0xF
+                i += 1
+                if hi == 0xF or lo == 0xF:
+                    break
+            operands.append(0.0)  # never operand-relevant for our keys
+        else:
+            raise ValueError("reserved DICT byte")
+    return out
+
+
+def parse_cff_encoding(data: bytes) -> dict[int, str]:
+    """Built-in Encoding of a bare CFF (Type1C) font program → code→text.
+
+    Resolves code→GID (Encoding, formats 0/1 + supplements), GID→SID
+    (charset, formats 0/1/2), SID→glyph name (standard strings or the
+    String INDEX), then name→Unicode through the shared AGL table.
+    Predefined encodings (Standard/Expert shorthand) reuse the Adobe
+    StandardEncoding delta map; CID-keyed fonts (/ROS) carry CIDs, not
+    SIDs, and return ``{}``. Total parser: hostile bytes → ``{}``.
+    """
+    try:
+        if len(data) < 4 or data[0] != 1:  # CFF major version 1
+            return {}
+        pos = data[2]  # hdrSize
+        _, pos = _cff_index(data, pos)  # Name INDEX
+        top_dicts, pos = _cff_index(data, pos)
+        strings, _ = _cff_index(data, pos)
+        if not top_dicts:
+            return {}
+        top = _cff_dict(top_dicts[0])
+        if 1230 in top:  # ROS: CID-keyed, charset holds CIDs not SIDs
+            return {}
+        enc_off = int(top.get(16, [0])[0]) if top.get(16) else 0
+        if enc_off in (0, 1):
+            # predefined: 0 = Standard, 1 = Expert. Standard equals the
+            # Type1 StandardEncoding delta; Expert has no Unicode identity.
+            return _std_encoding_map() if enc_off == 0 else {}
+        cs_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+        n_glyphs = 0
+        if top.get(17):  # CharStrings INDEX: authoritative glyph count
+            n_glyphs = _u16(data, int(top[17][0]))
+        if not 0 < n_glyphs <= _CFF_MAX_GLYPHS:
+            return {}
+
+        def sid_name(sid: int) -> str | None:
+            if sid < len(_CFF_STD_STRINGS):
+                return _CFF_STD_STRINGS[sid]
+            if 391 <= sid < 391 + len(strings):
+                return strings[sid - 391].decode("latin-1")
+            return None
+
+        # charset: GID -> SID (GID 0 is always .notdef, never listed)
+        gid_to_sid = {0: 0}
+        if cs_off == 0:
+            for g in range(1, n_glyphs):  # ISOAdobe: SID == GID
+                gid_to_sid[g] = g
+        elif cs_off != 1 and cs_off != 2:  # Expert/ExpertSubset: skip
+            fmt = data[cs_off]
+            p = cs_off + 1
+            if fmt == 0:
+                for g in range(1, n_glyphs):
+                    gid_to_sid[g] = _u16(data, p)
+                    p += 2
+            elif fmt in (1, 2):
+                g = 1
+                while g < n_glyphs:
+                    first = _u16(data, p)
+                    n_left = data[p + 2] if fmt == 1 else _u16(data, p + 2)
+                    p += 3 if fmt == 1 else 4
+                    for k in range(n_left + 1):
+                        if g >= n_glyphs:
+                            break
+                        gid_to_sid[g] = first + k
+                        g += 1
+            else:
+                return {}
+
+        out: dict[int, str] = {}
+
+        def put(code: int, sid: int) -> None:
+            name = sid_name(sid)
+            ch = glyph_to_char(name) if name else None
+            if ch is not None and 0 <= code <= 255 and ch != chr(code):
+                out[code] = ch
+
+        fmt = data[enc_off]
+        supplemented = bool(fmt & 0x80)
+        fmt &= 0x7F
+        p = enc_off + 1
+        if fmt == 0:
+            n_codes = data[p]
+            p += 1
+            for g in range(1, min(n_codes, n_glyphs - 1) + 1):
+                put(data[p + g - 1], gid_to_sid.get(g, 0))
+            p += n_codes
+        elif fmt == 1:
+            n_ranges = data[p]
+            p += 1
+            g = 1
+            for _ in range(n_ranges):
+                first, n_left = data[p], data[p + 1]
+                p += 2
+                for k in range(n_left + 1):
+                    if g < n_glyphs:
+                        put(first + k, gid_to_sid.get(g, 0))
+                    g += 1
+        else:
+            return {}
+        if supplemented:
+            n_sups = data[p]
+            p += 1
+            for _ in range(n_sups):  # supplements map code DIRECTLY to SID
+                put(data[p], _u16(data, p + 1))
+                p += 3
+        return out
+    except Exception:
+        return {}
+
+
 def _simple_fontfile_map(font: dict, resolve, decode_stream) -> dict[int, str]:
-    """Built-in encoding of a simple font's embedded Type1 program
-    (FontDescriptor → /FontFile), for fonts with no /ToUnicode and no
-    named base encoding. CFF programs (/FontFile3 /Type1C) keep their
-    charset inside a binary INDEX structure rather than a cleartext
-    vector and are out of scope — they degrade to Latin-1 as before."""
+    """Built-in encoding of a simple font's embedded font program, for
+    fonts with no /ToUnicode and no named base encoding: /FontFile (Type1
+    cleartext /Encoding vector) or /FontFile3 /Type1C (binary CFF Encoding
+    + charset). /FontFile3 /OpenType wraps CFF in an sfnt whose `cmap` is
+    unicode→GID with no code→GID bridge for simple fonts — left on the
+    Latin-1 degrade path (documented residue)."""
     try:
         fd = resolve(font.get("FontDescriptor"))
         if not isinstance(fd, dict):
             return {}
         ff = resolve(fd.get("FontFile"))
-        if not (isinstance(ff, tuple) and ff[0] == "stream"):
-            return {}
-        return parse_type1_encoding(decode_stream(ff[1], ff[2]))
+        if isinstance(ff, tuple) and ff[0] == "stream":
+            return parse_type1_encoding(decode_stream(ff[1], ff[2]))
+        ff3 = resolve(fd.get("FontFile3"))
+        if isinstance(ff3, tuple) and ff3[0] == "stream":
+            prog = decode_stream(ff3[1], ff3[2])
+            if prog[:1] == b"\x01":  # bare CFF (Type1C / CIDFontType0C)
+                return parse_cff_encoding(prog)
+        return {}
     except Exception:
         return {}
 

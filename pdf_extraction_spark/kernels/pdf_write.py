@@ -564,6 +564,90 @@ class _Type1BuiltinEncoder(_DifferencesEncoder):
         return obj3, extra
 
 
+def build_bare_cff(names: list[tuple[int, str]]) -> bytes:
+    """Minimal bare CFF (Type1C) font program whose built-in Encoding
+    (format 0) and charset (format 0) carry the code→glyph-name remap —
+    the binary twin of the cleartext Type1 ``/Encoding`` vector. Glyph
+    names present in the CFF standard-strings table use their standard
+    SID; the rest (uniXXXX) go through the String INDEX. CharStrings are
+    one ``endchar`` per glyph (irrelevant to text extraction)."""
+    from .pdf_fonts import _CFF_STD_STRINGS
+
+    std = {n: i for i, n in enumerate(_CFF_STD_STRINGS)}
+    customs: list[bytes] = []
+    sids: list[int] = []
+    for _, n in names:
+        if n in std:
+            sids.append(std[n])
+        else:
+            sids.append(391 + len(customs))
+            customs.append(n.encode("ascii"))
+
+    def index(items: list[bytes]) -> bytes:
+        if not items:
+            return struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (struct.pack(">HB", len(items), 2)
+                + b"".join(struct.pack(">H", o) for o in offs)
+                + b"".join(items))
+
+    name_idx = index([b"SUBSET+SynthCFF"])
+    string_idx = index(customs)
+    gsubr_idx = index([])
+    charstrings = index([b"\x0e"] * (1 + len(names)))  # GID0 + one per remap
+    charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
+    encoding = b"\x00" + bytes([len(names)]) + bytes(c for c, _ in names)
+
+    def op29(v: int, op: int) -> bytes:  # fixed-width operand: layout
+        return b"\x1d" + struct.pack(">i", v) + bytes([op])  # solves in one pass
+
+    top_idx_len = 2 + 1 + 2 * 2 + 3 * 6  # count offSize offsets[2] dict
+    header = bytes([1, 0, 4, 2])
+    pre = (len(header) + len(name_idx) + top_idx_len
+           + len(string_idx) + len(gsubr_idx))
+    cs_off = pre
+    enc_off = cs_off + len(charset)
+    top_idx = index([op29(cs_off, 15) + op29(enc_off, 16)
+                     + op29(enc_off + len(encoding), 17)])
+    assert len(top_idx) == top_idx_len
+    return (header + name_idx + top_idx + string_idx + gsubr_idx
+            + charset + encoding + charstrings)
+
+
+class _Type1CEncoder(_DifferencesEncoder):
+    """Simple font whose remap lives ONLY in an embedded bare-CFF (Type1C)
+    program's binary Encoding + charset (/FontFile3, no font-dict
+    /Encoding, no /Differences, no /ToUnicode): the parser must walk the
+    CFF INDEX structures (pdf_fonts.parse_cff_encoding) — the compact twin
+    of ``type1-builtin``."""
+
+    def font_objects(self, next_free: int):
+        last, widths = self._widths_entry()
+        fdesc, ffile = next_free, next_free + 1
+        cff = build_bare_cff(self._names)
+        obj3 = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /SUBSET+SynthCFF "
+            "/FirstChar 32 /LastChar %d /Widths [%s] "
+            "/FontDescriptor %d 0 R >>" % (last, widths, fdesc)
+        ).encode()
+        extra = {
+            fdesc: (
+                b"<< /Type /FontDescriptor /FontName /SUBSET+SynthCFF "
+                b"/Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0 "
+                b"/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 "
+                b"/FontFile3 %d 0 R >>" % ffile
+            ),
+            ffile: (
+                b"<< /Subtype /Type1C /Length %d >>\nstream\n" % len(cff)
+                + cff
+                + b"\nendstream"
+            ),
+        }
+        return obj3, extra
+
+
 def wrap_words(text: str, width: int) -> list[str]:
     """Greedy word wrap; deterministic; splits only on single spaces so that
     joining the lines back with " " reproduces the input byte-identically."""
@@ -1178,7 +1262,10 @@ def build_pdf(
     * ``type1-builtin`` — the same remap, but carried ONLY by the embedded
       Type1 program's built-in ``/Encoding`` vector (no font-dict /Encoding,
       no /ToUnicode): the parser must read the cleartext FontFile header
-      (VERDICT r4 "missing" item 2).
+      (VERDICT r4 "missing" item 2);
+    * ``type1c`` — the remap carried ONLY by an embedded bare-CFF program's
+      binary Encoding + charset (/FontFile3 /Type1C): the parser must walk
+      the CFF INDEX structures.
 
     ``encrypt`` applies the standard security handler with EMPTY user/owner
     passwords: ``rc4-40``, ``rc4-128``, or ``aes-128`` (VERDICT r2 item 6).
@@ -1236,8 +1323,8 @@ def build_pdf(
                 # runs): real producers ship a ToUnicode CMap instead
                 encoder = _Type0Encoder(charset, metrics=family)
         else:
-            cls = (_Type1BuiltinEncoder if encoding == "type1-builtin"
-                   else _DifferencesEncoder)
+            cls = {"type1-builtin": _Type1BuiltinEncoder,
+                   "type1c": _Type1CEncoder}.get(encoding, _DifferencesEncoder)
             try:
                 encoder = cls(charset, metrics=family)
             except ValueError:

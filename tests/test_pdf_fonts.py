@@ -302,3 +302,90 @@ def test_type1_builtin_suppressed_by_named_encoding():
     font2 = {"Subtype": "Type1", "FontDescriptor": fd, "BaseFont": "Synth"}
     dec2 = build_font_decoder(font2, lambda x: x, lambda d, raw: raw)
     assert dec2 is not None and dec2.decode(b"\xe9")[0] == "A"
+
+
+# -- CFF / Type1C built-in Encoding + charset -----------------------------------------
+
+
+def test_cff_encoding_roundtrip_direct():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+    from pdf_extraction_spark.kernels.pdf_write import build_bare_cff
+
+    # standard-SID names (eacute, germandbls) AND String-INDEX customs (uni)
+    m = parse_cff_encoding(build_bare_cff(
+        [(128, "eacute"), (129, "uni0041"), (130, "germandbls"),
+         (200, "oslash"), (201, "uni20AC")]
+    ))
+    assert m == {128: "é", 129: "A", 130: "ß", 200: "ø", 201: "€"}
+
+
+def test_cff_encoding_total_on_garbage():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+    from pdf_extraction_spark.kernels.pdf_write import build_bare_cff
+
+    assert parse_cff_encoding(b"") == {}
+    assert parse_cff_encoding(b"\x02\x00\x04\x02" + bytes(32)) == {}  # major 2
+    assert parse_cff_encoding(b"OTTO" + bytes(64)) == {}  # sfnt, not bare CFF
+    cff = build_bare_cff([(128, "eacute"), (129, "uni0041")])
+    for i in range(0, len(cff), 5):
+        mutated = bytearray(cff)
+        mutated[i] ^= 0xFF
+        parse_cff_encoding(bytes(mutated))  # must never raise
+    # truncations must never raise either
+    for n in range(0, len(cff), 3):
+        parse_cff_encoding(cff[:n])
+
+
+def test_cff_predefined_standard_encoding():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+    from pdf_extraction_spark.kernels.pdf_write import build_bare_cff
+
+    cff = bytearray(build_bare_cff([(128, "eacute")]))
+    # Top DICT holds three fixed-width b29 operands: charset(15),
+    # Encoding(16), CharStrings(17). Zeroing the Encoding operand selects
+    # predefined StandardEncoding (offset 0).
+    at = cff.find(b"\x1d", cff.find(b"\x1d") + 1)  # second b29 = Encoding
+    assert cff[at + 5] == 16
+    cff[at + 1 : at + 5] = b"\x00\x00\x00\x00"
+    m = parse_cff_encoding(bytes(cff))
+    assert m[0xB1] == "–" and m[0xBC] == "…" and 0x41 not in m
+
+
+def test_cff_cid_keyed_bails():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+    from pdf_extraction_spark.kernels.pdf_write import build_bare_cff
+
+    cff = build_bare_cff([(128, "eacute")])
+    # splice a ROS escape operator (12 30) onto the Top DICT by rebuilding
+    # the 18-byte dict as ROS-with-dummy-operands + original first entry
+    # is fiddly; instead assert via the public contract on a CID charset:
+    # any Top DICT carrying ROS returns {} — emulate by injecting the
+    # 2-byte escape at the dict start (operands [0,0,0] supplied as three
+    # shortint zeros before it).
+    idx = cff.find(b"\x1d")  # start of the Top DICT data (first operand)
+    patched = cff[:idx] + b"\x8b\x8b\x8b\x0c\x1e" + cff[idx + 5 :]
+    assert parse_cff_encoding(patched) == {}
+
+
+def test_type1c_pdf_roundtrip_and_precedence():
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+    from pdf_extraction_spark.kernels.pdf_fonts import build_font_decoder
+    from pdf_extraction_spark.kernels.pdf_write import build_bare_cff, build_pdf
+
+    text = "compact font remap: café déjà vu — naïve façade, ascii too"
+    pdf = build_pdf(text, encoding="type1c", compress=True)
+    body = pdf.replace(b"stream", b"")
+    assert b"/Differences" not in body and b"ToUnicode" not in body
+    assert b"/Type1C" in pdf
+    res = extract_document(pdf)
+    assert res["text"].replace("\n", " ").strip() == text
+    # a named font-dict encoding REPLACES the CFF built-in vector (§9.6.6.2)
+    cff = build_bare_cff([(0xE9, "uni0041")])
+    fd = {"FontFile3": ("stream", {"Subtype": "Type1C"}, cff)}
+    font = {"Subtype": "Type1", "Encoding": "WinAnsiEncoding",
+            "FontDescriptor": fd, "BaseFont": "SynthCFF"}
+    dec = build_font_decoder(font, lambda x: x, lambda d, raw: raw)
+    assert dec is None or dec.decode(b"\xe9")[0] == "é"
+    font2 = {"Subtype": "Type1", "FontDescriptor": fd, "BaseFont": "SynthCFF"}
+    dec2 = build_font_decoder(font2, lambda x: x, lambda d, raw: raw)
+    assert dec2 is not None and dec2.decode(b"\xe9")[0] == "A"

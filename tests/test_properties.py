@@ -538,3 +538,63 @@ def test_resolve_link_total_on_hostile_href_with_real_base(href):
 
     out = resolve_link("https://host.example.com/a/b?q=1", href)
     assert out is None or out.startswith(("http://", "https://"))
+
+
+# -- embedded-font built-in encoding parsers (round-5 Type1/CFF lanes) ----------------
+
+_GLYPH_NAMES = st.sampled_from(
+    ["eacute", "germandbls", "oslash", "endash", "ellipsis", "AE", "oe",
+     "uni0041", "uni20AC", "uniFB01", "u01F600", "space", "nosuchglyph"]
+)
+_REMAP_LISTS = st.lists(
+    st.tuples(st.integers(128, 255), _GLYPH_NAMES),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@given(_REMAP_LISTS)
+@settings(max_examples=40, deadline=None)
+def test_type1_encoding_writer_parser_agree(entries):
+    """Any synthesized cleartext /Encoding vector parses back to exactly
+    the resolvable, non-identity subset of its entries."""
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        glyph_to_char, parse_type1_encoding)
+
+    head = "\n".join(
+        ["%!FontType1-1.0: P 001.001", "/FontName /P def",
+         "/Encoding 256 array", "0 1 255 {1 index exch /.notdef put} for"]
+        + ["dup %d /%s put" % (c, n) for c, n in entries]
+        + ["readonly def", "currentfile eexec", ""]
+    ).encode("ascii") + bytes(32) + b"cleartomark\n"
+    expect = {}
+    for c, n in entries:
+        ch = glyph_to_char(n)
+        if ch is not None and ch != chr(c):
+            expect[c] = ch
+    assert parse_type1_encoding(head) == expect
+
+
+@given(_REMAP_LISTS)
+@settings(max_examples=40, deadline=None)
+def test_cff_encoding_writer_parser_agree(entries):
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        glyph_to_char, parse_cff_encoding)
+    from pdf_extraction_spark.kernels.pdf_write import build_bare_cff
+
+    expect = {}
+    for c, n in entries:
+        ch = glyph_to_char(n)
+        if ch is not None and ch != chr(c):
+            expect[c] = ch
+    assert parse_cff_encoding(build_bare_cff(entries)) == expect
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_builtin_encoding_parsers_total(data):
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        parse_cff_encoding, parse_type1_encoding)
+
+    assert isinstance(parse_type1_encoding(data), dict)
+    assert isinstance(parse_cff_encoding(data), dict)
+    assert isinstance(parse_cff_encoding(b"\x01\x00\x04\x02" + data), dict)
