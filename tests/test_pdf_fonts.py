@@ -389,3 +389,78 @@ def test_type1c_pdf_roundtrip_and_precedence():
     font2 = {"Subtype": "Type1", "FontDescriptor": fd, "BaseFont": "SynthCFF"}
     dec2 = build_font_decoder(font2, lambda x: x, lambda d, raw: raw)
     assert dec2 is not None and dec2.decode(b"\xe9")[0] == "A"
+
+
+def _hand_cff(charset: bytes, encoding: bytes, n_glyphs: int) -> bytes:
+    """Hand-rolled bare CFF around explicit charset/Encoding bytes, for the
+    parser-only formats the fixture writer never emits (Encoding format 1,
+    supplements, charset formats 1/2)."""
+    import struct as _s
+
+    def index(items):
+        if not items:
+            return _s.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (_s.pack(">HB", len(items), 2)
+                + b"".join(_s.pack(">H", o) for o in offs)
+                + b"".join(items))
+
+    def op29(v, op):
+        return b"\x1d" + _s.pack(">i", v) + bytes([op])
+
+    header = bytes([1, 0, 4, 2])
+    name_idx = index([b"Hand"])
+    top_idx_len = 2 + 1 + 2 * 2 + 3 * 6
+    string_idx = index([])
+    gsubr_idx = index([])
+    pre = len(header) + len(name_idx) + top_idx_len + len(string_idx) + len(gsubr_idx)
+    cs_off, enc_off = pre, pre + len(charset)
+    top_idx = index([op29(cs_off, 15) + op29(enc_off, 16)
+                     + op29(enc_off + len(encoding), 17)])
+    assert len(top_idx) == top_idx_len
+    return (header + name_idx + top_idx + string_idx + gsubr_idx
+            + charset + encoding + index([b"\x0e"] * n_glyphs))
+
+
+def test_cff_encoding_format1_ranges_and_supplement():
+    import struct
+
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+
+    # charset format 0: GID1=207 (eacute), GID2=149 (germandbls),
+    # GID3=111 (endash)
+    charset = b"\x00" + struct.pack(">HHH", 207, 149, 111)
+    # Encoding format 1 + supplement bit: one range code 160..162 -> GIDs
+    # 1..3; one supplement mapping code 0xB7 directly to SID 121 (ellipsis)
+    encoding = (bytes([0x81, 1, 160, 2])
+                + bytes([1]) + bytes([0xB7]) + struct.pack(">H", 121))
+    m = parse_cff_encoding(_hand_cff(charset, encoding, 4))
+    assert m == {160: "é", 161: "ß", 162: "–", 0xB7: "…"}
+
+
+def test_cff_charset_range_formats():
+    import struct
+
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+
+    # charset format 1: one range first=207 nLeft=2 -> GIDs 1..3 get SIDs
+    # 207,208,209 (eacute, ecircumflex, edieresis)
+    charset1 = b"\x01" + struct.pack(">HB", 207, 2)
+    encoding = b"\x00" + bytes([3, 128, 129, 130])
+    m1 = parse_cff_encoding(_hand_cff(charset1, encoding, 4))
+    assert m1 == {128: "é", 129: "ê", 130: "ë"}
+    # charset format 2: same range, 16-bit nLeft
+    charset2 = b"\x02" + struct.pack(">HH", 207, 2)
+    m2 = parse_cff_encoding(_hand_cff(charset2, encoding, 4))
+    assert m2 == m1
+    # predefined ISOAdobe charset (offset 0): SID == GID; glyphs 1..3 are
+    # space/exclam/quotedbl which equal no remap-range code -> mapped
+    # across to their codes
+    cff = bytearray(_hand_cff(charset1, encoding, 4))
+    at = cff.find(b"\x1d")
+    assert cff[at + 5] == 15
+    cff[at + 1 : at + 5] = b"\x00\x00\x00\x00"
+    m0 = parse_cff_encoding(bytes(cff))
+    assert m0 == {128: " ", 129: "!", 130: '"'}
