@@ -425,16 +425,26 @@ _T1_DUP_PUT = re.compile(rb"dup\s+(\d{1,3})\s*/([^\s/()\[\]<>{}%]+)\s+put")
 # would stop at the `def` inside `/.notdef`, which every real encoding's
 # `0 1 255 {1 index exch /.notdef put} for` init loop contains
 _T1_DEF_END = re.compile(rb"(?<![A-Za-z.])def(?![A-Za-z0-9])")
+_T1_COMMENT = re.compile(rb"%[^\r\n]*")
 _T1_CLEAR_CAP = 1 << 20  # hostile headers: never regex-scan more than 1 MiB
 
 
+_std_enc_cache: dict[int, str] | None = None
+
+
 def _std_encoding_map() -> dict[int, str]:
-    out: dict[int, str] = {}
-    for code, name in _STD_ENC_NAMES.items():
-        ch = glyph_to_char(name)
-        if ch is not None and ch != chr(code):
-            out[code] = ch
-    return out
+    # memoized like _base_maps below — every StandardEncoding font in a
+    # corpus would otherwise rebuild the same constant table. Callers must
+    # not mutate the returned dict (they return it or .update() FROM it).
+    global _std_enc_cache
+    if _std_enc_cache is None:
+        out: dict[int, str] = {}
+        for code, name in _STD_ENC_NAMES.items():
+            ch = glyph_to_char(name)
+            if ch is not None and ch != chr(code):
+                out[code] = ch
+        _std_enc_cache = out
+    return _std_enc_cache
 
 
 def parse_type1_encoding(program: bytes) -> dict[int, str]:
@@ -452,10 +462,16 @@ def parse_type1_encoding(program: bytes) -> dict[int, str]:
             program = program[6:]
         cut = program.find(b"eexec")
         clear = program[: cut if 0 <= cut < _T1_CLEAR_CAP else _T1_CLEAR_CAP]
+        # strip % comments so a comment line quoting an /Encoding statement
+        # can neither shadow the real vector nor fake a StandardEncoding one
+        clear = _T1_COMMENT.sub(b"", clear)
         enc_at = clear.find(b"/Encoding")
         if enc_at < 0:
             return {}
-        if _T1_STD_ENC.search(clear, enc_at):
+        # anchored at the statement itself — a search() to end-of-clear
+        # would let the literal phrase inside a later comment or /Notice
+        # string discard a real custom vector
+        if _T1_STD_ENC.match(clear, enc_at):
             return _std_encoding_map()
         # the vector ends at its `readonly def` / `def` token (NOT the
         # `def` substring of `/.notdef` in the init loop)
@@ -608,10 +624,16 @@ def parse_cff_encoding(data: bytes) -> dict[int, str]:
             # predefined: 0 = Standard, 1 = Expert. Standard equals the
             # Type1 StandardEncoding delta; Expert has no Unicode identity.
             return _std_encoding_map() if enc_off == 0 else {}
+        if enc_off < 4:  # DICT ints are signed: a hostile negative offset
+            return {}    # would alias the buffer tail via Python indexing
         cs_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+        if cs_off not in (0, 1, 2) and cs_off < 4:  # same negative-alias guard
+            return {}    # (0/1/2 are the predefined-charset sentinels)
         n_glyphs = 0
         if top.get(17):  # CharStrings INDEX: authoritative glyph count
-            n_glyphs = _u16(data, int(top[17][0]))
+            cso = int(top[17][0])
+            if cso >= 4:  # negative offset would read a bogus count from the tail
+                n_glyphs = _u16(data, cso)
         if not 0 < n_glyphs <= _CFF_MAX_GLYPHS:
             return {}
 
@@ -830,9 +852,14 @@ _base_maps: dict[str, dict[int, str]] = {}
 
 
 def _base_encoding_map(name: str | None) -> dict[int, str]:
-    """Codes 128-255 of a named base encoding that differ from Latin-1
-    (0-127 coincide across Latin-1/WinAnsi/MacRoman). Stdlib codecs cp1252
-    and mac_roman ARE these tables."""
+    """Codes of a named base encoding that differ from Latin-1 passthrough.
+    WinAnsi/MacRoman differ only in 128-255 (0-127 coincide with Latin-1);
+    stdlib codecs cp1252 and mac_roman ARE those tables. StandardEncoding
+    has no stdlib codec — its delta map (which also remaps 0x27/0x60 to the
+    curly quotes) is the same table the Type1/CFF built-in-encoding
+    shorthand uses."""
+    if name == "StandardEncoding":
+        return _std_encoding_map()
     codec = _BASE_CODECS.get(name or "")
     if codec is None:
         return {}

@@ -464,3 +464,72 @@ def test_cff_charset_range_formats():
     cff[at + 1 : at + 5] = b"\x00\x00\x00\x00"
     m0 = parse_cff_encoding(bytes(cff))
     assert m0 == {128: " ", 129: "!", 130: '"'}
+
+
+def test_type1_custom_vector_survives_later_std_phrase():
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_type1_encoding
+
+    # review finding: a search() for the StandardEncoding shorthand used to
+    # match the literal phrase inside a LATER comment, discarding the real
+    # custom vector; the match is now anchored and comments are stripped
+    vector = (b"/Encoding 256 array\n"
+              b"0 1 255 {1 index exch /.notdef put} for\n"
+              b"dup 128 /eacute put\nreadonly def\n")
+    after = vector + b"% rebuilt from /Encoding StandardEncoding def\neexec"
+    before = (b"% rebuilt from /Encoding StandardEncoding def\n"
+              + vector + b"eexec")
+    for prog in (b"%!PS-AdobeFont-1.0\n" + after, before):
+        m = parse_type1_encoding(prog)
+        assert m.get(128) == "é" and 0x27 not in m
+
+    # the genuine shorthand statement must still match
+    std = parse_type1_encoding(b"%!\n/Encoding StandardEncoding def\neexec")
+    assert std[0x27] == "’" and std[0xD0] == "—"
+
+
+def test_cff_negative_offsets_rejected():
+    import struct
+
+    from pdf_extraction_spark.kernels.pdf_fonts import parse_cff_encoding
+
+    # review finding: op-29 DICT ints are signed; a hostile negative
+    # charset/Encoding/CharStrings offset aliased the buffer TAIL through
+    # Python negative indexing and produced garbage mappings (e.g. a
+    # crafted tail made ASCII "A" decode as "é") instead of the total
+    # parser's hostile-bytes -> {} contract
+    charset = b"\x00" + struct.pack(">HHH", 207, 149, 111)
+    encoding = b"\x00" + bytes([3, 128, 129, 130])
+    good = _hand_cff(charset, encoding, 4)
+    assert parse_cff_encoding(good) == {128: "é", 129: "ß", 130: "–"}
+    for which in range(3):  # the charset, Encoding, CharStrings operands
+        bad = bytearray(good)
+        at = -1
+        for _ in range(which + 1):
+            at = bad.find(b"\x1d", at + 1)
+        bad[at + 1 : at + 5] = struct.pack(">i", -3)
+        assert parse_cff_encoding(bytes(bad)) == {}
+
+
+def test_standard_encoding_as_named_base_encoding():
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        _std_encoding_map, build_font_decoder)
+
+    # review finding: "/Encoding /StandardEncoding" suppressed the embedded
+    # program's built-in vector (correct per §9.6.6.2) but then mapped to
+    # NOTHING — the font fell back to Latin-1 passthrough
+    font = {"Subtype": "Type1", "BaseFont": "Foo",
+            "Encoding": "StandardEncoding"}
+    dec = build_font_decoder(font, lambda x: x, lambda d, raw: raw)
+    assert dec is not None
+    assert dec.decode(b"'")[0] == "’"      # quoteright
+    assert dec.decode(b"\xd0")[0] == "—"   # emdash
+    # same via /BaseEncoding inside an encoding dict, composed with a
+    # /Differences override on one code
+    font2 = {"Subtype": "Type1",
+             "Encoding": {"BaseEncoding": "StandardEncoding",
+                          "Differences": [0xB1, "plusminus"]}}
+    dec2 = build_font_decoder(font2, lambda x: x, lambda d, raw: raw)
+    assert dec2.decode(b"\xb1")[0] == "±"  # Differences wins
+    assert dec2.decode(b"\xbc")[0] == "…"  # base map still applies
+    # the delta map is memoized (built once per process, like _base_maps)
+    assert _std_encoding_map() is _std_encoding_map()
