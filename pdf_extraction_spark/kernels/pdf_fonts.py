@@ -270,6 +270,32 @@ def _cmap_subtable_format0(b: bytes, off: int, out: dict[int, int]) -> None:
             out[cp] = gid
 
 
+def sfnt_table(data: bytes, tag: bytes) -> bytes | None:
+    """Slice one table out of an sfnt (TrueType/OpenType) directory.
+
+    Total: returns None for non-sfnt bytes, a missing tag, or a directory
+    entry whose offset/length runs past the buffer (checksums are not
+    verified — a subsetter's stale checksum must not cost the table)."""
+    try:
+        if len(data) < 12 or data[:4] not in _SFNT_VERSIONS:
+            return None
+        n_tables = _u16(data, 4)
+        if n_tables > 512:
+            return None
+        for i in range(n_tables):
+            o = 12 + 16 * i
+            if o + 16 > len(data):
+                return None
+            if data[o : o + 4] == tag:
+                off, ln = _u32(data, o + 8), _u32(data, o + 12)
+                if off + ln > len(data):
+                    return None
+                return data[off : off + ln]
+        return None
+    except Exception:
+        return None
+
+
 def parse_ttf_cmap(data: bytes) -> dict[int, int]:
     """Unicode codepoint → glyph id from a TrueType/OpenType font program.
 
@@ -715,10 +741,11 @@ def parse_cff_encoding(data: bytes) -> dict[int, str]:
 def _simple_fontfile_map(font: dict, resolve, decode_stream) -> dict[int, str]:
     """Built-in encoding of a simple font's embedded font program, for
     fonts with no /ToUnicode and no named base encoding: /FontFile (Type1
-    cleartext /Encoding vector) or /FontFile3 /Type1C (binary CFF Encoding
-    + charset). /FontFile3 /OpenType wraps CFF in an sfnt whose `cmap` is
-    unicode→GID with no code→GID bridge for simple fonts — left on the
-    Latin-1 degrade path (documented residue)."""
+    cleartext /Encoding vector) or /FontFile3 — either a bare CFF
+    (/Type1C) or an sfnt-wrapped one (/OpenType, PDF 32000-1 Table 126).
+    The sfnt's own `cmap` is unicode→GID with no code→GID bridge for a
+    simple font, but its embedded ``CFF `` table carries the same binary
+    Encoding + charset a bare Type1C does — unwrap and read that."""
     try:
         fd = resolve(font.get("FontDescriptor"))
         if not isinstance(fd, dict):
@@ -731,6 +758,10 @@ def _simple_fontfile_map(font: dict, resolve, decode_stream) -> dict[int, str]:
             prog = decode_stream(ff3[1], ff3[2])
             if prog[:1] == b"\x01":  # bare CFF (Type1C / CIDFontType0C)
                 return parse_cff_encoding(prog)
+            if prog[:4] == b"OTTO":  # sfnt wrapper: read the CFF table
+                cff = sfnt_table(prog, b"CFF ")
+                if cff:
+                    return parse_cff_encoding(cff)
         return {}
     except Exception:
         return {}

@@ -623,10 +623,15 @@ class _Type1CEncoder(_DifferencesEncoder):
     CFF INDEX structures (pdf_fonts.parse_cff_encoding) — the compact twin
     of ``type1-builtin``."""
 
+    _FF3_SUBTYPE = b"/Type1C"
+
+    def _build_program(self) -> bytes:
+        return build_bare_cff(self._names)
+
     def font_objects(self, next_free: int):
         last, widths = self._widths_entry()
         fdesc, ffile = next_free, next_free + 1
-        cff = build_bare_cff(self._names)
+        prog = self._build_program()
         obj3 = (
             "<< /Type /Font /Subtype /Type1 /BaseFont /SUBSET+SynthCFF "
             "/FirstChar 32 /LastChar %d /Widths [%s] "
@@ -640,12 +645,40 @@ class _Type1CEncoder(_DifferencesEncoder):
                 b"/FontFile3 %d 0 R >>" % ffile
             ),
             ffile: (
-                b"<< /Subtype /Type1C /Length %d >>\nstream\n" % len(cff)
-                + cff
+                b"<< /Subtype " + self._FF3_SUBTYPE
+                + b" /Length %d >>\nstream\n" % len(prog)
+                + prog
                 + b"\nendstream"
             ),
         }
         return obj3, extra
+
+
+def build_otf_cff(names: list[tuple[int, str]]) -> bytes:
+    """``build_bare_cff``'s program wrapped in a minimal OTTO sfnt: a real
+    table directory (correct offset/length/checksum for one ``CFF ``
+    entry) is all a /FontFile3 /OpenType consumer walks to reach the CFF —
+    rasterization tables are irrelevant to text extraction and omitted."""
+    cff = build_bare_cff(names)
+    header = b"OTTO" + struct.pack(">HHHH", 1, 16, 0, 0)
+    off = 12 + 16  # header + one directory entry
+    padded = cff + b"\x00" * ((-len(cff)) % 4)
+    csum = sum(
+        int.from_bytes(padded[j : j + 4], "big") for j in range(0, len(padded), 4)
+    ) & 0xFFFFFFFF
+    entry = b"CFF " + struct.pack(">III", csum, off, len(cff))
+    return header + entry + padded
+
+
+class _OtfCffEncoder(_Type1CEncoder):
+    """The same CFF-carried remap wrapped in an sfnt (/FontFile3
+    /Subtype /OpenType — PDF 32000-1 Table 126): the parser must walk the
+    sfnt directory to the ``CFF `` table before the Type1C read."""
+
+    _FF3_SUBTYPE = b"/OpenType"
+
+    def _build_program(self) -> bytes:
+        return build_otf_cff(self._names)
 
 
 def wrap_words(text: str, width: int) -> list[str]:
@@ -1267,6 +1300,10 @@ def build_pdf(
       binary Encoding + charset (/FontFile3 /Type1C): the parser must walk
       the CFF INDEX structures.
 
+    * ``type1c-otf`` — the same CFF remap wrapped in an OTTO sfnt
+      (/FontFile3 /OpenType): the parser must walk the sfnt table
+      directory to the ``CFF `` table first.
+
     ``encrypt`` applies the standard security handler with EMPTY user/owner
     passwords: ``rc4-40``, ``rc4-128``, or ``aes-128`` (VERDICT r2 item 6).
 
@@ -1324,7 +1361,8 @@ def build_pdf(
                 encoder = _Type0Encoder(charset, metrics=family)
         else:
             cls = {"type1-builtin": _Type1BuiltinEncoder,
-                   "type1c": _Type1CEncoder}.get(encoding, _DifferencesEncoder)
+                   "type1c": _Type1CEncoder,
+                   "type1c-otf": _OtfCffEncoder}.get(encoding, _DifferencesEncoder)
             try:
                 encoder = cls(charset, metrics=family)
             except ValueError:

@@ -533,3 +533,55 @@ def test_standard_encoding_as_named_base_encoding():
     assert dec2.decode(b"\xbc")[0] == "…"  # base map still applies
     # the delta map is memoized (built once per process, like _base_maps)
     assert _std_encoding_map() is _std_encoding_map()
+
+
+def test_type1c_otf_pdf_roundtrip_and_precedence():
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        build_font_decoder, parse_cff_encoding, sfnt_table)
+    from pdf_extraction_spark.kernels.pdf_write import build_otf_cff, build_pdf
+
+    text = "wrapped font remap: café déjà vu — naïve façade, ascii too"
+    pdf = build_pdf(text, encoding="type1c-otf", compress=True)
+    body = pdf.replace(b"stream", b"")
+    assert b"/Differences" not in body and b"ToUnicode" not in body
+    assert b"/OpenType" in pdf and b"/Type1C" not in pdf
+    res = extract_document(pdf)
+    assert res["text"].replace("\n", " ").strip() == text
+    # the wrapper itself: directory walk reaches the CFF table, and the
+    # unwrapped table parses to the same map a bare program would
+    prog = build_otf_cff([(0xE9, "uni0041")])
+    cff = sfnt_table(prog, b"CFF ")
+    assert cff is not None and parse_cff_encoding(cff) == {0xE9: "A"}
+    # a named font-dict encoding REPLACES the wrapped built-in (§9.6.6.2)
+    fd = {"FontFile3": ("stream", {"Subtype": "OpenType"}, prog)}
+    font = {"Subtype": "Type1", "Encoding": "WinAnsiEncoding",
+            "FontDescriptor": fd, "BaseFont": "SynthOTF"}
+    dec = build_font_decoder(font, lambda x: x, lambda d, raw: raw)
+    assert dec is None or dec.decode(b"\xe9")[0] == "é"
+    font2 = {"Subtype": "Type1", "FontDescriptor": fd, "BaseFont": "SynthOTF"}
+    dec2 = build_font_decoder(font2, lambda x: x, lambda d, raw: raw)
+    assert dec2 is not None and dec2.decode(b"\xe9")[0] == "A"
+
+
+def test_sfnt_table_total_on_hostile_bytes():
+    import struct
+
+    from pdf_extraction_spark.kernels.pdf_fonts import sfnt_table
+    from pdf_extraction_spark.kernels.pdf_write import build_otf_cff
+
+    good = build_otf_cff([(0xE9, "eacute")])
+    assert sfnt_table(good, b"CFF ") is not None
+    assert sfnt_table(good, b"cmap") is None          # absent tag
+    assert sfnt_table(b"", b"CFF ") is None           # empty
+    assert sfnt_table(b"\x00\x01\x00\x00", b"CFF ") is None  # header only
+    assert sfnt_table(b"JUNK" + good[4:], b"CFF ") is None   # bad magic
+    # directory entry whose length runs past the buffer -> None, never a
+    # short slice that would parse as a truncated CFF
+    bad = bytearray(good)
+    bad[12 + 12 : 12 + 16] = struct.pack(">I", len(good))
+    assert sfnt_table(bytes(bad), b"CFF ") is None
+    # hostile table count
+    huge = bytearray(good)
+    huge[4:6] = struct.pack(">H", 60000)
+    assert sfnt_table(bytes(huge), b"CFF ") is None

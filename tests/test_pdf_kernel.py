@@ -677,8 +677,8 @@ def test_split_runs_custom_encoding_base_font_widths():
     text = ("spark batch table order part value column hash spark small "
             "filter the slow hash sort key the sort slow query scan " * 4).strip()
     for bf in ("Courier", "Times-Roman", "Helvetica"):
-        for enc in ("differences", "type1-builtin", "type1c", "type0",
-                    "type0-ttf"):
+        for enc in ("differences", "type1-builtin", "type1c", "type1c-otf",
+                    "type0", "type0-ttf"):
             got = extract_pdf(build_pdf(text, columns=2, encoding=enc,
                                         base_font=bf, split_runs=True))
             assert got["error"] is None, (bf, enc)
