@@ -598,3 +598,43 @@ def test_builtin_encoding_parsers_total(data):
     assert isinstance(parse_type1_encoding(data), dict)
     assert isinstance(parse_cff_encoding(data), dict)
     assert isinstance(parse_cff_encoding(b"\x01\x00\x04\x02" + data), dict)
+
+
+@given(_REMAP_LISTS)
+@settings(max_examples=40, deadline=None)
+def test_otf_cff_encoding_writer_parser_agree(entries):
+    """build_otf_cff → sfnt_table('CFF ') → parse_cff_encoding is the
+    identity on the resolvable, non-identity subset — the sfnt wrapper
+    must be transparent to the CFF read path."""
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        glyph_to_char, parse_cff_encoding, sfnt_table)
+    from pdf_extraction_spark.kernels.pdf_write import build_otf_cff
+
+    expect = {}
+    for c, n in entries:
+        ch = glyph_to_char(n)
+        if ch is not None and ch != chr(c):
+            expect[c] = ch
+    prog = build_otf_cff(entries)
+    cff = sfnt_table(prog, b"CFF ")
+    assert cff is not None
+    assert parse_cff_encoding(cff) == expect
+
+
+@given(_REMAP_LISTS, st.data())
+@settings(max_examples=60, deadline=None)
+def test_sfnt_table_total_on_bitflips(entries, data):
+    """Single-byte corruption anywhere in an OTTO program must degrade
+    (None or a byte slice), never raise — and the downstream CFF parse
+    must stay total on whatever slice comes back."""
+    from pdf_extraction_spark.kernels.pdf_fonts import (
+        parse_cff_encoding, sfnt_table)
+    from pdf_extraction_spark.kernels.pdf_write import build_otf_cff
+
+    prog = bytearray(build_otf_cff(entries))
+    i = data.draw(st.integers(0, len(prog) - 1))
+    prog[i] ^= data.draw(st.integers(1, 255))
+    tbl = sfnt_table(bytes(prog), b"CFF ")
+    assert tbl is None or isinstance(tbl, bytes)
+    if tbl is not None:
+        assert isinstance(parse_cff_encoding(tbl), dict)
