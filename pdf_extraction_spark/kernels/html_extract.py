@@ -180,21 +180,42 @@ _WHATWG_CJK_CODECS = {
 # cp949 into extended-Hangul mojibake, so Korean must not see it first; a
 # Korean/Chinese page decodes via cp932 into half-width katakana, which is
 # deliberately NOT core), then cp949 (reference corpus is Korean,
-# compare_gpt_vs_hybrid.py:101-107), then gbk. First candidate passing all
-# gates wins. Known residual bias, documented: a nearly-kana-free SJIS
-# page and an undeclared Big5 page are out of the probe's reach.
+# compare_gpt_vs_hybrid.py:101-107), then the two hanzi encodings. GBK and
+# Big5 both decode each other's byte streams into plausible hanzi, so the
+# hanzi gates can't separate them — the BYTE SHAPE can: GB2312/GBK text is
+# overwhelmingly EUC-zone (both bytes >= 0xA1; low trails appear only in
+# the rare GBK/3/4 extension rows), while real Big5 text draws trails from
+# 0x40-0x7E for roughly a third of its pairs. `_big5_shaped` measures that
+# low-trail fraction and picks which hanzi codec probes first. Known
+# residual bias, documented: a nearly-kana-free SJIS page, an all-high-
+# trail Big5 page (probes as gbk), and an extension-row-heavy GBK page
+# (probes as big5) are out of the probe's reach.
 _CJK_SHARED = "一-鿿　-〿＀-￯"
 _KANA = "぀-ヿㇰ-ㇿ"
 _HANGUL = "가-힣ᄀ-ᇿ㄰-㆏"
 _HANZI = "一-鿿"
+_HANZI_GATES = (re.compile(f"[{_HANZI}]"), re.compile(f"[{_CJK_SHARED}]"),
+                2.0 / 3.0)
 _CJK_PROBE_CANDIDATES = (
     ("cp932", re.compile(f"[{_KANA}]"),
      re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0),
     ("cp949", re.compile(f"[{_HANGUL}]"),
      re.compile(f"[{_HANGUL}{_CJK_SHARED}]"), 2.0 / 3.0),
-    ("gbk", re.compile(f"[{_HANZI}]"),
-     re.compile(f"[{_CJK_SHARED}]"), 2.0 / 3.0),
+    ("gbk", *_HANZI_GATES),
+    ("big5hkscs", *_HANZI_GATES),
 )
+_CJK_PROBE_BIG5_FIRST = (_CJK_PROBE_CANDIDATES[0], _CJK_PROBE_CANDIDATES[1],
+                         _CJK_PROBE_CANDIDATES[3], _CJK_PROBE_CANDIDATES[2])
+# Big5 low-trail pairs (lead in the hanzi rows, trail in the ASCII range)
+# vs EUC-zone pairs; >= 4 low pairs and >= 1/6 of the zone mass flips the
+# hanzi probe order. GB2312-encoded common hanzi produce ZERO low pairs.
+_BIG5_LOW_PAIR_RE = re.compile(rb"[\xa4-\xf9][\x40-\x7e]")
+_EUC_ZONE_PAIR_RE = re.compile(rb"[\xa1-\xfe][\xa1-\xfe]")
+
+
+def _big5_shaped(data: bytes) -> bool:
+    low = len(_BIG5_LOW_PAIR_RE.findall(data))
+    return low >= 4 and low * 6 >= len(_EUC_ZONE_PAIR_RE.findall(data))
 _NON_ASCII_RE = re.compile("[^\x00-\x7f]")
 
 # Floor gates shared by all candidates: at least 8 core characters, at
@@ -255,7 +276,9 @@ def _probe_cjk(payload) -> tuple[str, str] | None:
     decode plus three C-level regex scans."""
     if _latin_shape(payload):
         return None  # accented Latin words, not a CJK byte stream
-    for codec, core_re, broad_re, core_frac in _CJK_PROBE_CANDIDATES:
+    candidates = (_CJK_PROBE_BIG5_FIRST if _big5_shaped(bytes(payload))
+                  else _CJK_PROBE_CANDIDATES)
+    for codec, core_re, broad_re, core_frac in candidates:
         try:
             s = str(payload, codec)
         except (UnicodeDecodeError, ValueError):

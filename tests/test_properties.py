@@ -638,3 +638,50 @@ def test_sfnt_table_total_on_bitflips(entries, data):
     assert tbl is None or isinstance(tbl, bytes)
     if tbl is not None:
         assert isinstance(parse_cff_encoding(tbl), dict)
+
+
+# only ~13k of the 21k URO hanzi are Big5-encodable; sample from the real
+# pool so the encode step never filters (computed once at collection time)
+_BIG5_HANZI = st.sampled_from([
+    c for c in map(chr, range(0x4E00, 0x9FA6))
+    if c.encode("big5hkscs", "ignore")
+])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_BIG5_HANZI, min_size=20, max_size=80))
+def test_undeclared_big5_page_roundtrips_when_big5_shaped(chars):
+    """Undeclared Big5 (zh-TW) pages whose byte stream shows the Big5
+    low-trail shape must decode back byte-identically — the shape check
+    orders big5hkscs before gbk, which would otherwise strict-decode the
+    same bytes into plausible hanzi mojibake. Pages WITHOUT the shape are
+    the documented residual and are excluded by assumption, not hidden."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        _big5_shaped, decode_payload)
+
+    assume(len(set(chars)) >= 5)
+    page = _word_page(chars)
+    try:
+        payload = page.encode("big5hkscs")
+    except UnicodeEncodeError:
+        assume(False)
+    assume(_big5_shaped(payload))
+    assert decode_payload(payload) == page
+
+
+def test_big5_vs_gbk_probe_separation():
+    """A realistic traditional-Chinese page probes as big5hkscs and a
+    simplified one as gbk — same hanzi gates, byte shape decides."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        _big5_shaped, _probe_cjk)
+
+    zh_tw = ("資料分析擷取文件表格圖片數學公式標題段落清單，"
+             "網頁內容抽取系統的品質評估與測試。繁體中文頁面必須正確解碼。")
+    zh_cn = ("数据分析抽取文档表格图片数学公式标题段落列表，"
+             "网页内容抽取系统的质量评估与测试。简体中文页面必须正确解码。")
+    for txt, codec, shaped in ((zh_tw, "big5hkscs", True), (zh_cn, "gbk", False)):
+        payload = f"<html><body><p>{txt}</p></body></html>".encode(codec)
+        assert _big5_shaped(payload) is shaped
+        got = _probe_cjk(payload)
+        assert got is not None and got[0] == codec
+        assert txt in got[1]
