@@ -213,9 +213,11 @@ _BIG5_LOW_PAIR_RE = re.compile(rb"[\xa4-\xf9][\x40-\x7e]")
 _EUC_ZONE_PAIR_RE = re.compile(rb"[\xa1-\xfe][\xa1-\xfe]")
 
 
-def _big5_shaped(data: bytes) -> bool:
-    low = len(_BIG5_LOW_PAIR_RE.findall(data))
-    return low >= 4 and low * 6 >= len(_EUC_ZONE_PAIR_RE.findall(data))
+def _big5_shaped(payload) -> bool:
+    # regex scans run on the buffer directly (bytes OR the zero-copy
+    # Arrow memoryview) — no payload copy on this path
+    low = len(_BIG5_LOW_PAIR_RE.findall(payload))
+    return low >= 4 and low * 6 >= len(_EUC_ZONE_PAIR_RE.findall(payload))
 _NON_ASCII_RE = re.compile("[^\x00-\x7f]")
 
 # Floor gates shared by all candidates: at least 8 core characters, at
@@ -257,12 +259,12 @@ def _latin_shape(payload) -> bool:
     against a non-letter, which already breaks the candidates' strict
     decode in the letter-trail encodings), so the error direction is
     veto-less — safe for CJK, and the fraction floor still holds for
-    every measured Latin corpus."""
-    data = bytes(payload)
-    n_high = len(_HIGH_BYTE_RE.findall(data))
+    every measured Latin corpus. Scans run on the buffer directly (bytes
+    OR the zero-copy Arrow memoryview) — no payload copy."""
+    n_high = len(_HIGH_BYTE_RE.findall(payload))
     if not n_high:
         return False
-    return len(_LATIN_PAIR_RE.findall(data)) * 3 >= n_high * 2
+    return len(_LATIN_PAIR_RE.findall(payload)) * 3 >= n_high * 2
 
 
 def _probe_cjk(payload) -> tuple[str, str] | None:
@@ -276,7 +278,7 @@ def _probe_cjk(payload) -> tuple[str, str] | None:
     decode plus three C-level regex scans."""
     if _latin_shape(payload):
         return None  # accented Latin words, not a CJK byte stream
-    candidates = (_CJK_PROBE_BIG5_FIRST if _big5_shaped(bytes(payload))
+    candidates = (_CJK_PROBE_BIG5_FIRST if _big5_shaped(payload)
                   else _CJK_PROBE_CANDIDATES)
     for codec, core_re, broad_re, core_frac in candidates:
         try:
