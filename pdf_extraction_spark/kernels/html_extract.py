@@ -204,19 +204,42 @@ _CJK_PROBE_CANDIDATES = (
     ("gbk", *_HANZI_GATES),
     ("big5hkscs", *_HANZI_GATES),
 )
-_CJK_PROBE_BIG5_FIRST = (_CJK_PROBE_CANDIDATES[0], _CJK_PROBE_CANDIDATES[1],
-                         _CJK_PROBE_CANDIDATES[3], _CJK_PROBE_CANDIDATES[2])
+
+# cp949's extension zone decodes arbitrary low-trail byte pairs (GBK/3/4
+# extension rows, SJIS) into *rare* Hangul syllables — Unicode-wise
+# ordinary U+AC00-D7A3, so the block gates can't tell them from Korean
+# (hypothesis found a rare-hanzi GBK page whose cp949 decode passed every
+# gate). Real Korean text draws almost exclusively from the 2,350 KS X
+# 1001 syllables (EUC rows 0xB0-0xC8), so the discriminator is membership:
+# at least half of the decoded syllables must be KS X 1001. Derived from
+# the codec itself, no table to maintain.
+_KSX1001_SYLLABLES = frozenset(
+    s for l in range(0xB0, 0xC9) for t in range(0xA1, 0xFF)
+    for s in (bytes((l, t)).decode("cp949", "ignore"),) if s
+)
 # Big5 low-trail pairs (lead in the hanzi rows, trail in the ASCII range)
 # vs EUC-zone pairs; >= 4 low pairs and >= 1/6 of the zone mass flips the
-# hanzi probe order. GB2312-encoded common hanzi produce ZERO low pairs.
+# hanzi probe order. The raw pair scan is unaligned: at a hanzi-run →
+# ASCII-word boundary the GB trail byte (also 0xA4-0xF9) reads as a
+# phantom "lead" against the word's first letter, so a GBK glossary page
+# ('议告matrix …') would count as Big5-shaped (review-confirmed misroute
+# when the big5 strict decode then happened to succeed). A REAL Big5 low
+# trail is the second byte of a hanzi, so the byte after it is the next
+# hanzi's high lead, whitespace, or punctuation — almost never the middle
+# of an ASCII word. Subtracting pairs whose trail starts an alphanumeric
+# run (lead, alnum, alnum) removes exactly the boundary phantoms while
+# undercounting real Big5 by at most the rare letter-trail-then-Latin
+# adjacency, which the 1/6 threshold absorbs.
 _BIG5_LOW_PAIR_RE = re.compile(rb"[\xa4-\xf9][\x40-\x7e]")
+_BIG5_PHANTOM_RE = re.compile(rb"[\xa4-\xf9][0-9A-Za-z][0-9A-Za-z]")
 _EUC_ZONE_PAIR_RE = re.compile(rb"[\xa1-\xfe][\xa1-\xfe]")
 
 
 def _big5_shaped(payload) -> bool:
     # regex scans run on the buffer directly (bytes OR the zero-copy
     # Arrow memoryview) — no payload copy on this path
-    low = len(_BIG5_LOW_PAIR_RE.findall(payload))
+    low = (len(_BIG5_LOW_PAIR_RE.findall(payload))
+           - len(_BIG5_PHANTOM_RE.findall(payload)))
     return low >= 4 and low * 6 >= len(_EUC_ZONE_PAIR_RE.findall(payload))
 _NON_ASCII_RE = re.compile("[^\x00-\x7f]")
 
@@ -278,23 +301,42 @@ def _probe_cjk(payload) -> tuple[str, str] | None:
     decode plus three C-level regex scans."""
     if _latin_shape(payload):
         return None  # accented Latin words, not a CJK byte stream
-    candidates = (_CJK_PROBE_BIG5_FIRST if _big5_shaped(payload)
-                  else _CJK_PROBE_CANDIDATES)
-    for codec, core_re, broad_re, core_frac in candidates:
-        try:
-            s = str(payload, codec)
-        except (UnicodeDecodeError, ValueError):
-            continue
-        core = core_re.findall(s)
-        if len(core) < _CJK_MIN_CORE or len(set(core)) < _CJK_MIN_DISTINCT:
-            continue
-        high = len(_NON_ASCII_RE.findall(s))
-        if len(core) < high * core_frac:
-            continue
-        if len(broad_re.findall(s)) < high * _CJK_BROAD_FRACTION:
-            continue
-        return codec, s
+    # the shape scans run lazily: a page the cp932/cp949 rungs claim never
+    # pays them — they only order the two-candidate hanzi tail
+    for cand in _CJK_PROBE_CANDIDATES[:-2]:
+        hit = _probe_one(payload, cand)
+        if hit is not None:
+            return hit
+    tail = _CJK_PROBE_CANDIDATES[-2:]
+    if _big5_shaped(payload):
+        tail = tail[::-1]
+    for cand in tail:
+        hit = _probe_one(payload, cand)
+        if hit is not None:
+            return hit
     return None
+
+
+def _probe_one(payload, cand) -> tuple[str, str] | None:
+    """One probe-ladder rung: strict decode + the core/broad script gates."""
+    codec, core_re, broad_re, core_frac = cand
+    try:
+        s = str(payload, codec)
+    except (UnicodeDecodeError, ValueError):
+        return None
+    core = core_re.findall(s)
+    if len(core) < _CJK_MIN_CORE or len(set(core)) < _CJK_MIN_DISTINCT:
+        return None
+    high = len(_NON_ASCII_RE.findall(s))
+    if len(core) < high * core_frac:
+        return None
+    if len(broad_re.findall(s)) < high * _CJK_BROAD_FRACTION:
+        return None
+    if codec == "cp949":
+        syl = [c for c in core if "가" <= c <= "힣"]
+        if syl and 2 * sum(c in _KSX1001_SYLLABLES for c in syl) < len(syl):
+            return None  # extension-zone mojibake, not Korean
+    return codec, s
 
 
 def _decode_cp1252(payload) -> str:

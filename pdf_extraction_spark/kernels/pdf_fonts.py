@@ -299,27 +299,17 @@ def sfnt_table(data: bytes, tag: bytes) -> bytes | None:
 def parse_ttf_cmap(data: bytes) -> dict[int, int]:
     """Unicode codepoint → glyph id from a TrueType/OpenType font program.
 
-    Walks the sfnt table directory to the ``cmap`` table and parses its
-    best Unicode subtable — preference (3,10) format-12 > (3,1)/(0,x)
-    format-4 > formats 6/0 — exactly the selection order shaping engines
-    use. Total: anything malformed returns {} (or a partial map)."""
+    Walks the sfnt table directory (via :func:`sfnt_table`, which also
+    bounds-checks the directory entry — a lying length returns {} instead
+    of a truncated parse) and parses the ``cmap`` table's best Unicode
+    subtable — preference (3,10) format-12 > (3,1)/(0,x) format-4 >
+    formats 6/0 — exactly the selection order shaping engines use.
+    Total: anything malformed returns {} (or a partial map)."""
     try:
-        if len(data) < 12 or data[:4] not in _SFNT_VERSIONS:
+        tbl = sfnt_table(data, b"cmap")
+        if tbl is None or len(tbl) < 4:
             return {}
-        n_tables = _u16(data, 4)
-        if n_tables > 512:
-            return {}
-        cmap_off = cmap_len = None
-        for i in range(n_tables):
-            o = 12 + 16 * i
-            if o + 16 > len(data):
-                return {}
-            if data[o : o + 4] == b"cmap":
-                cmap_off, cmap_len = _u32(data, o + 8), _u32(data, o + 12)
-                break
-        if cmap_off is None or cmap_off + 4 > len(data):
-            return {}
-        b, off = data, cmap_off
+        b, off = tbl, 0  # subtable offsets are relative to the table start
         n_sub = _u16(b, off + 2)
         # rank candidate subtables: full-Unicode first, then BMP, then legacy
         ranked: list[tuple[int, int]] = []

@@ -316,7 +316,16 @@ def test_pdf_total_on_injected_object_garbage(pdf, junk):
 # the page to also be valid cp949 with a ≥2/3 hangul reading, which decays
 # geometrically with length). These properties pin exactly that contract.
 
-_HANGUL_CHARS = st.integers(0xAC00, 0xD7A3).map(chr)
+# real Korean draws from the 2,350 KS X 1001 syllables (EUC rows B0-C8);
+# the cp949 EXTENSION zone holds the rare combinations — since the probe's
+# KS-membership sub-gate (html_extract._KSX1001_SYLLABLES) exists exactly
+# because extension-dominated decodes are GBK/SJIS mojibake, the Korean
+# roundtrip property pins the realistic distribution, and extension-heavy
+# pages are the documented residual tail
+_HANGUL_CHARS = st.sampled_from(sorted(
+    bytes((lead, trail)).decode("cp949")
+    for lead in range(0xB0, 0xC9) for trail in range(0xA1, 0xFF)
+))
 _KANA_CHARS = st.one_of(st.integers(0x3041, 0x3093),
                         st.integers(0x30A1, 0x30F6)).map(chr)  # hiragana + katakana
 _HANZI_CHARS = st.integers(0x4E00, 0x9FA5).map(chr)
@@ -685,3 +694,44 @@ def test_big5_vs_gbk_probe_separation():
         got = _probe_cjk(payload)
         assert got is not None and got[0] == codec
         assert txt in got[1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_gbk_glossary_pages_with_latin_words_stay_gbk(data):
+    """Review-confirmed misroute: at a hanzi-run → ASCII-word boundary the
+    GB trail byte reads as a phantom Big5 'lead', so a GB2312-zone
+    glossary page ('议告matrix…') counted as Big5-shaped — and mojibaked
+    whenever the big5 strict decode happened to succeed. The phantom
+    subtraction must keep such pages on the gbk rung AND byte-identical."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        _big5_shaped, decode_payload)
+
+    # GB2312-zone hanzi whose GBK bytes do NOT read as Hangul under cp949
+    # — at the probe's 8-core floor a repetitious page of hangul-image
+    # chars ('丁' → '땀') is GENUINELY ambiguous with Korean (documented
+    # floor tail); this property targets the phantom-Big5 misroute, so it
+    # pins the unambiguous majority
+    pool = [c for c in map(chr, range(0x4E00, 0x9FA6))
+            if c.encode("gb2312", "ignore")
+            and not any("가" <= k <= "힣"
+                        for k in c.encode("gbk").decode("cp949", "ignore"))]
+    words = ("reduce", "matrix", "buffer", "api", "tokens", "map")
+    parts, used = [], []
+    for _ in range(data.draw(st.integers(10, 25))):
+        run = "".join(data.draw(st.sampled_from(pool))
+                      for _ in range(data.draw(st.integers(1, 3))))
+        used.extend(run)
+        parts.append(run + data.draw(st.sampled_from(words)))
+    # stay inside the probe's own documented floors (>=8 core hanzi,
+    # >=5 distinct) — below them every candidate rejects by design
+    assume(len(used) >= 8 and len(set(used)) >= 5)
+    page = "<html><body><p>" + "".join(parts) + "</p></body></html>"
+    payload = page.encode("gbk")
+    try:  # a GBK stream can coincidentally be valid UTF-8 (e.g. repeated
+        payload.decode("utf-8")  # D2 BB = 'һ'); the strict-UTF-8 tier
+        assume(False)  # legitimately wins there — outside the probe's domain
+    except UnicodeDecodeError:
+        pass
+    assert not _big5_shaped(payload)
+    assert decode_payload(payload) == page
