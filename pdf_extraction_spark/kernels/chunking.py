@@ -78,7 +78,12 @@ def recursive_chunks(
         if j + 1 >= m:
             break
         k = j + 1
-        while k - 1 > i and chunks[-1][1] - atoms[k - 1][0] <= overlap:
+        # carry back only while the next unseen atom still fits in the new
+        # chunk — otherwise the new chunk would close at the SAME end as the
+        # previous one (a fully-contained duplicate chunk: carried-back tail
+        # + an almost-size atom exceeded `size`, review-confirmed repro)
+        while (k - 1 > i and chunks[-1][1] - atoms[k - 1][0] <= overlap
+               and atoms[j + 1][1] - atoms[k - 1][0] <= size):
             k -= 1
         i = k
     return chunks

@@ -173,6 +173,9 @@ def decode_container(payload: bytes) -> dict:
             if payload[p] != 0xFF:
                 break
             marker = payload[p + 1]
+            if marker == 0xFF:  # fill byte (B.1.1.2): markers may be
+                p += 1          # preceded by any number of 0xFF bytes
+                continue
             if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
                 p += 2
                 continue
@@ -250,9 +253,16 @@ def _walk_bmff(payload: bytes, p: int, end: int, out: dict, depth: int = 0) -> N
     while p + 8 <= end:
         (size,) = struct.unpack(">I", payload[p : p + 4])
         typ = payload[p + 4 : p + 8]
-        if size < 8 or p + size > end:
-            return
         body = p + 8
+        if size == 0:
+            size = end - p  # box extends to end of file (ISO 14496-12 §4.2)
+        elif size == 1:
+            if p + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", payload[p + 8 : p + 16])
+            body = p + 16  # 64-bit largesize (the standard big-mdat layout)
+        if size < body - p or p + size > end:
+            return
         if typ in (b"moov", b"trak"):
             _walk_bmff(payload, body, p + size, out, depth + 1)
         elif typ == b"mvhd" and size >= 32 and payload[body] == 0:

@@ -18,6 +18,7 @@ _NONTEXT = bytes(b for b in range(0x20) if b not in (0x09, 0x0A, 0x0D))
 
 
 _WS_BYTES = b" \t\n\r\x0b\x0c"  # exactly bytes.lstrip()'s whitespace set
+_GUNZIP_CAP = 256 << 20  # 256 MiB inflated: far above any real web page
 
 
 def _binary_ratio(sample) -> float:
@@ -47,9 +48,18 @@ def extract_document(payload) -> dict:
     # through to the binary-ratio gate below
     if payload[:2] == b"\x1f\x8b":
         import gzip
+        import io
 
         try:
-            payload = gzip.decompress(payload)
+            # streamed with a hard cap: gzip.decompress of a ~1 MB bomb can
+            # allocate tens of GB before any except clause sees it — at
+            # corpus scale that is an executor OOM, not a row error
+            with gzip.GzipFile(fileobj=io.BytesIO(bytes(payload))) as gz:
+                inflated = gz.read(_GUNZIP_CAP + 1)
+            if len(inflated) <= _GUNZIP_CAP:
+                payload = inflated
+            # over the cap: keep the compressed bytes — the binary-ratio
+            # gate below classifies them as a binary payload with an error
         except Exception:
             pass
     # sniff without copying the payload (lstrip() would duplicate every doc)

@@ -43,7 +43,10 @@ def _file_key(user_pwd: bytes, o: bytes, p: int, id0: bytes, rev: int,
     h = hashlib.md5()
     h.update(_pad_password(user_pwd))
     h.update(o[:32])
-    h.update(struct.pack("<i", p))
+    # /P is a signed 32-bit value, but several real producers store the
+    # unsigned form (e.g. 4294963392 for -3904) — masking accepts both
+    # without changing the hashed little-endian bytes
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if rev >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -59,7 +62,9 @@ def _compute_o(owner_pwd: bytes, user_pwd: bytes, rev: int, key_len: int) -> byt
     key = hashlib.md5(_pad_password(owner_pwd or user_pwd)).digest()
     if rev >= 3:
         for _ in range(50):
-            key = hashlib.md5(key).digest()
+            # Algorithm 3 step (c): re-hash only the first key_len bytes
+            # (coincides with the full digest when key_len == 16)
+            key = hashlib.md5(key[:key_len]).digest()
     key = key[:key_len]
     o = rc4(key, _pad_password(user_pwd))
     if rev >= 3:
@@ -171,6 +176,15 @@ def open_decryptor(enc: dict, id0: bytes, resolve=lambda v: v) -> StandardDecryp
             if cfm == "AESV2":
                 return "aes"
             if cfm == "V2":
+                # the crypt filter's own /Length (in BYTES per spec example,
+                # though some producers write bits) beats the top-level
+                # default — without it a 128-bit V2 filter derived a 40-bit
+                # key and readable documents degraded to 'encrypted'
+                nonlocal key_len
+                cl = resolve(cfd.get("Length"))
+                if cl:
+                    cl = int(cl)
+                    key_len = cl // 8 if cl >= 40 else cl
                 return "rc4"
             raise ValueError(f"unsupported /CFM {cfm}")
 

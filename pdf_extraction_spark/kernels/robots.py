@@ -23,9 +23,11 @@ def parse_robots(payload: bytes | str) -> dict:
     comments (#) stripped; unknown directives skipped. Never raises."""
     try:
         if isinstance(payload, bytes):
-            text = payload.decode("utf-8", errors="replace")
+            # utf-8-sig: a BOM would otherwise survive into the first
+            # 'user-agent' key and silently drop that whole group
+            text = payload.decode("utf-8-sig", errors="replace")
         else:
-            text = payload
+            text = payload.lstrip("﻿")
         groups: dict[str, list] = {}
         delays: dict[str, float] = {}
         sitemaps: list[str] = []
@@ -75,20 +77,34 @@ def _rule_matches(pattern: str, path: str) -> int:
     anchored = pattern.endswith("$")
     pat = pattern[:-1] if anchored else pattern
     parts = pat.split("*")
-    pos = 0
     # first segment must match at the start
     if not path.startswith(parts[0]):
         return -1
     pos = len(parts[0])
-    for seg in parts[1:]:
+    # middle segments: leftmost match (greedy-safe — leaves the most path
+    # for later segments); empty middles are consecutive '**', zero-width
+    for seg in parts[1:-1]:
         if not seg:
-            pos = len(path)  # trailing * consumes the rest
             continue
         i = path.find(seg, pos)
         if i == -1:
             return -1
         pos = i + len(seg)
-    # a trailing * before $ already consumed to the end (pos == len(path))
+    if len(parts) > 1:
+        last = parts[-1]
+        if not last:
+            pos = len(path)  # trailing * consumes the rest
+        elif anchored:
+            # the FINAL segment of an anchored pattern must match at the
+            # END — leftmost matching made '/*.php$' miss '/a.php.php'
+            if not path.endswith(last) or len(path) - len(last) < pos:
+                return -1
+            pos = len(path)
+        else:
+            i = path.find(last, pos)
+            if i == -1:
+                return -1
+            pos = i + len(last)
     if anchored and pos != len(path):
         return -1
     return len(pattern)

@@ -112,3 +112,55 @@ def test_webp_lossy_lossless_and_extended():
     assert (d["fmt"], d["width"], d["height"]) == ("webp", 640, 480)
     # truncation degrades to corrupt, never raises
     assert decode_container(build_webp(64, 48)[:14])["fmt"] == "corrupt"
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """Review finding: 0xFF fill/padding bytes before a marker (ISO 10918-1
+    B.1.1.2) read a bogus segment length and skipped past the real SOF."""
+    jpg = containers.build_jpeg(320, 240)
+    # splice two fill bytes right after SOI, before the first real marker
+    padded = jpg[:2] + b"\xff\xff" + jpg[2:]
+    assert containers.decode_container(padded) == _meta("jpeg", 320, 240)
+
+
+def test_bmff_largesize_and_to_eof_boxes():
+    """Review finding: size==1 (64-bit largesize) and size==0 (box-to-EOF)
+    boxes stopped the walk, so the standard big-mdat layout (ftyp, mdat
+    with largesize, moov) reported corrupt for a valid video."""
+    mp4 = containers.build_mp4(640, 360, 2500)
+    # locate moov and rebuild: ftyp + largesize-mdat + original moov
+    at = mp4.find(b"moov") - 4
+    ftyp, moov = mp4[:at], mp4[at:]
+    mdat_payload = b"\x00" * 32
+    mdat = (struct.pack(">I", 1) + b"mdat"
+            + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload)
+    meta = containers.decode_container(ftyp + mdat + moov)
+    assert meta == _meta("mp4", 640, 360, dur=2500)
+    # box-to-EOF: a size-0 free box at the tail must not be 'corrupt'
+    meta2 = containers.decode_container(
+        mp4 + struct.pack(">I", 0) + b"free" + b"\x00" * 8)
+    assert meta2 == _meta("mp4", 640, 360, dur=2500)
+
+
+def test_dispatch_gunzip_cap_blocks_bombs():
+    """Review finding: unbounded gzip.decompress let a small bomb allocate
+    the full plaintext before any except clause could run. The streamed
+    read caps inflation; over-cap payloads degrade to the binary gate."""
+    import gzip
+
+    from pdf_extraction_spark.kernels import dispatch
+
+    # normal gzipped HTML still unwraps transparently
+    page = b"<html><body><p>hello gzip world</p></body></html>"
+    res = dispatch.extract_document(gzip.compress(page))
+    assert res["method"] == "html" and "hello gzip world" in res["text"]
+    # a payload inflating past the cap is NOT inflated (monkeypatch the cap
+    # so the test stays tiny); the compressed bytes hit the binary gate
+    old = dispatch._GUNZIP_CAP
+    dispatch._GUNZIP_CAP = 1024
+    try:
+        bomb = gzip.compress(b"\x00" * 100_000)
+        res = dispatch.extract_document(bomb)
+        assert res["method"] == "binary" and res["error"]
+    finally:
+        dispatch._GUNZIP_CAP = old

@@ -59,3 +59,32 @@ def test_total_on_garbage_and_missing_groups():
     assert parse_robots("Disallow: /\nUser-agent: *\nAllow: /")["groups"]["*"] == [
         ("allow", "/")
     ]
+
+
+def test_anchored_wildcard_matches_at_end():
+    """Review finding: leftmost-matching the final segment made '/*.php$'
+    miss '/a.php.php' — the disallow was silently ignored."""
+    from pdf_extraction_spark.kernels.robots import is_allowed, parse_robots
+
+    rules = parse_robots("User-agent: *\nDisallow: /*.php$")
+    assert not is_allowed(rules, "bot", "/a.php")
+    assert not is_allowed(rules, "bot", "/a.php.php")   # recurring segment
+    assert is_allowed(rules, "bot", "/a.php?x=1")       # not at end
+    # consecutive wildcards are zero-width, not consume-to-end
+    r2 = parse_robots("User-agent: *\nDisallow: /a**b")
+    assert not is_allowed(r2, "bot", "/axb")
+    # final-segment end anchor composes with middle segments
+    r3 = parse_robots("User-agent: *\nDisallow: /*b*bc$")
+    assert not is_allowed(r3, "bot", "/xbzbc")
+    assert is_allowed(r3, "bot", "/xbzbcd")
+
+
+def test_bom_prefixed_robots_parses():
+    """Review finding: a UTF-8 BOM corrupted the first 'user-agent' key and
+    dropped the whole group — every path on a disallow-all site allowed."""
+    from pdf_extraction_spark.kernels.robots import is_allowed, parse_robots
+
+    rules = parse_robots(b"\xef\xbb\xbfUser-agent: *\nDisallow: /")
+    assert not is_allowed(rules, "bot", "/anything")
+    rules2 = parse_robots("﻿User-agent: *\nDisallow: /x")
+    assert not is_allowed(rules2, "bot", "/x/y")
