@@ -137,13 +137,33 @@ FORM_DX, FORM_DY = 48.0, -36.0
 _TD_OP = re.compile(r"Tf ([\d.]+) ([\d.]+) Td")
 _ML_OP = re.compile(r"([\d.]+) ([\d.]+) (m|l)\b")
 _CM_OP = re.compile(r"q ([\d.]+) 0 0 ([\d.]+) ([\d.]+) ([\d.]+) cm")
+# a (…) literal string token — the writer escapes every interior paren, so
+# one alternation of "non-special byte or escape pair" spans the literal
+_LIT_TOK = re.compile(r"\((?:[^\\()]|\\.)*\)")
+
+
+def _sub_ops(pattern: re.Pattern, repl, ops: str) -> str:
+    """``pattern.sub`` applied OUTSIDE (…) string literals only: shown text
+    matching an operator shape (e.g. "12 34 m" inside a paragraph) must not
+    be rewritten as page geometry. Hex strings need no exclusion — none of
+    the op regexes can match inside pure-hex content."""
+    if "(" not in ops:
+        return pattern.sub(repl, ops)
+    out, pos = [], 0
+    for m in _LIT_TOK.finditer(ops):
+        out.append(pattern.sub(repl, ops[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, ops[pos:]))
+    return "".join(out)
 
 
 def _map_page_ops(page_ops: str, affine: tuple) -> str:
     """Re-express display-space content ops through an affine inverse (used
     for /Rotate pages and Form-XObject local frames): Td translations become
     full Tm matrices, path points and image-placement CTMs are mapped
-    through the same transform."""
+    through the same transform. Substitutions skip (…) literals so document
+    TEXT that happens to look like "12 34 m" survives byte-identically."""
     a, b, c, d, e, f = affine
 
     def pt(x: float, y: float) -> tuple[float, float]:
@@ -164,9 +184,9 @@ def _map_page_ops(page_ops: str, affine: tuple) -> str:
         cex, cey = pt(ex, ey)
         return "q %g %g %g %g %g %g cm" % (ca, cb, cc, cd, cex, cey)
 
-    out = _TD_OP.sub(td, page_ops)
-    out = _CM_OP.sub(cm, out)
-    return _ML_OP.sub(ml, out)
+    out = _sub_ops(_TD_OP, td, page_ops)
+    out = _sub_ops(_CM_OP, cm, out)
+    return _sub_ops(_ML_OP, ml, out)
 
 
 class _Type0Encoder:
@@ -777,7 +797,10 @@ def _pdf_str_tok(s: str, owner: int, encryptor, objstm: bool) -> str:
     strings with the owning object's key, except inside an ObjStm whose
     container stream is encrypted wholesale (§7.5.7)."""
     if encryptor is not None and not objstm:
-        cipher = encryptor.encrypt(owner, 0, s.encode("latin-1", "replace"))
+        # UTF-8, matching the unencrypted lane's bytes: the parser's
+        # _pdf_text decodes UTF-8-if-valid, so non-Latin-1 titles/URIs/Info
+        # survive encryption instead of collapsing to '?' (latin-1 replace)
+        cipher = encryptor.encrypt(owner, 0, s.encode("utf-8"))
         return "<%s>" % cipher.hex().upper()
     return "(%s)" % (s.replace("\\", r"\\").replace("(", r"\(")
                      .replace(")", r"\)"))
@@ -864,15 +887,19 @@ def _outline_objects(
             parts.append("/Count %d" % desc[i])
         objs[num(i)] = ("<< %s >>" % " ".join(parts)).encode()
     if named:
-        # name tree: keys sorted ("d0" < "d1" < ... lexicographic for n<=10)
+        # name tree: §7.7.4 requires keys LEXICOGRAPHICALLY sorted across
+        # the whole tree, so sort the item ids by their key string ("d10" <
+        # "d2") and split the SORTED order into leaves — for n <= 10 this
+        # is the numeric order, byte-identical to the pre-fix layout
         def dest_arr(i: int) -> str:
             pg = 4 + 2 * max(0, min(int(items[i][2]), npages - 1))
             return "[%d 0 R /XYZ 0 %g 0]" % (pg, PAGE_H)
 
+        order = sorted(range(n), key=lambda i: "d%d" % i)
         ndroot = base + 1 + n
         if n > 2:
             half = n // 2
-            leaves = [(ndroot + 1, range(0, half)), (ndroot + 2, range(half, n))]
+            leaves = [(ndroot + 1, order[:half]), (ndroot + 2, order[half:])]
             objs[ndroot] = (
                 "<< /Kids [%d 0 R %d 0 R] >>" % (ndroot + 1, ndroot + 2)
             ).encode()
@@ -889,7 +916,7 @@ def _outline_objects(
         else:
             pairs = " ".join(
                 "%s %s" % (_str_tok("d%d" % i, ndroot), dest_arr(i))
-                for i in range(n)
+                for i in order
             )
             objs[ndroot] = ("<< /Names [%s] >>" % pairs).encode()
     return objs
@@ -963,18 +990,7 @@ def _assemble(
         # /Link annotations with /URI actions on page 1 (§12.5.6.5)
         annot_base = max(max(objs), 3 + 2 * npages) + (npages if form_xobject else 0) + 1
         for k, uri in enumerate(links):
-            if encryptor is not None and not objstm:
-                # the standard handler encrypts ALL strings with the owning
-                # object's key — except inside an ObjStm, whose container
-                # stream is encrypted wholesale instead (§7.5.7)
-                cipher = encryptor.encrypt(
-                    annot_base + k, 0, uri.encode("latin-1", "replace")
-                )
-                tok = "<%s>" % cipher.hex().upper()
-            else:
-                esc = (uri.replace("\\", r"\\").replace("(", r"\(")
-                       .replace(")", r"\)"))
-                tok = "(%s)" % esc
+            tok = _pdf_str_tok(uri, annot_base + k, encryptor, objstm)
             objs[annot_base + k] = (
                 "<< /Type /Annot /Subtype /Link /Rect [72 %g 240 %g] "
                 "/Border [0 0 0] /A << /S /URI /URI %s >> >>"
@@ -1087,24 +1103,14 @@ def _assemble(
         # wholesale instead
         info_num = max(list(objs) + [3 + 2 * npages]) + 1
 
-        def _info_body(encrypted: bool) -> bytes:
-            parts = []
-            for k, v in sorted(info.items()):
-                if encrypted:
-                    cipher = encryptor.encrypt(
-                        info_num, 0, str(v).encode("latin-1", "replace")
-                    )
-                    parts.append("/%s <%s>" % (k, cipher.hex().upper()))
-                else:
-                    esc = (str(v).replace("\\", r"\\").replace("(", r"\(")
-                           .replace(")", r"\)"))
-                    parts.append("/%s (%s)" % (k, esc))
-            return ("<< %s >>" % " ".join(parts)).encode()
-
         # under objstm the dict is always packed (the packer keys on the
         # exact b"\nstream\n" marker) and the container encryption covers
-        # its strings; otherwise encrypt them individually
-        objs[info_num] = _info_body(encryptor is not None and not objstm)
+        # its strings; otherwise encrypt them individually — _pdf_str_tok
+        # applies exactly that rule
+        objs[info_num] = ("<< %s >>" % " ".join(
+            "/%s %s" % (k, _pdf_str_tok(str(v), info_num, encryptor, objstm))
+            for k, v in sorted(info.items())
+        )).encode()
 
     packed: dict[int, int] = {}  # obj num -> index within the ObjStm
     if objstm:
@@ -1178,21 +1184,28 @@ def _assemble(
     else:
         xnum = maxnum + 1
         xref_off = len(buf)
-        # W = [1 4 1]: type, offset-or-container, gen-or-index
-        rows = [b"\x00" + (0).to_bytes(4, "big") + b"\xff"]
+        # W = [1 4 w3]: type, offset-or-container, gen-or-index — the third
+        # field widens with the largest ObjStm index so containers packing
+        # >256 dict objects emit a valid table instead of OverflowError
+        # (1 byte, the historical layout, whenever indexes fit)
+        w3 = max(1, (max(packed.values(), default=0).bit_length() + 7) // 8)
+        rows = [b"\x00" + (0).to_bytes(4, "big") + (0xFF).to_bytes(w3, "big")]
         for num in range(1, maxnum + 1):
             if num in packed:  # type 2: (container obj, index within it)
                 rows.append(
                     b"\x02" + objstm_num.to_bytes(4, "big")
-                    + packed[num].to_bytes(1, "big")
+                    + packed[num].to_bytes(w3, "big")
                 )
             else:
-                rows.append(b"\x01" + offsets.get(num, 0).to_bytes(4, "big") + b"\x00")
-        rows.append(b"\x01" + xref_off.to_bytes(4, "big") + b"\x00")
+                rows.append(
+                    b"\x01" + offsets.get(num, 0).to_bytes(4, "big")
+                    + (0).to_bytes(w3, "big")
+                )
+        rows.append(b"\x01" + xref_off.to_bytes(4, "big") + (0).to_bytes(w3, "big"))
         data = zlib.compress(b"".join(rows), 6)
         head = (
-            b"<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R%s /Filter /FlateDecode /Length %d >>"
-            % (xnum + 1, enc_trailer, len(data))
+            b"<< /Type /XRef /Size %d /W [1 4 %d] /Root 1 0 R%s /Filter /FlateDecode /Length %d >>"
+            % (xnum + 1, w3, enc_trailer, len(data))
         )
         buf += b"%d 0 obj\n" % xnum
         buf += head + b"\nstream\n" + data + b"\nendstream\nendobj\n"

@@ -828,3 +828,42 @@ def test_pdf_image_pairs_total_on_garbage():
 
     assert extract_pdf_images(b"") == []
     assert extract_pdf_images(b"%PDF-1.5 garbage") == []
+
+
+def test_op_shaped_document_text_survives_rotate_and_form():
+    """Review finding: _map_page_ops regexes ran over the whole content
+    stream INCLUDING (…) literals, so document text matching an operator
+    shape ("12 34 m", "5 6 l", "q 2 0 0 2 10 20 cm") was rewritten to
+    transformed coordinates on rotate/form_xobject pages. Substitutions
+    now skip string literals."""
+    txt = ("the span measured 12 34 m wide and 5 6 l deep across the page, "
+           "see step q 2 0 0 2 10 20 cm for details of the full procedure")
+    base = extract_pdf(build_pdf(txt))["text"]
+    assert "12 34 m wide and 5 6 l deep" in base
+    for kw in ({"rotate": 90}, {"rotate": 180}, {"rotate": 270},
+               {"form_xobject": True}, {"rotate": 90, "form_xobject": True}):
+        got = extract_pdf(build_pdf(txt, **kw))["text"]
+        assert got == base, kw
+
+
+def test_encrypted_non_latin1_strings_roundtrip():
+    """Review finding: the encrypted string lane encoded latin-1 with
+    errors='replace' (non-Latin-1 chars became '?') while the unencrypted
+    lane kept UTF-8. Both lanes now emit UTF-8; the parser's _pdf_text
+    UTF-8 probe decodes it back on every metadata surface."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        extract_pdf_attachments,
+        extract_pdf_outline,
+    )
+
+    for enc in (None, "rc4-128", "aes-128"):
+        pdf = build_pdf("body text here", encrypt=enc,
+                        outline=[(1, "한국어 제목", 0)],
+                        links=["https://example.com/한글path"],
+                        info={"Title": "서울 문서"},
+                        attachments=[("자료.txt", b"data")])
+        r = extract_pdf(pdf)
+        assert r["meta"].get("title") == "서울 문서", enc
+        assert extract_pdf_outline(pdf)[0]["title"] == "한국어 제목", enc
+        assert r["links"][0]["href"] == "https://example.com/한글path", enc
+        assert extract_pdf_attachments(pdf)[0]["name"] == "자료.txt", enc

@@ -148,3 +148,45 @@ def test_acroform_fields_roundtrip():
         assert got[0]["field_type"] == "Tx"
     assert extract_pdf_form_fields(pdf_write.build_pdf(text)) == []
     assert extract_pdf_form_fields(b"garbage") == []
+
+
+def test_named_dest_tree_lexicographic_past_ten_items():
+    """Review finding: name-tree keys were emitted in NUMERIC order, so
+    n > 10 leaves were unsorted ("d10" < "d2" lexicographically) and
+    /Limits wrong per §7.7.4. Keys must now be globally sorted across both
+    leaves with limits = each leaf's first/last key — and the n <= 10
+    layout must be byte-for-byte what the numeric order produced."""
+    import re
+
+    items = [(1, "t%d" % i, 0) for i in range(12)]
+    pdf = pdf_write.build_pdf("body text", outline=items, outline_named=True)
+    assert [o["title"] for o in extract_pdf_outline(pdf)] == [
+        "t%d" % i for i in range(12)
+    ]
+    raw = pdf.decode("latin-1")
+    leaves = re.findall(
+        r"/Limits \[\((d\d+)\) \((d\d+)\)\] /Names \[(.*?)\] >>", raw
+    )
+    assert len(leaves) == 2
+    allkeys = []
+    for lo, hi, body in leaves:
+        keys = re.findall(r"\((d\d+)\) \[", body)
+        assert keys == sorted(keys)
+        assert (lo, hi) == (keys[0], keys[-1])
+        allkeys += keys
+    assert allkeys == sorted(allkeys) and len(allkeys) == 12
+
+
+def test_objstm_outline_past_256_packed_objects():
+    """Review finding: the xref-stream index column was hard-coded to one
+    byte, so an ObjStm packing > 256 dict objects raised OverflowError.
+    The /W third field now widens (and stays 1 byte below the threshold,
+    keeping every existing fixture byte-identical)."""
+    items = [(1, "t%d" % i, 0) for i in range(300)]
+    pdf = pdf_write.build_pdf("hello world", objstm=True, outline=items)
+    assert b"/W [1 4 2]" in pdf
+    got = extract_pdf_outline(pdf)
+    assert [o["title"] for o in got] == ["t%d" % i for i in range(300)]
+    assert "hello world" in extract_pdf(pdf)["text"]
+    small = pdf_write.build_pdf("hello world", objstm=True, outline=items[:5])
+    assert b"/W [1 4 1]" in small

@@ -32,12 +32,20 @@ def main() -> None:
     snapshots: list[tuple[pathlib.Path, pathlib.Path]] = []
     for i in range(attempts):
         t0 = time.monotonic()
+        # attempt 1 materializes the deterministic corpus; later attempts
+        # reuse it (scalebench validates corpus_meta.json against this
+        # run's parameters, so a stale cache is refused, not mismeasured) —
+        # generation is outside the timed region either way, this only
+        # drops ~8 redundant multi-minute corpus builds per 9-attempt batch
+        env = {**os.environ, "SCALEBENCH_PUBLISH": "1"}
+        if i > 0:
+            env["SCALEBENCH_REUSE"] = "1"
         proc = subprocess.run(
             [sys.executable, str(REPO / "scalebench.py"), *extra],
             cwd=str(REPO), capture_output=True, text=True,
             # only the batch harness may write the canonical BENCH
             # artifacts; bare scalebench runs land in BENCH/*.run.*
-            env={**os.environ, "SCALEBENCH_PUBLISH": "1"},
+            env=env,
         )
         if proc.returncode != 0:
             sys.stderr.write(proc.stdout[-1000:] + proc.stderr[-3000:])
