@@ -270,24 +270,45 @@ _LATIN_PAIR_RE = re.compile(
     rb"[A-Za-z][\xc0-\xd6\xd8-\xf6\xf8-\xff]"
     rb"|[\xc0-\xd6\xd8-\xf6\xf8-\xff][A-Za-z]"
 )
+# adjacent DIFFERING high bytes — the lead/trail signature of an isolated
+# 2-byte CJK char; Latin doubled vowels (Finnish "ää" E4E4) are IDENTICAL
+# bytes and are deliberately not matched
+_HETERO_PAIR_RE = re.compile(rb"([\x80-\xff])(?!\1)([\x80-\xff])")
 
 
 def _latin_shape(payload) -> bool:
     """True when >=2/3 of the payload's high bytes are cp1252 Latin letters
     adjacent to an ASCII letter — the signature of accented Latin words,
-    never of a legacy CJK byte stream (see gate comment above). Two
-    C-level scans, no per-byte Python: the non-overlapping pair scan
-    counts each high byte at most once and can only UNDERcount the shared-
-    ASCII shape high,letter,high (the un-counted second accent then sits
-    against a non-letter, which already breaks the candidates' strict
-    decode in the letter-trail encodings), so the error direction is
-    veto-less — safe for CJK, and the fraction floor still holds for
-    every measured Latin corpus. Scans run on the buffer directly (bytes
-    OR the zero-copy Arrow memoryview) — no payload copy."""
+    never of a legacy CJK byte stream (see gate comment above). C-level
+    scans, no per-byte Python: the non-overlapping pair scan counts each
+    high byte at most once and can only UNDERcount the shared-ASCII shape
+    high,letter,high (the un-counted second accent then sits against a
+    non-letter, which already breaks the candidates' strict decode in the
+    letter-trail encodings), so the error direction is veto-less — safe
+    for CJK, and the fraction floor still holds for every measured Latin
+    corpus. Scans run on the buffer directly (bytes OR the zero-copy
+    Arrow memoryview) — no payload copy.
+
+    Carve-out (hypothesis-found misroute): a glossary page of ISOLATED
+    hanzi between ASCII words ("下reduce一reduce…") puts every high byte
+    against an ASCII letter, the exact accented-Latin shape. Such pages
+    are still decidable at the byte level — their high bytes sit in
+    adjacent DIFFERING pairs (lead+trail), while Latin accents are mostly
+    isolated (French/German/Spanish), identical when doubled (Finnish
+    "ää"), and draw on few pair types when digraphed (Portuguese "ção" ⇒
+    2-3 types). The veto therefore stands down only when hetero pairs
+    cover >=1/2 of the high bytes AND >=5 distinct pair types appear
+    (mirroring the ladder's own >=5-distinct-core floor); identical-byte
+    hanzi (乙 D2D2 vs "ää" E4E4) remain a documented ambiguous tail. The
+    extra scan is paid only by pages already past the Latin fraction,
+    i.e. about to be vetoed."""
     n_high = len(_HIGH_BYTE_RE.findall(payload))
     if not n_high:
         return False
-    return len(_LATIN_PAIR_RE.findall(payload)) * 3 >= n_high * 2
+    if len(_LATIN_PAIR_RE.findall(payload)) * 3 < n_high * 2:
+        return False
+    pairs = _HETERO_PAIR_RE.findall(payload)
+    return not (len(pairs) * 4 >= n_high and len(set(pairs)) >= 5)
 
 
 def _probe_cjk(payload) -> tuple[str, str] | None:

@@ -711,9 +711,13 @@ def test_gbk_glossary_pages_with_latin_words_stay_gbk(data):
     # — at the probe's 8-core floor a repetitious page of hangul-image
     # chars ('丁' → '땀') is GENUINELY ambiguous with Korean (documented
     # floor tail); this property targets the phantom-Big5 misroute, so it
-    # pins the unambiguous majority
+    # pins the unambiguous majority. Identical-byte hanzi (乙 D2D2 …) are
+    # likewise excluded: isolated between ASCII words their byte shape is
+    # EXACTLY a doubled Latin vowel ("ää" E4E4), a documented ambiguous
+    # tail the latin veto must keep on the cp1252 lane
     pool = [c for c in map(chr, range(0x4E00, 0x9FA6))
             if c.encode("gb2312", "ignore")
+            and c.encode("gbk")[0] != c.encode("gbk")[1]
             and not any("가" <= k <= "힣"
                         for k in c.encode("gbk").decode("cp949", "ignore"))]
     words = ("reduce", "matrix", "buffer", "api", "tokens", "map")
