@@ -392,7 +392,14 @@ def _declared_charset(payload) -> str | None:
         try:
             import codecs
 
-            codecs.lookup(name)
+            # lookup() also accepts bytes↔bytes transforms (base64, hex,
+            # zlib…) that str(payload, name) would LATER blow up on —
+            # CodecInfo flags real text encodings (the b"".decode probe
+            # can't: empty bytes short-circuit before the codec check).
+            # WHATWG: an unrecognized label is IGNORED and detection
+            # continues (UTF-8 probe / CJK ladder / cp1252 default).
+            if not getattr(codecs.lookup(name), "_is_text_encoding", True):
+                raise LookupError(name)
             return name
         except LookupError:
             pass
@@ -472,6 +479,7 @@ class Block:
     depth: int
     in_chrome: bool            # inside nav/header/footer/aside or hinted class
     in_main: bool              # inside <main>/<article>
+    chrome_tag: str = ""       # outermost enclosing chrome tag, "" outside
     heading: int = 0           # 1..6 for h1..h6, else 0
     kind: str = "paragraph"    # provisional element type
     parts: list = field(default_factory=list)        # text fragments
@@ -567,6 +575,7 @@ class _BlockParser:
         self._stack: list[str] = []
         self._drop_depth = 0
         self._chrome_depth = 0
+        self._chrome_tag = ""
         self._main_depth = 0
         self._link_depth = 0
         self._figure_depth = 0
@@ -592,6 +601,7 @@ class _BlockParser:
             depth=len(self._stack),
             in_chrome=self._chrome_depth > 0,
             in_main=self._main_depth > 0,
+            chrome_tag=self._chrome_tag if self._chrome_depth > 0 else "",
             heading=int(tag[1]) if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit() else 0,
             kind=kind,
         )
@@ -671,9 +681,19 @@ class _BlockParser:
                     self.base_href = href.strip()
             return
         if tag in _DROP_TAGS or self._drop_depth > 0:
-            self._stack.append(tag)
-            self._drop_depth += 1
-            return
+            # </head> is OPTIONAL (HTML spec §13.1.2.4): a body-content tag
+            # arriving while the innermost drop scope is rooted at <head>
+            # implicitly closes it — otherwise the head's drop mode would
+            # swallow the entire document text. Scopes rooted at real drop
+            # subtrees (svg/iframe/script…) keep dropping their children.
+            if (self._drop_depth > 0 and tag not in _DROP_TAGS
+                    and len(self._stack) >= self._drop_depth
+                    and self._stack[-self._drop_depth] == "head"):
+                self.handle_endtag("head")
+            else:
+                self._stack.append(tag)
+                self._drop_depth += 1
+                return
         hinted = False
         if tag in ("div", "section", "ul", "ol", "table"):
             attr_blob = " ".join(
@@ -682,6 +702,8 @@ class _BlockParser:
             hinted = any(h in attr_blob for h in _CHROME_HINTS)
         self._stack.append(tag)
         if tag in _CHROME_TAGS or hinted:
+            if self._chrome_depth == 0:
+                self._chrome_tag = tag
             self._chrome_depth += 1
             self._stack[-1] = "!chrome:" + tag
         if tag in ("main", "article"):
@@ -789,6 +811,8 @@ class _BlockParser:
             else:
                 if top.startswith("!chrome:") or bare in _CHROME_TAGS:
                     self._chrome_depth = max(0, self._chrome_depth - 1)
+                    if self._chrome_depth == 0:
+                        self._chrome_tag = ""
                 if bare in ("main", "article"):
                     self._main_depth = max(0, self._main_depth - 1)
                 if bare == "figure":
@@ -1009,14 +1033,33 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int, 
     0.9 − ld/2 (> 0.7 at the general gate).
     """
     kept: list[tuple[str, str, int, float]] = []
+    chrome_kept: list[tuple[str, str, int, float]] = []
     for blk in blocks:
         text = blk.text()
         if not text:
             continue
         if blk.in_chrome:
-            # chrome blocks are dropped outright when a main region exists;
-            # otherwise they survive only as typed header/footer candidates —
-            # still excluded from main content.
+            # chrome blocks are dropped whenever ANY real content exists;
+            # they survive only as the all-chrome fallback below (splash/
+            # landing pages whose entire text lives in header/footer/nav),
+            # typed by their outermost chrome container and scored on the
+            # weaker 0.6 base so downstream confidence gates see the path
+            n = len(text)
+            words = text.count(" ") + 1
+            ld = blk.link_chars() / n if n else 1.0
+            if ld > LINK_DENSITY_MAX:
+                continue
+            if words <= SHORT_BLOCK_WORDS and ld > LINK_DENSITY_MAX_SHORT:
+                continue
+            if (n < MIN_CONTENT_CHARS and blk.kind == "paragraph"
+                    and not blk.heading):
+                continue
+            kind = ("header" if blk.chrome_tag == "header"
+                    else "footer" if blk.chrome_tag == "footer"
+                    else "title" if blk.heading else blk.kind)
+            chrome_kept.append(
+                (kind, text, blk.heading, round(0.6 - 0.5 * ld, 4))
+            )
             continue
         if saw_main and not blk.in_main:
             continue
@@ -1037,7 +1080,7 @@ def _classify(blocks: list[Block], saw_main: bool) -> list[tuple[str, str, int, 
         if n < MIN_CONTENT_CHARS and blk.kind == "paragraph":
             continue
         kept.append((blk.kind, text, 0, round(0.9 - 0.5 * ld, 4)))
-    return kept
+    return kept if kept else chrome_kept
 
 
 def extract_html(payload: bytes | str) -> dict:

@@ -374,7 +374,12 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # width bumps when the NEXT code to assign (len(table)) plus the
+            # EarlyChange offset no longer fits: 511/1023/2047 for the PDF
+            # default EarlyChange=1 (one code EARLY, matching real encoders;
+            # the former `- 1` form bumped one code late and desynced any
+            # stream whose table grew past 510 entries)
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -417,17 +422,30 @@ def _ascii85_decode(data: bytes) -> bytes:
     return base64.a85decode(b"<~" + body + b"~>", adobe=True)
 
 
-def _decode_stream(sdict: dict, raw: bytes) -> bytes:
-    filt = sdict.get("Filter")
+def _decode_stream(sdict: dict, raw: bytes, resolve=None) -> bytes:
+    # /Filter and /DecodeParms values may be indirect references
+    # (§7.3.8.2, same as /Length) — resolve them when the caller can
+    def rs(v):
+        if resolve is None or not isinstance(v, _Ref):
+            return v
+        try:
+            return resolve(v)
+        except Exception:
+            return None
+
+    filt = rs(sdict.get("Filter"))
     filters = [filt] if not isinstance(filt, list) else filt
-    parms = sdict.get("DecodeParms", sdict.get("DP"))
+    parms = rs(sdict.get("DecodeParms", sdict.get("DP")))
     parms_list = [parms] if not isinstance(parms, list) else parms
     data = raw
     for i, f in enumerate(filters):
+        f = rs(f)
         if f is None:
             continue
         name = str(f)
-        dp = parms_list[i] if i < len(parms_list) and isinstance(parms_list[i], dict) else {}
+        dp = rs(parms_list[i]) if i < len(parms_list) else {}
+        if not isinstance(dp, dict):
+            dp = {}
         try:
             if name == "FlateDecode":
                 try:
@@ -577,7 +595,7 @@ class _Doc:
         if not isinstance(sdict, dict):
             raise ValueError("xref stream: no dict")
         raw = self._read_stream_bytes(lex, sdict)
-        data = _decode_stream(sdict, raw)
+        data = _decode_stream(sdict, raw, self.resolve)
         w = [int(x) for x in sdict.get("W", [1, 1, 1])]
         size = int(sdict.get("Size", 0))
         index = sdict.get("Index", [0, size])
@@ -621,7 +639,10 @@ class _Doc:
             length = self.get(length.num)
         if isinstance(length, (int, float)) and start + int(length) <= len(d):
             end = start + int(length)
-            if d.find(b"endstream", end, end + 32) != -1 or True:
+            # trust /Length only when endstream actually sits near the
+            # claimed end — a lying in-bounds value (hand-edited or
+            # incrementally-updated files) falls through to the scan below
+            if d.find(b"endstream", end, end + 32) != -1:
                 return d[start:end]
         end = d.find(b"endstream", start)
         if end < 0:
@@ -684,7 +705,7 @@ class _Doc:
                 if isinstance(stream_obj, tuple) and stream_obj[0] == "stream":
                     sdict, raw = stream_obj[1], stream_obj[2]
                     try:
-                        data = _decode_stream(sdict, raw)
+                        data = _decode_stream(sdict, raw, self.resolve)
                         n = int(self.resolve(sdict.get("N")) or 0)
                         first = int(self.resolve(sdict.get("First")) or 0)
                         lex = _Lexer(data, 0)
@@ -736,23 +757,17 @@ class _Doc:
             self._walk_pages(self.resolve(kid), out, seen)
 
     def page_content(self, page: dict) -> bytes:
-        contents = page.get("Contents")
+        # /Contents may be a stream, an ARRAY of streams, or an indirect
+        # reference to either (§7.7.3.3) — resolve BEFORE the list test so
+        # an indirect array doesn't read as a single non-stream object
+        contents = self.resolve(page.get("Contents"))
         chunks: list[bytes] = []
         items = contents if isinstance(contents, list) else [contents]
         for it in items:
             obj = self.resolve(it)
             if isinstance(obj, tuple) and obj[0] == "stream":
-                chunks.append(_decode_stream(obj[1], obj[2]))
+                chunks.append(_decode_stream(obj[1], obj[2], self.resolve))
         return b"\n".join(chunks)
-
-    def page_image_names(self, page: dict) -> frozenset:
-        """Names of /Resources/XObject entries with /Subtype /Image — the
-        lookup set for ``Do`` placements during content interpretation."""
-        return self.page_paint(page)[0]
-
-    def page_fonts(self, page: dict) -> dict:
-        """Map of /Resources/Font names → :class:`pdf_fonts.FontDecoder`."""
-        return self.page_paint(page)[1]
 
     def page_paint(self, page: dict) -> tuple:
         """Painting context for a page: ``(image_names, fonts, forms)``.
@@ -784,7 +799,7 @@ class _Doc:
                     images.add(str(name))
                 elif sub == "Form" and depth < _FORM_MAX_DEPTH and key not in seen:
                     try:
-                        content = _decode_stream(sdict, obj[2])
+                        content = _decode_stream(sdict, obj[2], self.resolve)
                     except Exception:
                         continue
                     mat = self.resolve(sdict.get("Matrix"))
@@ -839,7 +854,10 @@ class _Doc:
                     if isinstance(obj, tuple) and obj[0] == "stream":
                         obj = obj[1]
                     cache[key] = (
-                        build_font_decoder(obj, self.resolve, _decode_stream)
+                        build_font_decoder(
+                            obj, self.resolve,
+                            lambda sd, rw: _decode_stream(sd, rw, self.resolve),
+                        )
                         if isinstance(obj, dict)
                         else None
                     )
@@ -952,7 +970,7 @@ class _Doc:
                     fs = self.resolve(ef.get("UF")) or self.resolve(ef.get("F"))
                     if isinstance(fs, tuple) and fs[0] == "stream":
                         try:
-                            data = _decode_stream(fs[1], fs[2])
+                            data = _decode_stream(fs[1], fs[2], self.resolve)
                         except Exception:
                             data = None
                 if data is None:
@@ -1387,10 +1405,14 @@ def _interpret_content(
             elif op == b"h" and path_start is not None:
                 cur_pt = path_start
             elif op == b"q":
-                gs_stack.append((ctm, tc, tw, tz))
+                # font, size, and leading are graphics state too (ISO
+                # 32000-1 Table 52) — a banner set inside q…Q must not
+                # leak its size into post-Q body text (TITLE misclass)
+                # or its subset decoder into later runs
+                gs_stack.append((ctm, tc, tw, tz, size, cur_font, leading))
             elif op == b"Q":
                 if gs_stack:
-                    ctm, tc, tw, tz = gs_stack.pop()
+                    ctm, tc, tw, tz, size, cur_font, leading = gs_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mult(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"Do" and stack and isinstance(stack[-1], _Name):
@@ -1512,20 +1534,73 @@ def _count_intersections(hlines, vlines) -> int:
     return inter
 
 
+def _with_rect_rules(hl, vl, rects):
+    """Merge THIN filled rects into the rule pools: many producers draw
+    table borders as `re f` bars rather than stroked paths (the reference's
+    vector scan treats both as rules, pdf_vector_utils.py:38-90). A rect
+    one dimension <=1pt wide becomes the corresponding center line; fat
+    rects (real fills/images) stay ignored."""
+    if not rects:
+        return hl, vl
+    hl2, vl2 = list(hl), list(vl)
+    for x, y, w, h in rects:
+        if h <= 1.0 and w > 0.5:
+            cy = y + h / 2.0
+            hl2.append((x, cy, x + w, cy))
+        elif w <= 1.0 and h > 0.5:
+            cx = x + w / 2.0
+            vl2.append((cx, y, cx, y + h))
+    return hl2, vl2
+
+
 def _grid_regions(hlines, vlines, inter: int | None = None) -> list[tuple]:
     """Detect ruled-table regions: h×v intersections ≥ GRID_MIN_INTERSECTIONS
-    (pdf_vector_utils.py:138-149). Returns bounding boxes (x0,y0,x1,y1)."""
+    (pdf_vector_utils.py:138-149). Returns bounding boxes (x0,y0,x1,y1),
+    one per CONNECTED component of touching rules — two disjoint tables
+    (or a table plus an unrelated separator rule) must not merge into one
+    page-spanning region that swallows the prose between them. The
+    component pass reuses the intersection tolerance and costs the same
+    O(h·v) the shared counter already pays."""
     if len(hlines) < 2 or len(vlines) < 2:
         return []
     if inter is None:
         inter = _count_intersections(hlines, vlines)
     if inter < GRID_MIN_INTERSECTIONS:
         return []
-    x0 = min(min(h[0] for h in hlines), min(v[0] for v in vlines))
-    x1 = max(max(h[2] for h in hlines), max(v[2] for v in vlines))
-    y0 = min(min(h[1] for h in hlines), min(v[1] for v in vlines))
-    y1 = max(max(h[3] for h in hlines), max(v[3] for v in vlines))
-    return [(x0, y0, x1, y1)]
+    nh = len(hlines)
+    parent = list(range(nh + len(vlines)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, (hx0, hy, hx1, _) in enumerate(hlines):
+        for j, (vx, vy0, _, vy1) in enumerate(vlines):
+            if hx0 - 0.5 <= vx <= hx1 + 0.5 and vy0 - 0.5 <= hy <= vy1 + 0.5:
+                ra, rb = find(i), find(nh + j)
+                if ra != rb:
+                    parent[rb] = ra
+    groups: dict[int, list[int]] = {}
+    for k in range(nh + len(vlines)):
+        groups.setdefault(find(k), []).append(k)
+    out = []
+    for idxs in groups.values():
+        hs = [hlines[k] for k in idxs if k < nh]
+        vs = [vlines[k - nh] for k in idxs if k >= nh]
+        if len(hs) < 2 or len(vs) < 2:
+            continue
+        if _count_intersections(hs, vs) < GRID_MIN_INTERSECTIONS:
+            continue
+        out.append((
+            min(min(h[0] for h in hs), min(v[0] for v in vs)),
+            min(min(h[1] for h in hs), min(v[1] for v in vs)),
+            max(max(h[2] for h in hs), max(v[2] for v in vs)),
+            max(max(h[3] for h in hs), max(v[3] for v in vs)),
+        ))
+    # top-first reading order, deterministic across dict iteration
+    return sorted(out, key=lambda r: (-r[3], r[0]))
 
 
 def _grid_confidence(hlines, vlines, inter: int | None = None) -> float:
@@ -1624,6 +1699,7 @@ def extract_table_cells(payload: bytes) -> list[dict]:
                 _, _, runs, hl, vl, rects, _img = _normalize_rotation(
                     rot, pw, ph, runs, hl, vl, rects, []
                 )
+            hl, vl = _with_rect_rules(hl, vl, rects)
             for gx0, gy0, gx1, gy1 in _grid_regions(hl, vl):
                 row_bounds = _cluster_coords(
                     [h[1] for h in hl if gy0 - 1 <= h[1] <= gy1 + 1]
@@ -1779,6 +1855,7 @@ def extract_pdf(payload: bytes, _collect_images: list | None = None) -> dict:
                 })
             if not runs and not images:
                 continue
+            hl, vl = _with_rect_rules(hl, vl, rects)
             inter = (
                 _count_intersections(hl, vl)
                 if len(hl) >= 2 and len(vl) >= 2 else 0
@@ -1998,7 +2075,7 @@ def _image_intrinsics(doc: "_Doc", sdict: dict, raw: bytes) -> dict:
         from .containers import decode_container
 
         try:
-            info = decode_container(_decode_stream(sdict, raw))
+            info = decode_container(_decode_stream(sdict, raw, doc.resolve))
             fmt = info["fmt"]  # 'jpeg', or 'corrupt' on a lying header
             if info["width"] >= 0:
                 w, h = info["width"], info["height"]

@@ -520,3 +520,71 @@ def test_feed_autodiscovery_links():
         {"href": "/atom.xml", "kind": "atom", "title": ""},
     ]
     assert extract_feed_links(b"\x00junk") == []
+
+
+def test_omitted_head_close_does_not_swallow_body():
+    """Review finding: </head> is optional per the HTML spec, but the head's
+    drop scope stayed open and swallowed the whole document. A body-content
+    tag now implicitly closes an open <head>; real drop subtrees (svg,
+    iframe) keep dropping."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    r = extract_html(b"<html><head><title>T</title><body>"
+                     b"<p>Hello world from the body of this page today</p>"
+                     b"</body></html>")
+    assert "Hello world" in r["text"]
+    r = extract_html(b'<html><head><meta charset="utf-8">'
+                     b"<p>straight into content here we go today</p></html>")
+    assert "straight into content" in r["text"]
+    r = extract_html(b"<html><head><title>T</title></head><body>"
+                     b"<svg><p>inside svg dropped</p></svg>"
+                     b"<p>kept body paragraph content here</p></body></html>")
+    assert "inside svg" not in r["text"]
+    assert "kept body paragraph" in r["text"]
+
+
+def test_non_text_charset_labels_are_ignored():
+    """Review finding: codecs.lookup accepts bytes-to-bytes transforms
+    (base64, hex, zlib, rot13), so a page declaring one blew up the decode
+    and extracted empty. WHATWG: unrecognized labels are ignored and
+    detection continues (UTF-8 probe / CJK ladder / cp1252 default)."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    for lab in ("base64", "hex", "zlib_codec", "rot13", "quopri_codec",
+                "bogus-enc"):
+        b = (f'<html><head><meta charset="{lab}"></head><body>'
+             f"<p>plain ascii page body with words</p></body></html>").encode()
+        r = extract_html(b)
+        assert "plain ascii page body" in r["text"] and r["error"] is None, lab
+    # real declared codecs still honored
+    b = ('<html><head><meta charset="euc-kr"></head><body>'
+         "<p>한국어 본문 내용입니다 좋아요</p></body></html>").encode("euc-kr")
+    assert "한국어 본문" in extract_html(b)["text"]
+
+
+def test_all_chrome_page_fallback():
+    """Review finding: the _CHROME_TAGS contract says chrome blocks survive
+    when the page has no other content at all, but _classify dropped them
+    unconditionally — splash/landing pages extracted empty. The fallback
+    types blocks by their outermost chrome container on the weaker 0.6
+    confidence base; any real content still suppresses chrome entirely."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    r = extract_html(
+        b"<html><body><header><h1>Acme Launch</h1></header><footer>"
+        b"<p>Contact us at the office for more information today</p>"
+        b"</footer></body></html>")
+    assert "Acme Launch" in r["text"] and "Contact us" in r["text"]
+    kinds = {s[0] for s in r["spans"]}
+    assert "footer" in kinds and "header" in kinds
+    assert all(s[5] <= 0.6 for s in r["spans"])  # fallback confidence base
+    r2 = extract_html(
+        b"<html><body><header><h1>Acme Launch</h1></header>"
+        b"<p>Real main body content paragraph sits here with words</p>"
+        b"</body></html>")
+    assert "Acme Launch" not in r2["text"]
+    assert "Real main body" in r2["text"]
+    # an all-nav link farm still extracts empty (gates apply in fallback)
+    links = "".join(f'<a href="/p{i}">item {i}</a> ' for i in range(20))
+    r3 = extract_html(f"<html><body><nav>{links}</nav></body></html>".encode())
+    assert r3["text"] == ""

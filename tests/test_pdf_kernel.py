@@ -867,3 +867,173 @@ def test_encrypted_non_latin1_strings_roundtrip():
         assert extract_pdf_outline(pdf)[0]["title"] == "한국어 제목", enc
         assert r["links"][0]["href"] == "https://example.com/한글path", enc
         assert extract_pdf_attachments(pdf)[0]["name"] == "자료.txt", enc
+
+
+def _lzw_encode_ref(data: bytes, early: int = 1) -> bytes:
+    """Reference LZW encoder (PDF/TIFF convention: clear=256, EOD=257,
+    width bump EarlyChange codes early, clear when the 12-bit table
+    fills) — the cross-check for _lzw_decode past width boundaries."""
+    out, acc, nbits, width = bytearray(), 0, 0, 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = fresh()
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code + early - 1 >= (1 << 12):
+            emit(256)
+            table, next_code = fresh()
+            width = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_width_boundary_cross_parity():
+    """Review finding: the decoder bumped the code width ONE CODE LATE
+    (len(table)+early-1 >= 2^width), desyncing any stream whose table grew
+    past 510 entries. Cross-checked against a reference encoder across
+    multiple width boundaries, table clears, and both EarlyChange values."""
+    import random
+
+    from pdf_extraction_spark.kernels.pdf_extract import _lzw_decode
+
+    rng = random.Random(7)
+    for n in (300, 3000, 30000, 120000):
+        data = bytes(rng.choice(b"abcdefgh \n") for _ in range(n))
+        assert _lzw_decode(_lzw_encode_ref(data), 1) == data, n
+    data = b"the quick brown fox jumps over the lazy dog " * 3000
+    assert _lzw_decode(_lzw_encode_ref(data), 1) == data
+    data = bytes(rng.choice(b"xyz01 ") for _ in range(20000))
+    assert _lzw_decode(_lzw_encode_ref(data, early=0), 0) == data
+
+
+def _hand_pdf(objs: dict) -> bytes:
+    """Assemble a classic-xref PDF from literal object bodies (for layouts
+    the fixture writer deliberately never emits)."""
+    buf = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(buf)
+        buf += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xref = len(buf)
+    buf += b"xref\n0 %d\n" % (max(objs) + 1) + b"0000000000 65535 f \n"
+    for n in range(1, max(objs) + 1):
+        buf += b"%010d 00000 n \n" % offs.get(n, 0)
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max(objs) + 1, xref))
+    return bytes(buf)
+
+
+_HAND_BASE = {
+    1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+    3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+        b"/Resources << /Font << /F1 6 0 R >> >> >>"),
+    6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+}
+
+
+def test_indirect_contents_array_and_lying_length():
+    """Review findings: (a) an indirect /Contents pointing at an ARRAY of
+    streams (§7.7.3.3) extracted empty — resolve now precedes the list
+    test; (b) a lying in-bounds /Length was trusted because the endstream
+    sanity check was dead code — it now falls through to the scan."""
+    content = b"BT /F1 12 Tf 72 700 Td (indirect array contents works) Tj ET"
+    objs = dict(_HAND_BASE)
+    objs[4] = (b"<< /Length %d >>\nstream\n" % len(content)
+               + content + b"\nendstream")
+    objs[5] = b"[4 0 R]"
+    pdf = _hand_pdf(objs)
+    assert "indirect array contents works" in extract_pdf(pdf)["text"]
+    lying = pdf.replace(b"<< /Length %d >>" % len(content),
+                        b"<< /Length 20 >>")
+    assert "indirect array contents works" in extract_pdf(lying)["text"]
+
+
+def test_indirect_filter_resolved():
+    """Review finding: /Filter (and /DecodeParms) may be indirect refs
+    (§7.3.8.2, like /Length); they were stringified to 'Ref(n)' and the
+    stream passed through undecoded."""
+    import zlib
+
+    content = zlib.compress(
+        b"BT /F1 12 Tf 72 700 Td (indirect filter decoded fine) Tj ET")
+    objs = dict(_HAND_BASE)
+    objs[3] = objs[3].replace(b"/Contents 5 0 R", b"/Contents 4 0 R")
+    objs[4] = (b"<< /Length %d /Filter 7 0 R >>\nstream\n" % len(content)
+               + content + b"\nendstream")
+    objs[7] = b"/FlateDecode"
+    assert "indirect filter decoded fine" in extract_pdf(_hand_pdf(objs))["text"]
+
+
+def test_q_restores_font_state():
+    """Review finding: q/Q saved (ctm, tc, tw, tz) but not font/size/leading
+    (graphics state per ISO 32000-1 Table 52) — a banner set inside q…Q
+    leaked its size into post-Q body text (TITLE misclassification)."""
+    from pdf_extraction_spark.kernels.pdf_extract import _interpret_content
+
+    content = (b"BT /F1 10 Tf 72 700 Td (body before text here okay) Tj ET "
+               b"q BT /F1 30 Tf 72 600 Td (HUGE BANNER) Tj ET Q "
+               b"BT 72 500 Td (body after text here okay) Tj ET")
+    runs, _, _, _, _ = _interpret_content(content, frozenset())
+    sizes = {txt: size for _x, _y, size, txt, _w in runs}
+    assert sizes["HUGE BANNER"] == 30.0
+    assert sizes["body after text here okay"] == 10.0
+
+
+def test_grid_regions_disjoint_tables_and_rect_rules():
+    """Review findings: (a) _grid_regions collapsed ALL page rules into one
+    bounding box, so two disjoint tables (or a table plus one unrelated
+    separator rule) merged into a page-spanning region swallowing the
+    prose between them — regions are now per connected component;
+    (b) rects were collected but never consumed — thin `re f` bars (the
+    border idiom of many producers) now join the rule pools."""
+    from pdf_extraction_spark.kernels.pdf_extract import (
+        _grid_regions,
+        _with_rect_rules,
+    )
+
+    def grid(x0, y0):
+        h = [(x0, y0 + 30 * i, x0 + 200, y0 + 30 * i) for i in range(3)]
+        v = [(x0 + 100 * j, y0, x0 + 100 * j, y0 + 60) for j in range(3)]
+        return h, v
+
+    h1, v1 = grid(100, 700)
+    h2, v2 = grid(100, 100)
+    regs = _grid_regions(h1 + h2, v1 + v2)
+    assert len(regs) == 2
+    assert regs[0][3] > 700 and regs[1][3] < 200  # top-first order
+    regs = _grid_regions(h1 + [(50, 400, 550, 400)], v1)
+    assert len(regs) == 1 and regs[0][1] >= 699  # stray rule excluded
+    rects = ([(100, 700 + 30 * i, 200, 0.8) for i in range(3)]
+             + [(100 + 100 * j, 700, 0.8, 60.8) for j in range(3)])
+    hl, vl = _with_rect_rules([], [], rects)
+    assert len(hl) == 3 and len(vl) == 3
+    assert len(_grid_regions(hl, vl)) == 1
+    # fat rects (real fills) stay ignored
+    assert _with_rect_rules([], [], [(10, 10, 50, 50)]) == ([], [])
