@@ -139,6 +139,9 @@ _CP1252_C1 = {
 
 _C1_RE = re.compile("[\x80-\x9f]")
 
+# comment opener inside the charset prescan window (buffer-compatible)
+_COMMENT_OPEN_RE = re.compile(rb"<!--")
+
 # -- undeclared legacy CJK probe (VERDICT r4 item 3) ------------------------------
 #
 # WHATWG label → Python codec for the legacy CJK families. The Encoding
@@ -381,7 +384,17 @@ def _declared_charset(payload) -> str | None:
     for bom, enc in _BOMS:
         if head.startswith(bom):
             return enc
-    m = _META_CHARSET_RE.search(payload[:2048])
+    prescan = payload[:2048]
+    m = _META_CHARSET_RE.search(prescan)
+    if m and _COMMENT_OPEN_RE.search(prescan):
+        # the WHATWG prescan SKIPS comments: a commented-out
+        # <!-- <meta charset=…> --> must not win (an unterminated comment
+        # swallows the rest of the prescan window, same as the spec's
+        # skip-until--> rule). The strip is paid only when both a meta
+        # match AND a comment opener exist in the window.
+        m = _META_CHARSET_RE.search(
+            re.sub(rb"<!--.*?(?:-->|$)", b"", bytes(prescan), flags=re.S)
+        )
     if m:
         name = m.group(1).decode("ascii", "replace").lower()
         if name in _CP1252_LABELS:
@@ -719,11 +732,14 @@ class _BlockParser:
                     href = str(v)
                 elif k == "rel" and v:
                     rel = str(v).lower()
-            if href is not None:
-                nofollow = rel is not None and "nofollow" in rel.split()
-                self._open_a.append(
-                    (href, [], self._chrome_depth > 0, nofollow)
-                )
+            # href-less anchors push a SENTINEL (href None) so every </a>
+            # pops symmetrically — otherwise a nested bare <a> pops the
+            # enclosing link early and truncates its anchor text
+            nofollow = (href is not None and rel is not None
+                        and "nofollow" in rel.split())
+            self._open_a.append(
+                (href, [], self._chrome_depth > 0, nofollow)
+            )
         if tag == "table":
             self._table_seq += 1
             self._table_stack.append(
@@ -821,12 +837,18 @@ class _BlockParser:
                     self._link_depth = max(0, self._link_depth - 1)
                     if self._open_a:
                         href, parts, chrome, nofollow = self._open_a.pop()
-                        self.links.append({
-                            "href": href,
-                            "text": _norm("".join(parts)),
-                            "chrome": chrome,
-                            "nofollow": nofollow,
-                        })
+                        if href is None:
+                            # bare-anchor sentinel: its text still belongs
+                            # to the enclosing link's anchor text
+                            if self._open_a:
+                                self._open_a[-1][1].extend(parts)
+                        else:
+                            self.links.append({
+                                "href": href,
+                                "text": _norm("".join(parts)),
+                                "chrome": chrome,
+                                "nofollow": nofollow,
+                            })
                 if bare in ("td", "th") and self._table_stack:
                     self._close_table_cell(self._table_stack[-1])
                 elif bare == "tr" and self._table_stack:
@@ -874,6 +896,10 @@ class _BlockParser:
         # flush anchors left open by malformed markup
         while self._open_a:
             href, parts, chrome, nofollow = self._open_a.pop()
+            if href is None:
+                if self._open_a:
+                    self._open_a[-1][1].extend(parts)
+                continue
             self.links.append(
                 {"href": href, "text": _norm("".join(parts)),
                  "chrome": chrome, "nofollow": nofollow}
@@ -1011,7 +1037,9 @@ def _scan(html: str, h: "_BlockParser") -> None:
                 stype = next(
                     (v for ak, v in attrs if ak == "type" and v), ""
                 )
-                if stype and stype.strip().lower() == "application/ld+json":
+                # MIME type params are legal ("application/ld+json;charset=…")
+                if (stype and stype.split(";", 1)[0].strip().lower()
+                        == "application/ld+json"):
                     h.handle_ldjson(html[i:m.start()])
             i = m.start()  # the </script> end tag is handled next loop
 

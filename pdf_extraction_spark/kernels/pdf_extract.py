@@ -567,12 +567,17 @@ class _Doc:
             start, count = int(m.group(1)), int(m.group(2))
             p += m.end()
             for i in range(count):
-                row = d[p : p + 20]
-                rm = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", row)
-                if rm and rm.group(3) == b"n":
+                # spec rows are exactly 20 bytes, but real producers emit
+                # 19-byte rows (single-EOL); advance by what actually
+                # matched so one short row doesn't desync the whole table
+                rm = re.match(rb"\s*(\d{10})\s+(\d{5})\s+([nf])", d[p : p + 24])
+                if not rm:
+                    p += 20
+                    continue
+                if rm.group(3) == b"n":
                     num = start + i
                     self.offsets.setdefault(num, int(rm.group(1)))
-                p += 20
+                p += rm.end()
         tm = re.search(rb"trailer", d[p : p + 64])
         if tm:
             lex = _Lexer(d, p + tm.end())

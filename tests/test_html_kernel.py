@@ -588,3 +588,49 @@ def test_all_chrome_page_fallback():
     links = "".join(f'<a href="/p{i}">item {i}</a> ' for i in range(20))
     r3 = extract_html(f"<html><body><nav>{links}</nav></body></html>".encode())
     assert r3["text"] == ""
+
+
+def test_charset_prescan_skips_comments():
+    """Review finding: the meta-charset prescan matched inside <!-- -->
+    comments, so a commented-out declaration hijacked the decode. WHATWG
+    prescan skips comments (an unterminated one swallows the rest of the
+    window); a real meta after a comment still wins."""
+    from pdf_extraction_spark.kernels.html_extract import detect_charset
+
+    b = (b'<html><head><!-- <meta charset="euc-kr"> --></head>'
+         b"<body><p>plain ascii words</p></body></html>")
+    assert detect_charset(b) == "utf-8"
+    b = b'<html><head><!-- oops <meta charset="euc-kr"></head><body><p>x</p>'
+    assert detect_charset(b) == "utf-8"
+    b = (b'<html><head><!-- c --><meta charset="windows-1252"></head>'
+         b"<body>\xe9</body></html>")
+    assert detect_charset(b) == "windows-1252"
+
+
+def test_nested_bare_anchor_keeps_outer_link_text():
+    """Review finding: href-less <a> pushed nothing but every </a> popped,
+    so a nested bare anchor closed the enclosing link early and truncated
+    its anchor text. Bare anchors now push a sentinel whose text folds
+    back into the enclosing link."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    r = extract_html(b'<html><body><p><a href="/x">X <a>inner words</a>'
+                     b" Y tail</a> after</p></body></html>")
+    link = next(l for l in r["links"] if l["href"] == "/x")
+    assert "inner words" in link["text"] and "Y tail" in link["text"]
+    r = extract_html(b"<html><body><p><a>named anchor</a> plain text"
+                     b" continues here today</p></body></html>")
+    assert all(l["href"] for l in r["links"])
+
+
+def test_jsonld_type_with_parameters():
+    """Review finding: a MIME type parameter ('application/ld+json;
+    charset=utf-8', legal per RFC 2045) failed the exact-match test and
+    the block was skipped."""
+    from pdf_extraction_spark.kernels.html_extract import extract_jsonld
+
+    out = extract_jsonld(
+        b"<html><head><script type='application/ld+json; charset=utf-8'>"
+        b'{"@type":"Article","headline":"H"}</script></head>'
+        b"<body><p>body content paragraph here</p></body></html>")
+    assert out and out[0].get("@type") == "Article"

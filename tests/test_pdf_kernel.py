@@ -1037,3 +1037,26 @@ def test_grid_regions_disjoint_tables_and_rect_rules():
     assert len(_grid_regions(hl, vl)) == 1
     # fat rects (real fills) stay ignored
     assert _with_rect_rules([], [], [(10, 10, 50, 50)]) == ([], [])
+
+
+def test_nineteen_byte_xref_rows():
+    """Review finding: the classic xref reader advanced a fixed 20 bytes
+    per row, so 19-byte rows (single-EOL, a known real-producer quirk)
+    desynced the whole table; it now advances by what actually matched."""
+    content = b"BT /F1 12 Tf 72 700 Td (nineteen byte xref rows parse fine) Tj ET"
+    objs = dict(_HAND_BASE)
+    objs[3] = objs[3].replace(b"/Contents 5 0 R", b"/Contents 4 0 R")
+    objs[4] = (b"<< /Length %d >>\nstream\n" % len(content)
+               + content + b"\nendstream")
+    buf = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(buf)
+        buf += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xref = len(buf)
+    buf += b"xref\n0 %d\n" % (max(objs) + 1) + b"0000000000 65535 f\n"
+    for n in range(1, max(objs) + 1):
+        buf += b"%010d 00000 n\n" % offs.get(n, 0)  # 19-byte rows
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max(objs) + 1, xref))
+    assert "nineteen byte xref rows parse fine" in extract_pdf(bytes(buf))["text"]
