@@ -739,3 +739,102 @@ def test_gbk_glossary_pages_with_latin_words_stay_gbk(data):
         pass
     assert not _big5_shaped(payload)
     assert decode_payload(payload) == page
+
+
+# -- round-5 continuation review-fix properties -------------------------------
+
+_WORDS = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=9),
+    min_size=12, max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_WORDS, st.booleans(), st.booleans())
+def test_omitted_head_close_parity(words, close_head, with_title):
+    """Extraction is INVARIANT to whether </head> is present (the spec
+    makes it optional): same body ⇒ byte-identical text and spans."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    body = "<p>" + " ".join(words) + "</p>"
+    head = "<meta charset='utf-8'>" + ("<title>T</title>" if with_title else "")
+    page = ("<html><head>" + head + ("</head>" if close_head else "")
+            + "<body>" + body + "</body></html>")
+    closed = ("<html><head>" + head + "</head><body>" + body
+              + "</body></html>")
+    got = extract_html(page.encode())
+    want = extract_html(closed.encode())
+    assert got["text"] == want["text"]
+    assert got["spans"] == want["spans"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(_WORDS, _WORDS)
+def test_chrome_fallback_exclusivity(main_words, chrome_words):
+    """Chrome text NEVER leaks into a page that has real content, and the
+    all-chrome fallback only fires when nothing else survives."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    main_p = "<p>" + " ".join(main_words) + "</p>"
+    chrome = "<footer><p>" + " ".join(chrome_words) + "</p></footer>"
+    with_main = extract_html(
+        ("<html><body>" + chrome + main_p + "</body></html>").encode())
+    assert " ".join(chrome_words) not in with_main["text"]
+    assert " ".join(main_words) in with_main["text"]
+    only_chrome = extract_html(
+        ("<html><body>" + chrome + "</body></html>").encode())
+    if only_chrome["text"]:
+        assert " ".join(chrome_words) in only_chrome["text"]
+        assert {s[0] for s in only_chrome["spans"]} == {"footer"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                min_size=1, max_size=4, unique=True))
+def test_grid_regions_one_per_disjoint_grid(cells):
+    """Disjoint complete grids on one page yield EXACTLY one region per
+    grid, each region containing its own grid's bbox and no other's."""
+    from pdf_extraction_spark.kernels.pdf_extract import _grid_regions
+
+    hl, vl, boxes = [], [], []
+    for gx, gy in cells:  # grid cell (gx, gy) on a 4x4 page lattice
+        x0, y0 = 40 + 140 * gx, 40 + 190 * gy
+        hl += [(x0, y0 + 30 * i, x0 + 100, y0 + 30 * i) for i in range(3)]
+        vl += [(x0 + 50 * j, y0, x0 + 50 * j, y0 + 60) for j in range(3)]
+        boxes.append((x0, y0, x0 + 100, y0 + 60))
+    regs = _grid_regions(hl, vl)
+    assert len(regs) == len(boxes)
+    for bx0, by0, bx1, by1 in boxes:
+        inside = [r for r in regs
+                  if r[0] <= bx0 and r[1] <= by0 and r[2] >= bx1 and r[3] >= by1]
+        assert len(inside) == 1
+        r = inside[0]
+        assert (r[0], r[1], r[2], r[3]) == (bx0, by0, bx1, by1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=4000).map(
+    lambda b: bytes(ch % 12 + 97 for ch in b)))
+def test_lzw_reference_encoder_parity(data):
+    """_lzw_decode inverts a reference PDF/TIFF-convention encoder for
+    arbitrary low-alphabet payloads (the shape that grows the string
+    table fastest across width boundaries)."""
+    from pdf_extraction_spark.kernels.pdf_extract import _lzw_decode
+    from test_pdf_kernel import _lzw_encode_ref
+
+    assert _lzw_decode(_lzw_encode_ref(data), 1) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(["<a href='/u'>", "<a>", "</a>", "w "]),
+                min_size=1, max_size=30))
+def test_anchor_soup_total_and_href_complete(parts):
+    """Arbitrary anchor nesting soup: extraction never raises, every
+    recorded link carries a real href, and anchor text never vanishes
+    into a bare-anchor sentinel at top level."""
+    from pdf_extraction_spark.kernels.html_extract import extract_html
+
+    page = "<html><body><p>" + "".join(parts) + "tail words</p></body></html>"
+    r = extract_html(page.encode())
+    assert r["error"] is None
+    assert all(l["href"] for l in r["links"])
