@@ -775,6 +775,10 @@ def test_chrome_fallback_exclusivity(main_words, chrome_words):
     all-chrome fallback only fires when nothing else survives."""
     from pdf_extraction_spark.kernels.html_extract import extract_html
 
+    # The exclusivity claim is only meaningful when the chrome string is
+    # not literally contained in the main text (identical word lists make
+    # the "leak" assertion unsatisfiable by construction, not by a bug).
+    assume(" ".join(chrome_words) not in " ".join(main_words))
     main_p = "<p>" + " ".join(main_words) + "</p>"
     chrome = "<footer><p>" + " ".join(chrome_words) + "</p></footer>"
     with_main = extract_html(
