@@ -37,12 +37,17 @@ _WORDS = (
 ).split()
 
 _KO_WORDS = ("데이터 분석 추출 문서 표 그림 수식 제목 단락 목록").split()
+# kana-dominant on purpose: the undeclared-EUC-JP lane must clear the
+# probe's 1/3 kana core gate the way real Japanese prose does (pure-kanji
+# strings are Chinese-shaped at the byte level); all chars JIS X 0208
+_JA_WORDS = ("データ ぶんせき 抽出 ぶんしょ ひょう 図 すうしき だいもく "
+             "だんらく もくろく").split()
 
 EPOCH = datetime.datetime(2025, 1, 1, 0, 0, 0)
 
 
 def _sentence(rng: random.Random, n: int, lang: str) -> str:
-    pool = _KO_WORDS if lang == "ko" else _WORDS
+    pool = _JA_WORDS if lang == "ja" else _KO_WORDS if lang == "ko" else _WORDS
     return " ".join(rng.choice(pool) for _ in range(n))
 
 
@@ -104,6 +109,12 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             host = HOSTS[1 + min(int(r * r * (len(HOSTS) - 1)), len(HOSTS) - 2)]
         url = f"https://{host}/page/{i}"
         lang = LANGS[i % len(LANGS)]
+        # every 10th doc is Japanese (stolen evenly from the base rotation;
+        # the word-pool swap leaves the rng call sequence untouched, so no
+        # other row's draws move) — half its HTML pages ship as UNDECLARED
+        # EUC-JP below, the round-5 probe rung
+        if i % 10 == 5:
+            lang = "ja"
         warc_ts = EPOCH + datetime.timedelta(minutes=i)
         title = _sentence(rng, 4, lang).title()
         paras = [_sentence(rng, rng.randint(20, 60), lang) for _ in range(rng.randint(1, 5))]
@@ -194,8 +205,16 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             # (VERDICT r4 item 3); the truncated variant 6 stays UTF-8 (a
             # mid-pair cut is a different degrade path, tested separately)
             legacy_kr = lang == "ko" and variant != 6 and i % 10 == 3
+            # every other Japanese page ships as UNDECLARED EUC-JP (round-5
+            # probe rung; the rest stay UTF-8 so both decode paths run).
+            # Variant 5 is excluded because its fixed block carries Hangul,
+            # which JIS X 0208 cannot encode; variant 6 stays UTF-8 like
+            # the Korean lane (mid-pair truncation is tested separately).
+            legacy_ja = lang == "ja" and variant not in (5, 6) and i % 20 == 5
             payload = html.encode(
-                "cp1252" if legacy else ("cp949" if legacy_kr else "utf-8")
+                "cp1252" if legacy else
+                ("cp949" if legacy_kr else
+                 ("euc-jp" if legacy_ja else "utf-8"))
             )
             raw_text = " ".join([title] + paras)
         rows.append(

@@ -157,6 +157,8 @@ _WHATWG_CJK_CODECS = {
     "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
     "x-sjis": "cp932", "ms_kanji": "cp932", "csshiftjis": "cp932",
     "windows-31j": "cp932", "cp932": "cp932",
+    "euc-jp": "euc_jp", "euc_jp": "euc_jp", "x-euc-jp": "euc_jp",
+    "cseucpkdfmtjapanese": "euc_jp",
     "gb2312": "gbk", "gbk": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
     "csgb2312": "gbk", "chinese": "gbk", "x-gbk": "gbk", "iso-ir-58": "gbk",
     "big5": "big5hkscs", "big5-hkscs": "big5hkscs", "cn-big5": "big5hkscs",
@@ -182,7 +184,16 @@ _WHATWG_CJK_CODECS = {
 # Ladder order matters: cp932 first (an SJIS page strictly decodes as
 # cp949 into extended-Hangul mojibake, so Korean must not see it first; a
 # Korean/Chinese page decodes via cp932 into half-width katakana, which is
-# deliberately NOT core), then cp949 (reference corpus is Korean,
+# deliberately NOT core), then euc_jp (an EUC-JP kana row 0xA4/0xA5 pair
+# strictly decodes via cp949 into Hangul COMPATIBILITY JAMO — Unicode-wise
+# core Hangul — so Japanese must not see the Korean rung first; the
+# converse is safe: Korean/Chinese EUC bytes decode via euc_jp into JIS
+# kanji, which the kana core gate rejects. One documented ambiguity is
+# unavoidable at the byte level: GB2312 copied the JIS kana rows verbatim,
+# so kana bytes are IDENTICAL in euc-jp and gb2312 — a ≥1/3-kana page
+# resolves to euc_jp, which is exact for the kana and garbles only hanzi
+# on a hypothetical kana-heavy GB page, the overwhelmingly rarer reading),
+# then cp949 (reference corpus is Korean,
 # compare_gpt_vs_hybrid.py:101-107), then the two hanzi encodings. GBK and
 # Big5 both decode each other's byte streams into plausible hanzi, so the
 # hanzi gates can't separate them — the BYTE SHAPE can: GB2312/GBK text is
@@ -201,6 +212,8 @@ _HANZI_GATES = (re.compile(f"[{_HANZI}]"), re.compile(f"[{_CJK_SHARED}]"),
                 2.0 / 3.0)
 _CJK_PROBE_CANDIDATES = (
     ("cp932", re.compile(f"[{_KANA}]"),
+     re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0),
+    ("euc_jp", re.compile(f"[{_KANA}]"),
      re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0),
     ("cp949", re.compile(f"[{_HANGUL}]"),
      re.compile(f"[{_HANGUL}{_CJK_SHARED}]"), 2.0 / 3.0),
@@ -358,6 +371,12 @@ def _probe_one(payload, cand) -> tuple[str, str] | None:
         return None
     if codec == "cp949":
         syl = [c for c in core if "가" <= c <= "힣"]
+        # real Korean core is SYLLABLES; a jamo-majority decode is the
+        # EUC-JP-kana-rows-as-cp949 signature (row 0xA4/0xA5 → U+3130
+        # compatibility jamo), which the vacuous `if syl` guard used to
+        # wave through when not a single true syllable appeared
+        if 2 * len(syl) < len(core):
+            return None  # compatibility-jamo mojibake, not Korean
         if syl and 2 * sum(c in _KSX1001_SYLLABLES for c in syl) < len(syl):
             return None  # extension-zone mojibake, not Korean
     return codec, s

@@ -202,6 +202,56 @@ def test_charset_undeclared_cjk_probe():
         assert decode_payload(memoryview(payload)) == page
 
 
+_JA_EUC_HIRA = ("<html><body><main><p>こんにちは、きょうはいいてんきですね。"
+                "さくらがさいています。ありがとうございます。</p><p>わたしは"
+                "にほんごをべんきょうしています。これはてすとのぺえじです。"
+                "</p></main></body></html>")
+_JA_EUC_KANJI = ("<html><body><main><p>東京都は日本の首都であり、政治経済の"
+                 "中心地である。人口は約一千四百万人に達する。</p><p>昨日は"
+                 "会議に出席し、新製品の開発計画について議論を行った。</p>"
+                 "</main></body></html>")
+
+
+def test_charset_undeclared_euc_jp_probe():
+    """Undeclared EUC-JP pages must probe as euc_jp — the round-5 residue:
+    a hiragana-heavy page used to MISROUTE to cp949 (EUC-JP kana rows
+    0xA4/0xA5 strictly decode as Hangul compatibility jamo, which the core
+    class counts as Hangul and the KS X 1001 syllable sub-gate — written
+    over syllables only — waved through vacuously), while a kanji-heavy
+    page fell all the way to cp1252 mojibake."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    for page in (_JA_EUC_HIRA, _JA_EUC_KANJI):
+        payload = page.encode("euc-jp")
+        assert detect_charset(payload) == "euc_jp"
+        assert decode_payload(payload) == page
+        assert decode_payload(memoryview(payload)) == page
+
+
+def test_charset_cp949_rejects_jamo_majority():
+    """The cp949 rung itself must reject a compatibility-jamo-majority
+    decode even when probed directly (defense in depth below the ladder
+    ordering): real Korean core is Hangul SYLLABLES."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        _CJK_PROBE_CANDIDATES, _probe_one)
+
+    cp949 = next(c for c in _CJK_PROBE_CANDIDATES if c[0] == "cp949")
+    payload = _JA_EUC_HIRA.encode("euc-jp")
+    # strictly cp949-decodable (all EUC-zone pairs) yet jamo, not Korean
+    assert payload.decode("cp949")
+    assert _probe_one(payload, cp949) is None
+
+
+def test_charset_euc_jp_truncated_pair_degrades():
+    """A payload cut mid-EUC-JP-pair must never raise; decode stays total."""
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    full = _JA_EUC_KANJI.encode("euc-jp")
+    for cut in (len(full) - 1, len(full) - 2, 37, 8, 1):
+        assert isinstance(decode_payload(full[:cut]), str)
+
+
 def test_charset_cjk_probe_precedence():
     """BOM and declared meta always beat the probe; valid UTF-8 never
     reaches it."""
