@@ -370,6 +370,29 @@ def test_undeclared_cp932_page_roundtrips(chars):
 
 
 @settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_KANA_CHARS, _KANA_CHARS,
+                          st.one_of(_KANA_CHARS, _HANZI_CHARS)),
+                min_size=4, max_size=20))
+def test_undeclared_euc_jp_page_roundtrips(triples):
+    """Japanese pages encoded EUC-JP roundtrip through the probe — the
+    round-5 tail: kana rows 0xA4/0xA5 strictly decode via cp949 into
+    Hangul compatibility jamo, so before the euc_jp rung (and the cp949
+    syllable-majority sub-gate) a hiragana-heavy page came back as jamo
+    mojibake. The generator keeps kana ≥ 2/3 per triple, inside the
+    rung's documented 1/3 core gate the way real Japanese prose is."""
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    chars = [c for t in triples for c in t]
+    assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
+    page = _word_page(chars)
+    try:
+        payload = page.encode("euc-jp")
+    except UnicodeEncodeError:
+        assume(False)  # not every URO hanzi is JIS X 0208
+    assert decode_payload(payload) == page
+
+
+@settings(max_examples=150, deadline=None)
 @given(st.lists(_HANZI_CHARS, min_size=20, max_size=80))
 def test_undeclared_gbk_page_roundtrips_above_ambiguity_floor(chars):
     from pdf_extraction_spark.kernels.html_extract import decode_payload
