@@ -211,10 +211,18 @@ def synth_rows(n: int, seed: int = 42, pdf_fraction: float = 0.10) -> list[dict]
             # which JIS X 0208 cannot encode; variant 6 stays UTF-8 like
             # the Korean lane (mid-pair truncation is tested separately).
             legacy_ja = lang == "ja" and variant not in (5, 6) and i % 20 == 5
+            # …and a quarter as UNDECLARED 7-bit ISO-2022-JP (escape-shifted
+            # JIS — valid ASCII, so the sniff must catch it on the
+            # strict-UTF-8 SUCCESS path, not the high-byte ladder). These
+            # pages carried UTF-8 before the lane, so the pipeline output
+            # hash is UNCHANGED iff the sniff recovers identical text.
+            iso_ja = (lang == "ja" and variant not in (5, 6)
+                      and i % 40 == 15)
             payload = html.encode(
                 "cp1252" if legacy else
                 ("cp949" if legacy_kr else
-                 ("euc-jp" if legacy_ja else "utf-8"))
+                 ("euc-jp" if legacy_ja else
+                  ("iso-2022-jp" if iso_ja else "utf-8")))
             )
             raw_text = " ".join([title] + paras)
         rows.append(

@@ -32,6 +32,12 @@ def _binary_ratio(sample) -> float:
     # single pass: drop the junk bytes, compare lengths (identical count to
     # summing per-byte .count() but 29x less scanning)
     junk = len(sample) - len(sample.translate(None, _NONTEXT))
+    # ESC opening an ISO-2022 shift (\x1b$ or \x1b() is TEXT, not junk: an
+    # ISO-2022-JP page that alternates ASCII and JIS word-by-word is ~13%
+    # ESC bytes and tripped this gate before reaching the charset sniff.
+    # Real binary junk pays the discount on only 2/256 of its ESC bytes.
+    if junk:
+        junk -= sample.count(b"\x1b$") + sample.count(b"\x1b(")
     return junk / len(sample)
 
 

@@ -159,6 +159,10 @@ _WHATWG_CJK_CODECS = {
     "windows-31j": "cp932", "cp932": "cp932",
     "euc-jp": "euc_jp", "euc_jp": "euc_jp", "x-euc-jp": "euc_jp",
     "cseucpkdfmtjapanese": "euc_jp",
+    # WHATWG's ISO-2022-JP decoder speaks ESC ( I half-width katakana,
+    # which Python's plain iso2022_jp refuses — the _ext codec is the
+    # strict superset that matches the spec's escape repertoire
+    "iso-2022-jp": "iso2022_jp_ext", "csiso2022jp": "iso2022_jp_ext",
     "gb2312": "gbk", "gbk": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
     "csgb2312": "gbk", "chinese": "gbk", "x-gbk": "gbk", "iso-ir-58": "gbk",
     "big5": "big5hkscs", "big5-hkscs": "big5hkscs", "cn-big5": "big5hkscs",
@@ -210,16 +214,28 @@ _HANGUL = "가-힣ᄀ-ᇿ㄰-㆏"
 _HANZI = "一-鿿"
 _HANZI_GATES = (re.compile(f"[{_HANZI}]"), re.compile(f"[{_CJK_SHARED}]"),
                 2.0 / 3.0)
+_KANA_GATES = (re.compile(f"[{_KANA}]"),
+               re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0)
 _CJK_PROBE_CANDIDATES = (
-    ("cp932", re.compile(f"[{_KANA}]"),
-     re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0),
-    ("euc_jp", re.compile(f"[{_KANA}]"),
-     re.compile(f"[{_KANA}{_CJK_SHARED}]"), 1.0 / 3.0),
+    ("cp932", *_KANA_GATES),
+    ("euc_jp", *_KANA_GATES),
     ("cp949", re.compile(f"[{_HANGUL}]"),
      re.compile(f"[{_HANGUL}{_CJK_SHARED}]"), 2.0 / 3.0),
     ("gbk", *_HANZI_GATES),
     ("big5hkscs", *_HANZI_GATES),
 )
+
+# ISO-2022-JP is pure 7-bit (escape-shifted JIS), so it sails through the
+# strict-UTF-8 probe and used to surface as literal '$B…' escape soup on
+# the valid-UTF-8 lane — the one legacy CJK family the high-byte ladder
+# can never see. The shift regex is memchr-cheap on ESC-free pages (ESC is
+# a control byte legit HTML text essentially never carries), and a hit
+# still has to survive the strict _ext decode PLUS the same kana gates as
+# the other Japanese rungs — a UTF-8 page QUOTING an escape sequence in a
+# code sample decodes its following ASCII as kanji soup and fails the
+# kana-fraction gate (or the strict decode, once a high byte appears).
+_ISO2022_JP_SHIFT_RE = re.compile(rb"\x1b\$[@B]")
+_ISO2022_JP_CAND = ("iso2022_jp_ext", *_KANA_GATES)
 
 # cp949's extension zone decodes arbitrary low-trail byte pairs (GBK/3/4
 # extension rows, SJIS) into *rare* Hangul syllables — Unicode-wise
@@ -440,13 +456,18 @@ def _declared_charset(payload) -> str | None:
 
 def detect_charset(payload) -> str:
     """Charset sniff: BOM > declared <meta> in the 2 KB prescan > strict
-    UTF-8 probe > undeclared-CJK byte-pattern probe > windows-1252 (the
-    WHATWG default for undeclared legacy content). Returns a codec name."""
+    UTF-8 probe (with the 7-bit ISO-2022-JP escape check on success) >
+    undeclared-CJK byte-pattern probe > windows-1252 (the WHATWG default
+    for undeclared legacy content). Returns a codec name."""
     enc = _declared_charset(payload)
     if enc is not None:
         return enc
     try:
         str(payload, "utf-8")
+        if _ISO2022_JP_SHIFT_RE.search(payload):
+            hit = _probe_one(payload, _ISO2022_JP_CAND)
+            if hit is not None:
+                return hit[0]
         return "utf-8"
     except UnicodeDecodeError:
         probed = _probe_cjk(payload)
@@ -466,12 +487,17 @@ def decode_payload(payload) -> str:
     if enc is not None:
         return str(payload, enc, "replace")
     try:
-        return str(payload, "utf-8")
+        s = str(payload, "utf-8")
     except UnicodeDecodeError:
         probed = _probe_cjk(payload)
         if probed is not None:
             return probed[1]  # the probe's strict decode IS the result
         return _decode_cp1252(payload)
+    if _ISO2022_JP_SHIFT_RE.search(payload):
+        hit = _probe_one(payload, _ISO2022_JP_CAND)
+        if hit is not None:
+            return hit[1]
+    return s
 
 
 # Boilerplate gates (deterministic constants; tuned on FIXTURES.md variants).

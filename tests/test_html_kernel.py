@@ -229,6 +229,60 @@ def test_charset_undeclared_euc_jp_probe():
         assert decode_payload(memoryview(payload)) == page
 
 
+def test_charset_undeclared_iso2022_jp_sniff():
+    """Undeclared ISO-2022-JP is pure 7-bit (escape-shifted JIS), so it
+    passes the strict-UTF-8 probe and used to surface as literal '$B…'
+    escape soup; the sniff must catch it on the UTF-8 SUCCESS path, and
+    the dispatcher's binary-ratio gate must not count the shift ESCs as
+    junk bytes (word-by-word ASCII/JIS switching is ~13% ESC)."""
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    for page in (_JA_EUC_HIRA, _JA_EUC_KANJI):
+        payload = page.encode("iso-2022-jp")
+        assert detect_charset(payload) == "iso2022_jp_ext"
+        assert decode_payload(payload) == page
+        assert decode_payload(memoryview(payload)) == page
+        res = extract_document(payload)
+        assert res["method"] == "html" and "$B" not in res["text"]
+
+
+def test_charset_quoted_iso2022_escape_stays_utf8():
+    """A valid UTF-8 page QUOTING the shift sequence (a code sample about
+    the encoding) must stay on the UTF-8 lane: the following ASCII decodes
+    as kanji soup under the probe and fails the kana-fraction gate."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    page = ("<html><body><p>The shift sequence <code>\x1b$B</code> switches "
+            "to JIS X 0208 mode in ISO-2022-JP encoded mail.</p>"
+            "</body></html>")
+    payload = page.encode("utf-8")
+    assert detect_charset(payload) == "utf-8"
+    assert decode_payload(payload) == page
+
+
+def test_charset_iso2022_jp_truncated_shift_degrades():
+    """A payload cut mid-shift-sequence or mid-JIS-pair never raises."""
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    full = _JA_EUC_KANJI.encode("iso-2022-jp")
+    for cut in (len(full) - 1, len(full) - 3, 40, 17, 2):
+        assert isinstance(decode_payload(full[:cut]), str)
+
+
+def test_charset_declared_iso2022_jp_label():
+    """Declared iso-2022-jp labels route through the _ext codec (the
+    WHATWG decoder speaks ESC ( I half-width katakana, plain iso2022_jp
+    does not)."""
+    from pdf_extraction_spark.kernels.html_extract import detect_charset
+
+    payload = (b"<html><head><meta charset='iso-2022-jp'></head>"
+               b"<body><p>x</p></body></html>")
+    assert detect_charset(payload) == "iso2022_jp_ext"
+
+
 def test_charset_cp949_rejects_jamo_majority():
     """The cp949 rung itself must reject a compatibility-jamo-majority
     decode even when probed directly (defense in depth below the ladder

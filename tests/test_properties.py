@@ -331,6 +331,22 @@ _KANA_CHARS = st.one_of(st.integers(0x3041, 0x3093),
 _HANZI_CHARS = st.integers(0x4E00, 0x9FA5).map(chr)
 
 
+def _jis_encodable(c: str) -> bool:
+    try:
+        c.encode("iso-2022-jp")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+# only ~6k of the ~21k URO hanzi are JIS X 0208 — drawing from the full
+# range makes the Japanese-page strategies assume() away ~70% of examples
+# (hypothesis's filter-too-much health check fires); sample the real pool
+_JIS_HANZI_CHARS = st.sampled_from(sorted(
+    c for c in (chr(cp) for cp in range(0x4E00, 0x9FA6)) if _jis_encodable(c)
+))
+
+
 def _word_page(chars):
     words = ["".join(chars[i:i + 3]) for i in range(0, len(chars), 3)]
     return f"<html><body><p>{' '.join(words)}</p></body></html>"
@@ -371,7 +387,7 @@ def test_undeclared_cp932_page_roundtrips(chars):
 
 @settings(max_examples=150, deadline=None)
 @given(st.lists(st.tuples(_KANA_CHARS, _KANA_CHARS,
-                          st.one_of(_KANA_CHARS, _HANZI_CHARS)),
+                          st.one_of(_KANA_CHARS, _JIS_HANZI_CHARS)),
                 min_size=4, max_size=20))
 def test_undeclared_euc_jp_page_roundtrips(triples):
     """Japanese pages encoded EUC-JP roundtrip through the probe — the
@@ -383,13 +399,40 @@ def test_undeclared_euc_jp_page_roundtrips(triples):
     from pdf_extraction_spark.kernels.html_extract import decode_payload
 
     chars = [c for t in triples for c in t]
-    assume(len(set(chars)) >= 5)  # the probe's documented distinct floor
+    # the distinct floor is over CORE (kana) chars: with only 4 distinct
+    # kana the rung stands down by design and a repeated-ぁ page may fall
+    # to the hanzi tail (A4A1 is a valid Big5 pair) — documented residue
+    kana = [c for c in chars if "\u3040" <= c <= "\u30ff"]
+    assume(len(set(kana)) >= 5)
     page = _word_page(chars)
     try:
         payload = page.encode("euc-jp")
     except UnicodeEncodeError:
         assume(False)  # not every URO hanzi is JIS X 0208
     assert decode_payload(payload) == page
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_KANA_CHARS, _KANA_CHARS,
+                          st.one_of(_KANA_CHARS, _JIS_HANZI_CHARS)),
+                min_size=4, max_size=20))
+def test_undeclared_iso2022_jp_page_roundtrips(triples):
+    """7-bit escape-shifted Japanese roundtrips: the sniff must catch it
+    on the strict-UTF-8 SUCCESS path (the page is valid ASCII), and the
+    dispatcher's binary-ratio gate must not count shift ESCs as junk."""
+    from pdf_extraction_spark.kernels.dispatch import extract_document
+    from pdf_extraction_spark.kernels.html_extract import decode_payload
+
+    chars = [c for t in triples for c in t]
+    kana = [c for c in chars if "\u3040" <= c <= "\u30ff"]
+    assume(len(set(kana)) >= 5)  # distinct floor is over CORE kana
+    page = _word_page(chars)
+    try:
+        payload = page.encode("iso-2022-jp")
+    except UnicodeEncodeError:
+        assume(False)  # not every URO hanzi is JIS X 0208
+    assert decode_payload(payload) == page
+    assert extract_document(payload)["method"] == "html"
 
 
 @settings(max_examples=150, deadline=None)
