@@ -954,6 +954,23 @@ def build_font_decoder(font: dict, resolve, decode_stream) -> FontDecoder | None
                             diffs[code] = ch
                         code += 1
         widths, dw = _parse_widths(font, resolve, subtype)
+        if subtype == "Type3":
+            # Type3 /Widths are in GLYPH space (PDF 32000-1 §9.6.5), not the
+            # 1/1000-text-space convention every other subtype uses — the
+            # advance is w·FontMatrix[0]. Fold the matrix scale in here so
+            # the downstream units/1000 arithmetic stays subtype-blind. The
+            # conventional [0.001 0 0 0.001 0 0] matrix scales by exactly 1.
+            fm = resolve(font.get("FontMatrix"))
+            if isinstance(fm, list) and len(fm) == 6:
+                try:
+                    scale = float(resolve(fm[0])) * 1000.0
+                except (TypeError, ValueError):
+                    scale = 1.0
+                if scale > 0 and abs(scale - 1.0) > 1e-9:
+                    if widths is not None:
+                        widths = {c: w * scale for c, w in widths.items()}
+                    if dw is not None:
+                        dw = dw * scale
         base = resolve(font.get("BaseFont"))
         dec = FontDecoder(width, cmap, diffs, widths, dw,
                           base_font=str(base) if base is not None else None)

@@ -1060,3 +1060,30 @@ def test_nineteen_byte_xref_rows():
     buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (max(objs) + 1, xref))
     assert "nineteen byte xref rows parse fine" in extract_pdf(bytes(buf))["text"]
+
+
+def test_type3_fontmatrix_scales_widths():
+    """Type3 /Widths are in GLYPH space scaled by /FontMatrix (§9.6.5),
+    not the 1/1000 convention of every other subtype: before the fold-in,
+    a Type3 font with a non-conventional matrix computed ~0 advances, so
+    abutting split runs failed the end-x check and grew spurious spaces.
+    All three matrix conventions must extract the identical text: runs
+    that abut exactly join, a real gap still spaces."""
+    def t3(matrix: bytes, widths: bytes) -> str:
+        objs = dict(_HAND_BASE)
+        objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+                   b"/Resources << /Font << /F3 6 0 R >> >> >>")
+        objs[6] = (b"<< /Type /Font /Subtype /Type3 /FontMatrix " + matrix +
+                   b" /FontBBox [0 0 100 100] /CharProcs << >> "
+                   b"/Encoding << /Differences [97 /a /b /c /d] >> "
+                   b"/FirstChar 97 /LastChar 100 /Widths " + widths + b" >>")
+        # "ab" advance = 2 glyphs x 0.6 em x 12pt = 14.4: (cd) abuts, (dd) gaps
+        content = (b"BT /F3 12 Tf 72 700 Td (ab) Tj 14.4 0 Td (cd) Tj "
+                   b"28.8 0 Td (dd) Tj ET")
+        objs[5] = (b"<< /Length %d >>\nstream\n" % len(content)
+                   + content + b"\nendstream")
+        return extract_pdf(_hand_pdf(objs))["text"]
+
+    assert t3(b"[0.001 0 0 0.001 0 0]", b"[600 600 600 600]") == "abcd dd"
+    assert t3(b"[0.01 0 0 0.01 0 0]", b"[60 60 60 60]") == "abcd dd"
+    assert t3(b"[1 0 0 1 0 0]", b"[0.6 0.6 0.6 0.6]") == "abcd dd"
