@@ -423,16 +423,22 @@ _SNIFF_VARIANTS = (
     ("cp932", "これは日本語の本文テキストですデータ"),
     ("gbk", "这是中文正文文本示例段落编码检测"),
     ("windows-1252", "café crème — déjà vu € naïve"),
+    # late-r5 rungs: high-byte EUC-JP via the ladder, 7-bit escape-shifted
+    # ISO-2022-JP via the strict-UTF-8 success lane
+    ("euc_jp", "日本語のページ本文ですかな文字データれい"),
+    ("iso2022_jp_ext", "にほんごのてすとぶんしょうですよろしく"),
 )
+_SNIFF_ENCODE = {"windows-1252": "cp1252", "iso2022_jp_ext": "iso-2022-jp"}
 
 
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undeclared legacy-charset detection under the correctness gate: per
     doc, a page whose main paragraph is a fixed native-script phrase plus
     the doc's first four words, encoded as undeclared EUC-KR(cp949) /
-    Shift-JIS(cp932) / GBK / cp1252 by ``doc_id % 4``. The kernel must
-    detect the codec by byte pattern alone (no BOM, no meta) and return the
-    paragraph byte-identically. One Arrow pass, zero shuffle."""
+    Shift-JIS(cp932) / GBK / cp1252 / EUC-JP / ISO-2022-JP by
+    ``doc_id % 6``. The kernel must detect the codec by byte pattern alone
+    (no BOM, no meta — the last variant is even valid 7-bit ASCII) and
+    return the paragraph byte-identically. One Arrow pass, zero shuffle."""
     import pandas as pd
 
     from ..kernels.html_extract import detect_charset, extract_html
@@ -446,13 +452,11 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "charset": [], "extracted": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                codec, phrase = _SNIFF_VARIANTS[i % 4]
+                codec, phrase = _SNIFF_VARIANTS[i % 6]
                 para = phrase + " " + " ".join(str(text).split(" ")[:4])
                 page = ("<html><body><main><p>" + para
                         + "</p></main></body></html>")
-                payload = page.encode(
-                    "cp1252" if codec == "windows-1252" else codec
-                )
+                payload = page.encode(_SNIFF_ENCODE.get(codec, codec))
                 rows["doc_id"].append(i)
                 rows["charset"].append(detect_charset(payload))
                 rows["extracted"].append(extract_html(payload)["text"])
@@ -466,13 +470,16 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CHARSET_SNIFF = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'cp949' WHEN 1 THEN 'cp932'
-            WHEN 2 THEN 'gbk' ELSE 'windows-1252' END AS charset,
-       CASE doc_id % 4
+       CASE doc_id % 6 WHEN 0 THEN 'cp949' WHEN 1 THEN 'cp932'
+            WHEN 2 THEN 'gbk' WHEN 3 THEN 'windows-1252'
+            WHEN 4 THEN 'euc_jp' ELSE 'iso2022_jp_ext' END AS charset,
+       CASE doc_id % 6
          WHEN 0 THEN '한국어 문서 본문 텍스트 예시 단락'
          WHEN 1 THEN 'これは日本語の本文テキストですデータ'
          WHEN 2 THEN '这是中文正文文本示例段落编码检测'
-         ELSE 'café crème — déjà vu € naïve' END
+         WHEN 3 THEN 'café crème — déjà vu € naïve'
+         WHEN 4 THEN '日本語のページ本文ですかな文字データれい'
+         ELSE 'にほんごのてすとぶんしょうですよろしく' END
        || ' ' || array_to_string(w[1:4], ' ') AS extracted
 FROM w
 """

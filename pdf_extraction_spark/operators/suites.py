@@ -105,8 +105,9 @@ DOCMETA_PARTS = (
     ("multimodal_framesample", multimodal.q_multimodal_framesample,
      multimodal.SQL_MULTIMODAL_FRAMESAMPLE, ["doc_id", "frame_idx"],
      [("frame_off", NUM), ("frame_sig", STR)]),
-    # undeclared EUC-KR / Shift-JIS / GBK / cp1252 byte-pattern probe under
-    # the value-level gate (VERDICT r4 item 3)
+    # undeclared EUC-KR / Shift-JIS / GBK / cp1252 / EUC-JP / ISO-2022-JP
+    # byte-pattern probe under the value-level gate (VERDICT r4 item 3 +
+    # the late-r5 Japanese rungs)
     ("charset_sniff", docmeta.q_charset_sniff, docmeta.SQL_CHARSET_SNIFF,
      ["doc_id"], [("charset", STR), ("extracted", STR)]),
     # PDF figure→caption multimodal pairs with intrinsic pixel dims parsed
