@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..corpus import spread_docs
 from .common import tbl
+from .textops import QUALITY_EXPR_SQL
 
 
 def _word_ngrams(docs: DataFrame, n: int, out: str = "gram") -> DataFrame:
@@ -82,12 +83,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
-    # splice the last DECON_N words of a benchmark doc onto a training doc
+    # splice the last DECON_N words of a benchmark doc onto a training doc.
+    # Clamped positive start (not slice(w, -N, N)): Spark's negative-start
+    # slice returns [] when the doc has fewer than N words, while the
+    # oracle's list_slice(w, -N, -1) clamps to the whole list — the clamp
+    # below reproduces DuckDB's semantics exactly.
+    bench_w = F.split(F.col("text"), " ")
     tail = F.concat_ws(
         " ",
         F.slice(
-            F.split(F.col("text"), " "),
-            -DECON_N,
+            bench_w,
+            F.greatest(F.size(bench_w) - (DECON_N - 1), F.lit(1)),
             DECON_N,
         ),
     )
@@ -904,15 +910,9 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_HOST_QUALITY = """
+SQL_HOST_QUALITY = f"""
 WITH q AS (
-  SELECT doc_id, source, text,
-         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
-               + (len(list_filter(string_split(text, ' '),
-                      t -> t IN ('the','a','of','and','to')))
-                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
-               - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                  / CAST(length(text) AS DOUBLE)) * 1.0, 4) AS quality
+  SELECT doc_id, source, text, {QUALITY_EXPR_SQL} AS quality
   FROM documents
 )
 SELECT source,

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import tbl
+from .textops import QUALITY_EXPR_SQL
 
 MUTANT_OFFSET = 1_000_000
 
@@ -93,7 +94,8 @@ def _shingles(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             # try_element_at: NULL (skipped by concat_ws) instead of an ANSI
-            # out-of-bounds error for sub-3-word docs; the oracle coalesces.
+            # out-of-bounds error for sub-3-word docs; the oracle uses
+            # concat_ws too, which skips NULLs identically in DuckDB.
             F.concat_ws(
                 " ",
                 F.try_element_at("w", F.col("i")),
@@ -107,7 +109,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 _SHINGLES_SQL = """
   SELECT DISTINCT doc_id,
-         w[i] || ' ' || coalesce(w[i+1], '') || ' ' || coalesce(w[i+2], '') AS sh
+         concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
        LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
 """
@@ -623,13 +625,7 @@ reach(node, lbl) AS (
 ),
 lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
 q AS (
-  SELECT doc_id,
-         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
-               + (len(list_filter(string_split(text, ' '),
-                      t -> t IN ('the','a','of','and','to')))
-                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
-               - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                  / CAST(length(text) AS DOUBLE)) * 1.0, 4) AS quality
+  SELECT doc_id, {QUALITY_EXPR_SQL} AS quality
   FROM documents
 ),
 r AS (

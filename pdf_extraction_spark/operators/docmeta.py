@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..corpus import corpus_from_documents, spread_docs
+from .common import first_words
 
 _META_SCHEMA = ("url string, title string, author string, "
                 "robots string, canonical string")
@@ -104,7 +105,7 @@ def q_pdf_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "page": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:4]
+                w = first_words(text, 4)
                 outline = [(1, w[0], 0), (2, w[1], 0), (2, w[2], 0),
                            (1, w[3], 0)]
                 payload = pdf_write.build_pdf(
@@ -130,7 +131,7 @@ SQL_PDF_TOC = """
 SELECT doc_id,
        CAST(g.pos AS INT) AS pos,
        CAST(g.lvl AS INT) AS level,
-       string_split(text, ' ')[g.i] AS title,
+       coalesce(string_split(text, ' ')[g.i], 'pad') AS title,
        CAST(0 AS INT) AS page
 FROM documents,
      (VALUES (0, 1, 1), (1, 2, 2), (2, 2, 3), (3, 1, 4)) AS g(pos, lvl, i)
@@ -156,7 +157,7 @@ def q_html_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "pos": [], "level": [], "title": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:4]
+                w = first_words(text, 4)
                 html = (
                     "<html><body><main>"
                     f"<h1>{w[0]}</h1><p>padding paragraph body long enough"
@@ -180,7 +181,7 @@ SQL_HTML_TOC = """
 SELECT doc_id,
        CAST(g.pos AS INT) AS pos,
        CAST(g.lvl AS INT) AS level,
-       string_split(text, ' ')[g.i] AS title
+       coalesce(string_split(text, ' ')[g.i], 'pad') AS title
 FROM documents,
      (VALUES (0, 1, 1), (1, 2, 2), (2, 3, 3), (3, 2, 4)) AS g(pos, lvl, i)
 """
@@ -208,7 +209,7 @@ def q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 obj = {
                     "@context": "https://schema.org",
                     "@type": "NewsArticle",
@@ -242,7 +243,7 @@ def q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSONLD_META = """
 SELECT doc_id,
        'NewsArticle' AS ld_type,
-       w[1] || ' ' || w[2] AS headline,
+       coalesce(w[1], 'pad') || ' ' || coalesce(w[2], 'pad') AS headline,
        source AS author_name,
        '2025-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS date_published
 FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
@@ -270,7 +271,7 @@ def q_opengraph_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 html = (
                     "<html><head>"
                     f"<meta property='og:title' content='{w[0]} {w[1]}'>"
@@ -300,7 +301,7 @@ def q_opengraph_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_OPENGRAPH_CARDS = """
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
-       w[1] || ' ' || w[2] AS og_title,
+       coalesce(w[1], 'pad') || ' ' || coalesce(w[2], 'pad') AS og_title,
        'article' AS og_type,
        'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg' AS og_image,
        'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS og_url
@@ -329,7 +330,7 @@ def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "content": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 atts = [("a.txt", w[0].encode()), ("b.txt", w[1].encode())]
                 payload = pdf_write.build_pdf(
                     " ".join(w), attachments=atts,
@@ -354,11 +355,12 @@ def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PDF_ATTACHMENTS = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, CAST(0 AS INT) AS pos, 'a.txt' AS filename,
-       CAST(length(w[1]) AS BIGINT) AS size, w[1] AS content
+       CAST(length(coalesce(w[1], 'pad')) AS BIGINT) AS size,
+       coalesce(w[1], 'pad') AS content
 FROM w
 UNION ALL
 SELECT doc_id, CAST(1 AS INT), 'b.txt',
-       CAST(length(w[2]) AS BIGINT), w[2]
+       CAST(length(coalesce(w[2], 'pad')) AS BIGINT), coalesce(w[2], 'pad')
 FROM w
 """
 
@@ -382,7 +384,7 @@ def q_pdf_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "pos": [], "name": [], "value": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 fields = [("field_a", w[0]), ("field_b", w[1])]
                 payload = pdf_write.build_pdf(
                     " ".join(w), acroform=fields,
@@ -403,10 +405,11 @@ def q_pdf_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PDF_FORM_FIELDS = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-SELECT doc_id, CAST(0 AS INT) AS pos, 'field_a' AS name, w[1] AS value
+SELECT doc_id, CAST(0 AS INT) AS pos, 'field_a' AS name,
+       coalesce(w[1], 'pad') AS value
 FROM w
 UNION ALL
-SELECT doc_id, CAST(1 AS INT), 'field_b', w[2]
+SELECT doc_id, CAST(1 AS INT), 'field_b', coalesce(w[2], 'pad')
 FROM w
 """
 

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from ..corpus import spread_docs
 from ..kernels import pdf_write
 from ..pipeline import extract_corpus
+from .common import first_words
 
 
 def _titled_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +199,7 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "cell_row": [], "cell_col": [], "cell_text": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = str(text).split(" ")[:9]
+                words = first_words(text, 9)
                 rows = [words[0:3], words[3:6], words[6:9]]
                 payload = pdf_write.build_pdf("", table_rows=rows)
                 for t in px.extract_table_cells(payload):
@@ -218,7 +219,7 @@ SQL_TABLE_CELLS = """
 SELECT doc_id,
        CAST(r AS INT) AS cell_row,
        CAST(c AS INT) AS cell_col,
-       w[r * 3 + c + 1] AS cell_text
+       coalesce(w[r * 3 + c + 1], 'pad') AS cell_text
 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
      LATERAL (SELECT unnest(generate_series(0, 2)) AS r),
      LATERAL (SELECT unnest(generate_series(0, 2)) AS c)
@@ -324,7 +325,7 @@ def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:9]
+                w = first_words(text, 9)
                 if i % 3 == 0:
                     body = (
                         f"<tr><th rowspan=2>{w[0]}</th><th>{w[1]}</th>"
@@ -376,11 +377,11 @@ gb(r, c, i, rs, cs, hdr) AS (VALUES
  (2,0,6,1,2,FALSE),(2,2,7,1,1,FALSE))
 SELECT doc_id, CAST(r AS INT) AS cell_row, CAST(c AS INT) AS cell_col,
        CAST(rs AS INT) AS rowspan, CAST(cs AS INT) AS colspan,
-       hdr AS is_header, w[i] AS cell_text
+       hdr AS is_header, coalesce(w[i], 'pad') AS cell_text
 FROM w, ga WHERE doc_id % 3 <> 0
 UNION ALL
 SELECT doc_id, CAST(r AS INT), CAST(c AS INT), CAST(rs AS INT),
-       CAST(cs AS INT), hdr, w[i]
+       CAST(cs AS INT), hdr, coalesce(w[i], 'pad')
 FROM w, gb WHERE doc_id % 3 = 0
 """
 
@@ -410,7 +411,7 @@ def q_confidence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for t, i in zip(text, doc_id):
             i = int(i)
-            words = (str(t).split(" ") + ["pad"] * 9)[:9]
+            words = first_words(t, 9)
             mode = i % 3
             rows = ([words[0:3], words[3:6], words[6:9]] if mode == 0
                     else [[words[0]]])

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import corpus_from_documents, spread_docs
-from .common import tbl
+from .common import first_words, tbl
 
 _LINKS_SCHEMA = ("url string, href string, resolved string, "
                  "chrome boolean, nofollow boolean, anchor string")
@@ -225,7 +225,7 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             pdf["source"]):
                 i = int(doc_id)
                 url = f"https://{source}.example.com/doc/{i}"
-                w = str(text).split(" ")[:4]
+                w = first_words(text, 4)
                 html = (
                     "<html><body>"
                     "<nav><img src='/logo.png' alt='logo'></nav>"
@@ -261,12 +261,12 @@ FROM w
 UNION ALL
 SELECT doc_id, CAST(1 AS INT),
        'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg',
-       w[1] || ' ' || w[2], FALSE, CAST(2 AS INT)
+       coalesce(w[1], 'pad') || ' ' || coalesce(w[2], 'pad'), FALSE, CAST(2 AS INT)
 FROM w
 UNION ALL
 SELECT doc_id, CAST(2 AS INT),
        'https://' || source || '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.png',
-       w[3] || ' ' || w[4], FALSE, CAST(0 AS INT)
+       coalesce(w[3], 'pad') || ' ' || coalesce(w[4], 'pad'), FALSE, CAST(0 AS INT)
 FROM w
 """
 
@@ -290,7 +290,7 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 xml = (
                     "<?xml version='1.0'?><urlset>"
                     f"<url><loc>https://{source}.example.com/{w[0]}</loc>"
@@ -317,13 +317,13 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SITEMAP_URLS = """
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, CAST(0 AS INT) AS pos,
-       'https://' || source || '.example.com/' || w[1] AS loc,
+       'https://' || source || '.example.com/' || coalesce(w[1], 'pad') AS loc,
        '2025-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS lastmod,
        CAST((doc_id % 10) / 10.0 AS DOUBLE) AS priority
 FROM w
 UNION ALL
 SELECT doc_id, CAST(1 AS INT),
-       'https://' || source || '.example.com/' || w[2],
+       'https://' || source || '.example.com/' || coalesce(w[2], 'pad'),
        CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM w
 """
@@ -348,7 +348,7 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "pos": [], "path": [], "allowed": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 robots = (
                     "User-agent: *\n"
                     "Disallow: /private/\n"
@@ -371,14 +371,15 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROBOTS_ALLOWED = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-SELECT doc_id, CAST(0 AS INT) AS pos, '/' || w[1] AS path, TRUE AS allowed
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       '/' || coalesce(w[1], 'pad') AS path, TRUE AS allowed
 FROM w
 UNION ALL
-SELECT doc_id, CAST(1 AS INT), '/private/' || w[1], TRUE
+SELECT doc_id, CAST(1 AS INT), '/private/' || coalesce(w[1], 'pad'), TRUE
 FROM w
 UNION ALL
-SELECT doc_id, CAST(2 AS INT), '/private/' || w[2],
-       starts_with(w[2], w[1])
+SELECT doc_id, CAST(2 AS INT), '/private/' || coalesce(w[2], 'pad'),
+       starts_with(coalesce(w[2], 'pad'), coalesce(w[1], 'pad'))
 FROM w
 """
 
@@ -403,7 +404,7 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
-                w = str(text).split(" ")[:2]
+                w = first_words(text, 2)
                 base = f"https://{source}.example.com"
                 if i % 2 == 0:
                     xml = (
@@ -442,8 +443,8 @@ SQL_FEED_ENTRIES = """
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, CAST(p.pos AS INT) AS pos,
        CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
-       w[p.pos + 1] AS title,
-       'https://' || source || '.example.com/' || w[p.pos + 1] AS link
+       coalesce(w[p.pos + 1], 'pad') AS title,
+       'https://' || source || '.example.com/' || coalesce(w[p.pos + 1], 'pad') AS link
 FROM w, (VALUES (0), (1)) AS p(pos)
 """
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import tbl
+from .common import first_words, tbl
 
 # deterministic per-language stopword lists (literal dimension table; the
 # Spark side broadcasts it — SURVEY.md §4 "Broadcast: keyword tables (P7)").
@@ -121,22 +121,35 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_QUALITY_SCORE = """
+_EN_STOPWORDS_SQL = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+
+# One source of truth for the quality formula's SQL form (review finding:
+# it used to live in three hand-maintained copies). q_host_quality and
+# q_dedup_keep_best call q_quality_score on the Spark side; their oracles
+# (corpusops.SQL_HOST_QUALITY, dedup.SQL_DEDUP_KEEP_BEST) embed this same
+# fragment, and the stopword list is generated from the STOPWORDS table
+# the Spark side reads — a weight or stopword change now reaches all three
+# comparisons or none.
+QUALITY_EXPR_SQL = f"""round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+             + (len(list_filter(string_split(text, ' '),
+                    t -> t IN ({_EN_STOPWORDS_SQL})))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+             - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / CAST(length(text) AS DOUBLE)) * 1.0, 4)"""
+
+SQL_QUALITY_SCORE = f"""
 WITH f AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          length(text) AS n_chars,
          len(string_split(text, ' ')) AS n_words,
          len(list_filter(string_split(text, ' '),
-             t -> t IN ('the','a','of','and','to'))) AS stop_hits,
-         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+             t -> t IN ({_EN_STOPWORDS_SQL}))) AS stop_hits
   FROM documents
 )
 SELECT doc_id, n_chars, n_words,
        round((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
        round(stop_hits / CAST(n_words AS DOUBLE), 4) AS stop_ratio,
-       round(least(n_words / 100.0, 1.0) * 0.5
-             + (stop_hits / CAST(n_words AS DOUBLE)) * 2.0
-             - (punct / CAST(n_chars AS DOUBLE)) * 1.0, 4) AS quality
+       {QUALITY_EXPR_SQL} AS quality
 FROM f
 """
 
@@ -255,6 +268,42 @@ CHUNK_WORDS = 40
 CHUNK_STRIDE = 30  # overlap 10
 
 
+def _chunk_windows(docs: DataFrame) -> DataFrame:
+    """One row per (doc_id, w, chunk_id) sliding window — the single
+    source of chunk boundaries, shared by :func:`q_chunk_split` and
+    :func:`q_rag_retrieval` (review finding: the expression was
+    copy-pasted, so a boundary tweak in the chunker could silently leave
+    the retriever scoring different chunks)."""
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("w") - F.lit(CHUNK_WORDS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+
+
+def _chunk_slice():
+    """The words of the current chunk_id's window."""
+    return F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS)
+
+
+# oracle twins of the two helpers above, composed into both SQL strings
+_CHUNK_WINDOWS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - {CHUNK_WORDS - CHUNK_STRIDE}) / {CHUNK_STRIDE}.0) AS INT)) AS n_chunks
+  FROM d
+)"""
+_CHUNK_SLICE_SQL = (
+    f"w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}]"
+)
+
+
 def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker (UDTF-shaped op of SURVEY.md §2.9; reference
     used RecursiveCharacterTextSplitter with overlap,
@@ -263,37 +312,18 @@ def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
     )
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((F.size("w") - F.lit(CHUNK_WORDS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
-    )
-    chunks = docs.select(
-        "doc_id",
-        "w",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    )
-    chunk_text = F.concat_ws(
-        " ", F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS)
-    )
-    return chunks.select(
+    return _chunk_windows(docs).select(
         "doc_id",
         "chunk_id",
-        chunk_text.alias("chunk_text"),
-        F.size(F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS)).alias("n_tokens"),
+        F.concat_ws(" ", _chunk_slice()).alias("chunk_text"),
+        F.size(_chunk_slice()).alias("n_tokens"),
     )
 
 
-SQL_CHUNK_SPLIT = f"""
-WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), n AS (
-  SELECT doc_id, w,
-         greatest(1, CAST(ceil((len(w) - {CHUNK_WORDS - CHUNK_STRIDE}) / {CHUNK_STRIDE}.0) AS INT)) AS n_chunks
-  FROM d
-)
+SQL_CHUNK_SPLIT = f"""{_CHUNK_WINDOWS_SQL}
 SELECT doc_id, chunk_id,
-       array_to_string(w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk_text,
-       len(w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_tokens
+       array_to_string({_CHUNK_SLICE_SQL}, ' ') AS chunk_text,
+       len({_CHUNK_SLICE_SQL}) AS n_tokens
 FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id)
 """
 
@@ -466,16 +496,10 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as embedding retrieval with the dot product replaced by a
     lexical overlap kernel."""
     docs = _split_docs(spark, sf_dir)
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((F.size("w") - F.lit(CHUNK_WORDS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
-    )
-    chunk_toks = (
-        docs.select("doc_id", "w", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
-        .select(
-            "doc_id", "chunk_id",
-            F.explode(F.array_distinct(F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS))).alias("tok"),
-        )
+    chunk_toks = _chunk_windows(docs).select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.array_distinct(_chunk_slice())).alias("tok"),
     )
     q_toks = _first_words_queries(docs, RAG_N_QUERIES, RAG_QUERY_WORDS)
     scored = (
@@ -494,16 +518,9 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_RAG_RETRIEVAL = f"""
-WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), n AS (
-  SELECT doc_id, w,
-         greatest(1, CAST(ceil((len(w) - {CHUNK_WORDS - CHUNK_STRIDE}) / {CHUNK_STRIDE}.0) AS INT)) AS n_chunks
-  FROM d
-), chunks AS (
+SQL_RAG_RETRIEVAL = f"""{_CHUNK_WINDOWS_SQL}, chunks AS (
   SELECT doc_id, chunk_id,
-         w[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}] AS cw
+         {_CHUNK_SLICE_SQL} AS cw
   FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id)
 ), chunk_toks AS (
   SELECT DISTINCT doc_id, chunk_id, unnest(cw) AS tok FROM chunks
@@ -859,7 +876,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "norm_text": [], "changed": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = str(text).split(" ")[:3]
+                w = first_words(text, 3)
                 raw = ("a\u0301 " + w[0] + "\u00a0" + w[1] + "\x07"
                        + "  " + w[2])
                 norm = unicodedata.normalize("NFC", raw)
@@ -879,7 +896,8 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NORMALIZE_TEXT = """
 WITH raw AS (
   SELECT doc_id,
-         'a' || chr(769) || ' ' || w[1] || chr(160) || w[2] || chr(7) || '  ' || w[3] AS r
+         'a' || chr(769) || ' ' || coalesce(w[1], 'pad') || chr(160) ||
+         coalesce(w[2], 'pad') || chr(7) || '  ' || coalesce(w[3], 'pad') AS r
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 )
 SELECT doc_id,

@@ -348,3 +348,50 @@ def test_charset_sniff_parity_on_short_docs(spark, tmp_path):
     orows = {tuple(r) for r in con.execute(docmeta.SQL_CHARSET_SNIFF).fetchall()}
     assert srows == orows, srows ^ orows
     assert all(r[2] is not None for r in orows)
+
+
+def test_decontaminate_tail_parity_on_short_benchmark_docs(spark, tmp_path):
+    """Benchmark docs with fewer than DECON_N words (review finding):
+    Spark's slice(w, -N, N) returned an EMPTY array for them while the
+    oracle's list_slice(w, -N, -1) clamps to the whole list, so the two
+    engines spliced different mutant texts. The clamped positive-start
+    slice must now reproduce DuckDB's semantics row-for-row."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.operators import corpusops
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # doc 0: benchmark (0 % 41 == 0) with only 5 words — the divergence
+    # trigger; doc 41: a long benchmark doc; doc 63 (% 10 == 3, k = 0)
+    # splices doc 0's SHORT tail; doc 13 (k = 6) splices doc 41's tail.
+    rows = {
+        0: "tiny bench doc five",          # 4 words < DECON_N
+        41: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        63: "train doc sixty three body words here",
+        13: "another train doc body with some words",
+        7: "plain train doc never contaminated at all",
+        24: "more filler training text with enough words",
+    }
+    ids = sorted(rows)
+    pq.write_table(
+        pa.table({
+            "doc_id": ids,
+            "text": [rows[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["src"] * len(ids),
+            "n_chars": [len(rows[i]) for i in ids],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = {tuple(r) for r in corpusops.q_decontaminate(spark, str(sf)).collect()}
+    orows = {tuple(r) for r in con.execute(corpusops.SQL_DECONTAMINATE).fetchall()}
+    assert srows == orows, srows ^ orows
+    # the mutant spliced from the SHORT benchmark tail exists on both sides
+    assert any(r[0] == 63 + corpusops.DECON_OFFSET for r in srows)

@@ -160,3 +160,28 @@ def test_excluded_metrics_companions_run_on_real_corpus(spark):
         m = fn(spark, sf).collect()[0]
         # test corpus sits far below both caps: explicit zero rows
         assert (m.n_excluded_blocks, m.n_excluded_rows) == (0, 0), fn.__name__
+
+
+def test_shingle_parity_on_short_docs(spark):
+    """Docs with <3 words (review finding): Spark's concat_ws skips the
+    NULL out-of-bounds words while the oracle used to coalesce them to ''
+    and keep the separators ('x y' vs 'x y '); both sides now use
+    concat_ws (DuckDB's skips NULLs identically), so shingle strings must
+    match byte-for-byte — including the trailing-space doc whose THIRD
+    token is a real '' (kept on both sides)."""
+    import duckdb
+
+    texts = ["solo", "x y", "x y ", "one two three four", ""]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    srows = {(r.doc_id, r.sh) for r in dedup._shingles(docs).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE all_docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO all_docs VALUES (?, ?)", list(enumerate(texts))
+    )
+    orows = {tuple(r) for r in con.execute(dedup._SHINGLES_SQL).fetchall()}
+    assert srows == orows, srows ^ orows
+    # the 2-word doc makes exactly 'x y' (no trailing pad) on both sides
+    assert (1, "x y") in srows and (2, "x y ") in srows
