@@ -29,8 +29,11 @@ _FIELD = {
 }
 _KIND = re.compile(r"<\s*(urlset|sitemapindex)\b", re.IGNORECASE)
 _CDATA = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.DOTALL)
-_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-             ("&quot;", '"'), ("&apos;", "'"))
+# &amp; must decode LAST (same ordering as sources/feeds.py): doing it
+# first turns the nested entity '&amp;lt;' (a literal '&lt;' in the URL)
+# into '&lt;' and then into '<' — a classic double-unescape
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
 
 
 def _text(raw: str) -> str:

@@ -24,6 +24,19 @@ def test_urlset_fields_cdata_entities_and_junk_priority():
     assert r["entries"][2]["priority"] is None  # junk priority degrades
 
 
+def test_nested_entity_not_double_unescaped():
+    # '&amp;lt;' is a LITERAL '&lt;' in the URL; decoding &amp; first used
+    # to turn it into '<' (double-unescape). Order now matches feeds.py.
+    r = parse_sitemap(
+        "<urlset><url><loc>https://x.y/?q=&amp;lt;tag&amp;gt;</loc></url>"
+        "<url><loc>https://x.y/?a=1&amp;b=2</loc></url></urlset>"
+    )
+    assert [e["loc"] for e in r["entries"]] == [
+        "https://x.y/?q=&lt;tag&gt;",
+        "https://x.y/?a=1&b=2",
+    ]
+
+
 def test_sitemapindex_and_gzip_and_garbage():
     idx = parse_sitemap(
         "<sitemapindex><sitemap><loc>https://x.y/s1.xml</loc></sitemap>"
