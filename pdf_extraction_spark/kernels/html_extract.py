@@ -273,6 +273,33 @@ def _big5_shaped(payload) -> bool:
     low = (len(_BIG5_LOW_PAIR_RE.findall(payload))
            - len(_BIG5_PHANTOM_RE.findall(payload)))
     return low >= 4 and low * 6 >= len(_EUC_ZONE_PAIR_RE.findall(payload))
+
+
+# The nearly-kana-free SJIS tail (r5 close-out of the documented residual):
+# a kanji-heavy Shift-JIS page (headline/glossary prose with <1/3 kana)
+# fails the cp932 rung's KANA gate, then its byte pairs — mostly valid GBK
+# pairs — strict-decode on the gbk rung into plausible hanzi mojibake
+# (repro'd: 東京都… → 丄棫寷…). The byte SHAPE separates them: SJIS
+# first-level kanji leads live in 0x81-0x9F, which mainstream GB2312/Big5
+# text never uses as a lead (GB2312 leads ≥ 0xB0, standard Big5 hanzi
+# leads ≥ 0xA4, EUC-KR/EUC-JP bytes ≥ 0xA1 apart from the rare 0x8E/0x8F
+# shifts) — measured 0 such pairs on realistic zh-CN/zh-TW/ko/EUC-JP/latin
+# corpora vs 27-69 on SJIS pages. Phantom subtraction mirrors
+# `_big5_shaped`: an extension-row trail byte in 0x81-0x9F against the
+# start of an ASCII word is a boundary artifact, not a lead. A shaped page
+# probes cp932 under the HANZI gates (the kana gates already had their
+# turn) before the hanzi tail. Documented residual beyond this tier: a
+# half-width-katakana-only EUC-JP page (0x8E leads) is SJIS-shaped and a
+# 30%-kana SJIS page passes neither the kana nor the hanzi core fraction.
+_SJIS_LEAD_PAIR_RE = re.compile(rb"[\x81-\x9f][\x40-\x7e\x80-\xfc]")
+_SJIS_PHANTOM_RE = re.compile(rb"[\x81-\x9f][0-9A-Za-z][0-9A-Za-z]")
+_SJIS_KANJI_CAND = ("cp932", *_HANZI_GATES)
+
+
+def _sjis_shaped(payload) -> bool:
+    low = (len(_SJIS_LEAD_PAIR_RE.findall(payload))
+           - len(_SJIS_PHANTOM_RE.findall(payload)))
+    return low >= 4 and low * 4 >= len(_EUC_ZONE_PAIR_RE.findall(payload))
 _NON_ASCII_RE = re.compile("[^\x00-\x7f]")
 
 # Floor gates shared by all candidates: at least 8 core characters, at
@@ -358,6 +385,13 @@ def _probe_cjk(payload) -> tuple[str, str] | None:
     # pays them — they only order the two-candidate hanzi tail
     for cand in _CJK_PROBE_CANDIDATES[:-2]:
         hit = _probe_one(payload, cand)
+        if hit is not None:
+            return hit
+    # nearly-kana-free SJIS: the kana rungs passed on it, and its pairs
+    # would strict-decode as gbk hanzi below — the 0x81-0x9F lead shape
+    # gives cp932 one try under the hanzi gates first
+    if _sjis_shaped(payload):
+        hit = _probe_one(payload, _SJIS_KANJI_CAND)
         if hit is not None:
             return hit
     tail = _CJK_PROBE_CANDIDATES[-2:]

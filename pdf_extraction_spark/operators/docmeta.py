@@ -430,6 +430,9 @@ _SNIFF_VARIANTS = (
     # ISO-2022-JP via the strict-UTF-8 success lane
     ("euc_jp", "日本語のページ本文ですかな文字データれい"),
     ("iso2022_jp_ext", "にほんごのてすとぶんしょうですよろしく"),
+    # nearly-kana-free SJIS (r5 close-out): fails the kana gate, must win
+    # via the 0x81-0x9F lead-shape hanzi-gated rung before gbk
+    ("cp932", "東京都議会議員選挙結果速報経済産業省統計資料"),
 )
 _SNIFF_ENCODE = {"windows-1252": "cp1252", "iso2022_jp_ext": "iso-2022-jp"}
 
@@ -438,9 +441,10 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undeclared legacy-charset detection under the correctness gate: per
     doc, a page whose main paragraph is a fixed native-script phrase plus
     the doc's first four words, encoded as undeclared EUC-KR(cp949) /
-    Shift-JIS(cp932) / GBK / cp1252 / EUC-JP / ISO-2022-JP by
-    ``doc_id % 6``. The kernel must detect the codec by byte pattern alone
-    (no BOM, no meta — the last variant is even valid 7-bit ASCII) and
+    Shift-JIS(cp932) / GBK / cp1252 / EUC-JP / ISO-2022-JP / kana-free
+    kanji SJIS by ``doc_id % 7``. The kernel must detect the codec by byte
+    pattern alone (no BOM, no meta — the ISO variant is even valid 7-bit
+    ASCII, and the last variant must clear the lead-shape rung) and
     return the paragraph byte-identically. One Arrow pass, zero shuffle."""
     import pandas as pd
 
@@ -455,7 +459,7 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "charset": [], "extracted": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                codec, phrase = _SNIFF_VARIANTS[i % 6]
+                codec, phrase = _SNIFF_VARIANTS[i % 7]
                 para = phrase + " " + " ".join(str(text).split(" ")[:4])
                 page = ("<html><body><main><p>" + para
                         + "</p></main></body></html>")
@@ -473,16 +477,18 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CHARSET_SNIFF = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
-       CASE doc_id % 6 WHEN 0 THEN 'cp949' WHEN 1 THEN 'cp932'
+       CASE doc_id % 7 WHEN 0 THEN 'cp949' WHEN 1 THEN 'cp932'
             WHEN 2 THEN 'gbk' WHEN 3 THEN 'windows-1252'
-            WHEN 4 THEN 'euc_jp' ELSE 'iso2022_jp_ext' END AS charset,
-       CASE doc_id % 6
+            WHEN 4 THEN 'euc_jp' WHEN 5 THEN 'iso2022_jp_ext'
+            ELSE 'cp932' END AS charset,
+       CASE doc_id % 7
          WHEN 0 THEN '한국어 문서 본문 텍스트 예시 단락'
          WHEN 1 THEN 'これは日本語の本文テキストですデータ'
          WHEN 2 THEN '这是中文正文文本示例段落编码检测'
          WHEN 3 THEN 'café crème — déjà vu € naïve'
          WHEN 4 THEN '日本語のページ本文ですかな文字データれい'
-         ELSE 'にほんごのてすとぶんしょうですよろしく' END
+         WHEN 5 THEN 'にほんごのてすとぶんしょうですよろしく'
+         ELSE '東京都議会議員選挙結果速報経済産業省統計資料' END
        || ' ' || array_to_string(w[1:4], ' ') AS extracted
 FROM w
 """

@@ -297,6 +297,33 @@ def test_charset_cp949_rejects_jamo_majority():
     assert _probe_one(payload, cp949) is None
 
 
+_JA_SJIS_KANJI = ("<html><body><main><p>東京都議会議員選挙結果速報。自由民主党、"
+                  "立憲民主党、公明党、共産党各党派議席数確定。</p><p>経済産業省"
+                  "発表統計資料集計方法変更影響分析報告書概要。</p></main>"
+                  "</body></html>")
+
+
+def test_charset_undeclared_sjis_kanji_probe():
+    """The nearly-kana-free SJIS residual (documented tail through late
+    r5): a kanji-heavy Shift-JIS page fails the cp932 rung's KANA gate and
+    its pairs strict-decode on the gbk rung into hanzi mojibake (東京都…
+    → 丄棫寷…). The 0x81-0x9F lead shape must give cp932 a hanzi-gated try
+    first — and must NOT trigger on GB2312/Big5/EUC-KR/EUC-JP bytes."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        _sjis_shaped, decode_payload, detect_charset)
+
+    payload = _JA_SJIS_KANJI.encode("cp932")
+    assert _sjis_shaped(payload)
+    assert detect_charset(payload) == "cp932"
+    assert decode_payload(payload) == _JA_SJIS_KANJI
+    assert decode_payload(memoryview(payload)) == _JA_SJIS_KANJI
+    # shape never fires on the EUC-zone family or latin bytes
+    for page, codec in [(_ZH_PAGE, "gbk"), (_KO_PAGE, "cp949"),
+                        (_JA_EUC_KANJI, "euc-jp")]:
+        assert not _sjis_shaped(page.encode(codec))
+    assert not _sjis_shaped("café crème déjà vu naïve façade".encode("cp1252"))
+
+
 def test_charset_euc_jp_truncated_pair_degrades():
     """A payload cut mid-EUC-JP-pair must never raise; decode stays total."""
     from pdf_extraction_spark.kernels.html_extract import decode_payload

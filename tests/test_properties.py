@@ -386,6 +386,26 @@ def test_undeclared_cp932_page_roundtrips(chars):
 
 
 @settings(max_examples=150, deadline=None)
+@given(st.lists(_JIS_HANZI_CHARS, min_size=12, max_size=60))
+def test_undeclared_sjis_kanji_page_roundtrips_when_shaped(chars):
+    """Kana-FREE Shift-JIS pages (the documented nearly-kana-free tail):
+    when the 0x81-0x9F lead shape is present, cp932 must win a hanzi-gated
+    probe before gbk strict-decodes the same bytes into mojibake. Pages
+    whose kanji all live in the 0xE0+ second-level rows lack the shape and
+    remain the (smaller) documented residual — excluded by assumption,
+    not hidden."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        _sjis_shaped, decode_payload)
+
+    assume(len(set(chars)) >= 5)
+    page = _word_page(chars)
+    payload = page.encode("cp932")
+    assume(_sjis_shaped(payload))
+    assert decode_payload(payload) == page
+    assert decode_payload(memoryview(payload)) == page
+
+
+@settings(max_examples=150, deadline=None)
 @given(st.lists(st.tuples(_KANA_CHARS, _KANA_CHARS,
                           st.one_of(_KANA_CHARS, _JIS_HANZI_CHARS)),
                 min_size=4, max_size=20))
