@@ -287,13 +287,19 @@ def _big5_shaped(payload) -> bool:
 # corpora vs 27-69 on SJIS pages. Phantom subtraction mirrors
 # `_big5_shaped`: an extension-row trail byte in 0x81-0x9F against the
 # start of an ASCII word is a boundary artifact, not a lead. A shaped page
-# probes cp932 under the HANZI gates (the kana gates already had their
-# turn) before the hanzi tail. Documented residual beyond this tier: a
-# half-width-katakana-only EUC-JP page (0x8E leads) is SJIS-shaped and a
-# 30%-kana SJIS page passes neither the kana nor the hanzi core fraction.
+# probes cp932 under combined kana∪kanji gates (the 1/3-kana gate already
+# had its turn, and a real sub-1/3-kana page still mixes both scripts —
+# repro'd at 30% kana / 62% kanji, where a kanji-only core also fails;
+# the union is safe HERE because the shape has already excluded every
+# EUC-zone byte stream, so nothing else strict-decodes via cp932 into
+# mostly kana+kanji) before the hanzi tail. Documented residual beyond
+# this tier: a half-width-katakana-only EUC-JP page (0x8E leads) is
+# SJIS-shaped, and a second-level-only SJIS page (0xE0+ leads) lacks the
+# shape entirely.
 _SJIS_LEAD_PAIR_RE = re.compile(rb"[\x81-\x9f][\x40-\x7e\x80-\xfc]")
 _SJIS_PHANTOM_RE = re.compile(rb"[\x81-\x9f][0-9A-Za-z][0-9A-Za-z]")
-_SJIS_KANJI_CAND = ("cp932", *_HANZI_GATES)
+_SJIS_KANJI_CAND = ("cp932", re.compile(f"[{_KANA}{_HANZI}]"),
+                    re.compile(f"[{_KANA}{_CJK_SHARED}]"), 2.0 / 3.0)
 
 
 def _sjis_shaped(payload) -> bool:

@@ -324,6 +324,22 @@ def test_charset_undeclared_sjis_kanji_probe():
     assert not _sjis_shaped("café crème déjà vu naïve façade".encode("cp1252"))
 
 
+def test_charset_undeclared_sjis_mixed_kana_probe():
+    """The shaped rung's core class is kana∪kanji: a realistic terse-news
+    page at ~30% kana / ~62% kanji fails BOTH the 1/3-kana gate and a
+    kanji-only 2/3 core gate (repro'd: misrouted to gbk), but real
+    Japanese prose is exactly this mix — the union admits it."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    page = ("<html><body><p>東京都議会は昨日、新年度予算案を可決した。"
+            "総額は過去最大となり、子育て支援策の拡充が柱である。"
+            "知事は記者会見で意義を強調した。</p></body></html>")
+    payload = page.encode("cp932")
+    assert detect_charset(payload) == "cp932"
+    assert decode_payload(payload) == page
+
+
 def test_charset_euc_jp_truncated_pair_degrades():
     """A payload cut mid-EUC-JP-pair must never raise; decode stays total."""
     from pdf_extraction_spark.kernels.html_extract import decode_payload

@@ -386,14 +386,16 @@ def test_undeclared_cp932_page_roundtrips(chars):
 
 
 @settings(max_examples=150, deadline=None)
-@given(st.lists(_JIS_HANZI_CHARS, min_size=12, max_size=60))
+@given(st.lists(st.one_of(_JIS_HANZI_CHARS, _JIS_HANZI_CHARS,
+                          _JIS_HANZI_CHARS, _KANA_CHARS),
+                min_size=12, max_size=60))
 def test_undeclared_sjis_kanji_page_roundtrips_when_shaped(chars):
-    """Kana-FREE Shift-JIS pages (the documented nearly-kana-free tail):
-    when the 0x81-0x9F lead shape is present, cp932 must win a hanzi-gated
-    probe before gbk strict-decodes the same bytes into mojibake. Pages
-    whose kanji all live in the 0xE0+ second-level rows lack the shape and
-    remain the (smaller) documented residual — excluded by assumption,
-    not hidden."""
+    """Kanji-majority Shift-JIS pages (the documented nearly-kana-free
+    tail, including the sub-1/3-kana news mix): when the 0x81-0x9F lead
+    shape is present, cp932 must win a kana∪kanji-gated probe before gbk
+    strict-decodes the same bytes into mojibake. Pages whose kanji all
+    live in the 0xE0+ second-level rows lack the shape and remain the
+    (smaller) documented residual — excluded by assumption, not hidden."""
     from pdf_extraction_spark.kernels.html_extract import (
         _sjis_shaped, decode_payload)
 
