@@ -294,12 +294,21 @@ def _big5_shaped(payload) -> bool:
 # EUC-zone byte stream, so nothing else strict-decodes via cp932 into
 # mostly kana+kanji) before the hanzi tail. Documented residual beyond
 # this tier: a half-width-katakana-only EUC-JP page (0x8E leads) is
-# SJIS-shaped, and a second-level-only SJIS page (0xE0+ leads) lacks the
-# shape entirely.
+# second-level-only SJIS page (0xE0+ leads) lacks the shape entirely and
+# remains the documented residual. A half-width-katakana-only EUC-JP page
+# (legacy terminal text) is ALSO SJIS-shaped — its 0x8E shift bytes land
+# in the lead range — so a dominance sub-check runs first: when ≥3/4 of
+# the shaped pairs carry the single lead 0x8E (EUC-JP's SS2 shift; real
+# SJIS prose spreads leads across the 0x88-0x9F kanji rows, and GB2312
+# has no 0x8E bytes at all), euc_jp gets one probe under a
+# half-width-kana core gate before cp932.
 _SJIS_LEAD_PAIR_RE = re.compile(rb"[\x81-\x9f][\x40-\x7e\x80-\xfc]")
 _SJIS_PHANTOM_RE = re.compile(rb"[\x81-\x9f][0-9A-Za-z][0-9A-Za-z]")
 _SJIS_KANJI_CAND = ("cp932", re.compile(f"[{_KANA}{_HANZI}]"),
                     re.compile(f"[{_KANA}{_CJK_SHARED}]"), 2.0 / 3.0)
+_SS2_PAIR_RE = re.compile(rb"\x8e[\xa1-\xdf]")
+_HW_KANA_CAND = ("euc_jp", re.compile("[｡-ﾟ]"),
+                 re.compile(f"[｡-ﾟ{_KANA}{_CJK_SHARED}]"), 2.0 / 3.0)
 
 
 def _sjis_shaped(payload) -> bool:
@@ -397,6 +406,13 @@ def _probe_cjk(payload) -> tuple[str, str] | None:
     # would strict-decode as gbk hanzi below — the 0x81-0x9F lead shape
     # gives cp932 one try under the hanzi gates first
     if _sjis_shaped(payload):
+        n_ss2 = len(_SS2_PAIR_RE.findall(payload))
+        n_lead = (len(_SJIS_LEAD_PAIR_RE.findall(payload))
+                  - len(_SJIS_PHANTOM_RE.findall(payload)))
+        if 4 * n_ss2 >= 3 * n_lead:
+            hit = _probe_one(payload, _HW_KANA_CAND)
+            if hit is not None:
+                return hit
         hit = _probe_one(payload, _SJIS_KANJI_CAND)
         if hit is not None:
             return hit

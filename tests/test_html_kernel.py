@@ -324,6 +324,24 @@ def test_charset_undeclared_sjis_kanji_probe():
     assert not _sjis_shaped("café crème déjà vu naïve façade".encode("cp1252"))
 
 
+def test_charset_halfwidth_kana_euc_jp_probe():
+    """A half-width-katakana-only EUC-JP page (legacy terminal text) is
+    SJIS-shaped — its 0x8E SS2 shifts land in the 0x81-0x9F lead range —
+    and used to mojibake (pre-tier: cp1252 fallthrough; post-tier: cp932
+    kanji). The 0x8E-dominance sub-check must route it to euc_jp; a
+    half-width SJIS page (single bytes, no 0x8E pairs) stays the
+    documented fallthrough tail."""
+    from pdf_extraction_spark.kernels.html_extract import (
+        decode_payload, detect_charset)
+
+    txt = "ﾃﾞｰﾀﾌﾞﾝｾｷ ﾁｭｳｼｭﾂ ﾌﾞﾝｼｮ ﾋｮｳ ｽｳｼｷ ﾀﾞｲﾓｸ ﾀﾞﾝﾗｸ ﾓｸﾛｸ ﾃｽﾄ ﾍﾟｰｼﾞ"
+    page = f"<html><body><p>{txt}</p></body></html>"
+    payload = page.encode("euc-jp")
+    assert detect_charset(payload) == "euc_jp"
+    assert decode_payload(payload) == page
+    assert decode_payload(memoryview(payload)) == page
+
+
 def test_charset_undeclared_sjis_mixed_kana_probe():
     """The shaped rung's core class is kana∪kanji: a realistic terse-news
     page at ~30% kana / ~62% kanji fails BOTH the 1/3-kana gate and a
