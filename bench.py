@@ -43,21 +43,28 @@ def replicated_corpus(spark, sf_dir: str, copies: int):
     from pdf_extraction_spark.corpus import ARTICLE_PREFIX, ARTICLE_SUFFIX, spread_docs
 
     docs = spread_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    # the ×copies url stride embeds the copy index at +1e7 per copy; a
-    # doc_id at or past the stride would collide with copy k+1's urls
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx is not None and mx >= 10_000_000:
-        raise ValueError(f"doc_id {mx} >= url stride 10_000_000: widen the stride")
     rep = docs.select(
         "doc_id", "text", "source", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
     )
-    return rep.select(
+    out = rep.select(
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
             (F.col("doc_id") + F.col("k") * 10_000_000).cast("string"),
         ).alias("url"),
         F.encode(F.concat(F.lit(ARTICLE_PREFIX), F.col("text"), F.lit(ARTICLE_SUFFIX)), "utf-8").alias("html"),
     )
+    # the ×copies url stride embeds the copy index at +1e7 per copy, which
+    # collides only if two (source, doc_id, k) tuples map to one url — i.e.
+    # doc_ids within one source differ by an exact copies-range multiple of
+    # 1e7 (the sf1 synthesizer's +1e8 replica stride does NOT, so a max-id
+    # cutoff would wrongly refuse it). Check the actual url set instead;
+    # html is pruned from this aggregate so it only scans ids.
+    n_all, n_urls = out.agg(F.count("*"), F.count_distinct("url")).first()
+    if n_urls != n_all:
+        raise ValueError(
+            f"×{copies} url stride collision: {n_all} rows but {n_urls} distinct urls"
+        )
+    return out
 
 
 def main():
