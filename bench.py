@@ -155,6 +155,42 @@ def main():
     for name, fn in headliners.items():
         timed(name, lambda f=fn: f(spark, sf_dir).count())
 
+    # Host-noise canary: a fixed single-threaded workload (sha256 over
+    # 256 MiB of zeros — bandwidth+CPU bound like the extraction kernels)
+    # timed best-of-3. The shared sandbox host carries up to 2.5x
+    # run-to-run scheduling noise; this number lets two BENCH_r*.json
+    # files from different host windows be compared honestly (identical
+    # work every run, so canary ratio ~= host slowdown ratio).
+    import hashlib
+    import threading
+
+    blk = bytes(1 << 26)
+
+    def _hash_job():
+        h = hashlib.sha256()
+        for _i in range(4):
+            h.update(blk)
+
+    canary = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        _hash_job()
+        dt = time.monotonic() - t0
+        canary = dt if canary is None else min(canary, dt)
+    # 16 threads running the identical job concurrently (sha256 releases
+    # the GIL on large updates) — wall time rises with multi-core
+    # scheduler contention, which the single-thread number cannot see.
+    canary_mt = None
+    for _ in range(3):
+        ts = [threading.Thread(target=_hash_job) for _ in range(16)]
+        t0 = time.monotonic()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        dt = time.monotonic() - t0
+        canary_mt = dt if canary_mt is None else min(canary_mt, dt)
+
     total = round(sum(timings.values()), 3)
     extract_sec = timings["extract_html"] + timings["extract_pdf"]
     result = {
@@ -167,6 +203,9 @@ def main():
         "extract_docs_per_sec": round(n_docs_extracted / extract_sec, 1) if extract_sec else None,
         "cpus": cpus,
         "protocol": f"best_of_{TRIALS}_per_query_single_session",
+        "host_canary_s": round(canary, 3),
+        "host_canary_16t_s": round(canary_mt, 3),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "notes": (
             "extract_pdf covers the round-3 hardened corpus (Type0/Identity-H "
             "and /Differences font variants, AES-128-encrypted docs) - r1/r2 "
@@ -182,7 +221,10 @@ def main():
             "oracle corpora, NOT in these timings; "
             "corpus is materialized to tmpfs parquet before timing so the "
             "timed jobs measure extraction over an existing table, not "
-            "fixture synthesis"
+            "fixture synthesis; host_canary_s times an identical fixed "
+            "single-thread workload each run (best of 3) - divide two "
+            "runs' canaries to estimate how much of a suite-time delta is "
+            "host-speed difference rather than code change"
         ),
     }
     print(json.dumps(result))
