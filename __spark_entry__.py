@@ -83,11 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-source + page-graph parts consolidated (VERDICT r3 item 2):
         # sitemap_urls robots_allowed feed_entries feed_discovery
         # crawl_frontier warc_http_meta meta_refresh image_alt_pairs
+        # anchor_text_rollup robots_crawl_delay redirect_map
         "crawl_suite": suites.q_crawl_suite,
         # document-metadata parts: html_head_meta pdf_info_meta pdf_toc
         # html_toc jsonld_meta opengraph_cards pdf_attachments
         # pdf_form_fields multimodal_meta multimodal_framesample
-        # pdf_image_captions
+        # charset_sniff pdf_image_pairs canonical_cluster
         "docmeta_suite": suites.q_docmeta_suite,
         "paragraph_dedup": corpusops.q_paragraph_dedup,
         # corpus curation (training-data pipeline stages)

@@ -557,3 +557,43 @@ SELECT doc_id,
        0.620915 AS x0, 0.166667 AS y0, 0.882353 AS x1, 0.292929 AS y1
 FROM documents
 """
+
+
+def q_canonical_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup clusters: documents grouped by their resolved
+    ``<link rel=canonical>`` target, with cluster mass and the
+    lexicographically-first member as the keeper — the dedup a crawl
+    pipeline applies when many URLs declare one canonical form (beside the
+    URL-normalization dedup of ``url_dedup``, which needs no in-document
+    signal). The canonical comes from the real head parse of
+    :func:`q_html_head_meta` (resolved against <base href> then the
+    document URL), so the whole chain — bytes → head scan → resolution →
+    combinable groupBy rollup — is value-checked. At 10^12 docs the
+    shuffle key is the canonical-target vocabulary (map-side combinable),
+    not the document count.
+
+    Reference parity: no analog (the reference has no HTML path,
+    SURVEY.md §2.1); pipeline-completing capability like the corpus
+    curation family.
+    """
+    meta = _meta_df(corpus_from_documents(spark, sf_dir, payload="html"))
+    from pyspark.sql import functions as F
+
+    return (
+        meta.filter(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("url").alias("keeper_url"),
+        )
+    )
+
+
+SQL_CANONICAL_CLUSTER = """
+SELECT 'https://' || source || '.example.com/canonical' AS canonical,
+       count(*) AS n_docs,
+       min('https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR))
+           AS keeper_url
+FROM documents
+GROUP BY source
+"""

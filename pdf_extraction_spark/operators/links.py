@@ -847,3 +847,83 @@ SELECT source || '.example.com' AS host,
        CAST(1 + d % 2 AS INT) AS n_sitemaps
 FROM h
 """
+
+
+def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect edges out of real WARC bytes — the 3xx (status, Location)
+    pairs a crawler folds back into its frontier (and the canonical-URL
+    signal HTTP itself provides, beside the in-document rel=canonical).
+    Per document a response record is serialized with a deterministic
+    status lane (doc_id%3: 301 with a RELATIVE Location, 302 with an
+    absolute one, plain 200), parsed back through the WARC record reader,
+    and the Location resolved against the record's Target-URI exactly like
+    anchor hrefs (kernels.urlnorm.resolve_link) — the relative lane
+    value-checks that resolution end to end. One Arrow pass, zero shuffle;
+    at 10^12 captures this is a narrow map over the crawl's WARC scan.
+
+    Reference parity: the reference has no fetch layer at all (local
+    files); this is pipeline-completing capability like the WARC source
+    itself (sources/warc.py).
+    """
+    import io
+
+    from ..kernels.urlnorm import resolve_link
+    from ..sources.warc import http_header, http_envelope_meta, iter_warc_records
+
+    docs = spread_docs(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "status": [], "target": []}
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                i = int(doc_id)
+                lane = i % 3
+                if lane == 0:
+                    status, loc = 301, b"/moved/%d" % i
+                elif lane == 1:
+                    status, loc = 302, b"https://hub.example.com/r/%d" % i
+                else:
+                    status, loc = 200, None
+                head = b"HTTP/1.1 %d X\r\n" % status
+                if loc is not None:
+                    head += b"Location: %s\r\n" % loc
+                http = head + b"Content-Type: text/html\r\n\r\nx"
+                uri = "https://%s.example.com/doc/%d" % (source, i)
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    b"WARC-Record-ID: <urn:uuid:%032d>\r\n"
+                    b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                    b"WARC-Target-URI: %s\r\n"
+                    b"Content-Length: %d\r\n\r\n"
+                    % (i, uri.encode(), len(http))
+                ) + http + b"\r\n\r\n"
+                for headers, payload in iter_warc_records(io.BytesIO(rec)):
+                    st, _ct = http_envelope_meta(payload)
+                    location = http_header(payload, "location")
+                    target = (
+                        resolve_link(headers.get("warc-target-uri", uri), location)
+                        if location and st and 300 <= st < 400
+                        else None
+                    )
+                    rows["doc_id"].append(i)
+                    rows["status"].append(st)
+                    rows["target"].append(target)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema="doc_id long, status int, target string")
+
+
+SQL_REDIRECT_MAP = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 301 WHEN 1 THEN 302 ELSE 200 END AS INT)
+           AS status,
+       CASE doc_id % 3
+            WHEN 0 THEN 'https://' || source || '.example.com/moved/'
+                        || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'https://hub.example.com/r/' || CAST(doc_id AS VARCHAR)
+            ELSE CAST(NULL AS VARCHAR) END AS target
+FROM documents
+"""

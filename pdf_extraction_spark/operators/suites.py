@@ -116,6 +116,10 @@ DOCMETA_PARTS = (
      ["doc_id"],
      [("width", NUM), ("height", NUM), ("fmt", STR), ("caption", STR),
       ("x0", NUM), ("y0", NUM), ("x1", NUM), ("y1", NUM)]),
+    # rel=canonical dedup clusters off the real head parse (final session)
+    ("canonical_cluster", docmeta.q_canonical_cluster,
+     docmeta.SQL_CANONICAL_CLUSTER, ["canonical"],
+     [("n_docs", NUM), ("keeper_url", STR)]),
 )
 
 CRAWL_PARTS = (
@@ -144,6 +148,10 @@ CRAWL_PARTS = (
     ("robots_crawl_delay", links.q_robots_crawl_delay,
      links.SQL_ROBOTS_CRAWL_DELAY, ["host"],
      [("crawl_delay", NUM), ("n_sitemaps", NUM)]),
+    # 3xx Location edges out of real WARC bytes, relative lane resolved
+    # against the record's Target-URI (final session)
+    ("redirect_map", links.q_redirect_map, links.SQL_REDIRECT_MAP,
+     ["doc_id"], [("status", NUM), ("target", STR)]),
 )
 
 

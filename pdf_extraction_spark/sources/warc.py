@@ -256,6 +256,23 @@ def write_warc(rows: list[dict], path: str, compress: bool = False) -> None:
         f.write(data)
 
 
+def http_header(payload: bytes, name: str) -> str | None:
+    """First value of ``name`` (case-insensitive) in a WARC response
+    record's HTTP envelope, or None without one — the generic accessor
+    behind redirect (Location) and caching (Last-Modified/ETag) signals.
+    Same envelope scan as :func:`http_envelope_meta`."""
+    if payload[:5] != b"HTTP/":
+        return None
+    sep = payload.find(b"\r\n\r\n")
+    head = payload[: sep if sep != -1 else len(payload)]
+    probe = name.lower().encode() + b":"
+    n = len(probe)
+    for ln in head.split(b"\r\n")[1:]:
+        if ln[:n].lower() == probe:
+            return ln[n:].strip().decode("latin-1", "replace") or None
+    return None
+
+
 def http_envelope_meta(payload: bytes) -> tuple:
     """(status, content_type) from a WARC response record's HTTP envelope —
     the curation signals crawls filter on before extraction (non-200 drop,

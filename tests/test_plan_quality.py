@@ -146,3 +146,32 @@ def test_relational_suite_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "Union" in plan
+
+
+def test_canonical_cluster_partial_agg_single_shuffle(spark):
+    """Canonical dedup clusters: ONE combinable groupBy on the canonical
+    target after the Arrow head-parse stage — map-side partial agg present,
+    no second Exchange, no row-at-a-time Python."""
+    from pdf_extraction_spark.operators import docmeta
+
+    plan = plan_of(docmeta.q_canonical_cluster(spark, SF))
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one requirement-driven shuffle (the canonical-key agg); the
+    # only other Exchange allowed is spread_docs' explicit build-side
+    # rebalance of the single-file test scan (REPARTITION_BY_NUM)
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "Exchange hashpartitioning(canonical" in plan
+
+
+def test_redirect_map_zero_shuffle(spark):
+    """Redirect-edge extraction is a narrow map over the capture scan —
+    no requirement-driven shuffle anywhere (the only Exchange permitted is
+    spread_docs' explicit rebalance of the single-file test scan), and the
+    only Python stage is the one Arrow pass."""
+    from pdf_extraction_spark.operators import links
+
+    plan = plan_of(links.q_redirect_map(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "ENSURE_REQUIREMENTS" not in plan

@@ -175,3 +175,26 @@ def test_warc_mid_file_corruption_resyncs():
     stream = io.BytesIO(good1 + bad_leader + bad_length + good2)
     urls = [h["warc-target-uri"] for h, _ in iter_warc_records(stream)]
     assert urls == ["https://a/1", "https://a/2"]
+
+
+def test_http_header_accessor():
+    """Generic envelope header lookup behind the redirect map: first match
+    wins, names are case-insensitive, values are whitespace-trimmed, and
+    non-envelope payloads / absent or empty headers return None (total)."""
+    from pdf_extraction_spark.sources.warc import http_header
+
+    env = (
+        b"HTTP/1.1 301 Moved\r\n"
+        b"LoCaTiOn:  /new/path \r\n"
+        b"Location: /second\r\n"
+        b"X-Empty:\r\n"
+        b"\r\nbody Location: /in-body"
+    )
+    assert http_header(env, "Location") == "/new/path"
+    assert http_header(env, "location") == "/new/path"
+    assert http_header(env, "X-Empty") is None          # empty value -> None
+    assert http_header(env, "Content-Type") is None     # absent
+    assert http_header(b"not an envelope", "Location") is None
+    assert http_header(b"", "Location") is None
+    # header text after the blank line is body, never matched
+    assert http_header(b"HTTP/1.1 200 OK\r\n\r\nLocation: /x", "Location") is None
