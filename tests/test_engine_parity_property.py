@@ -1,0 +1,99 @@
+"""Property-based Spark-vs-DuckDB parity over generated documents tables.
+
+The driver's correctness gate runs both engines over FIXED testdata; the
+short-doc suite (tests/test_short_doc_parity.py) covers the sub-K-word
+corner. This module closes the remaining gap: hypothesis-generated corpora
+whose TEXT content is adversarial — mixed-script unicode (accents,
+precomposed AND decomposed forms, CJK), digits, punctuation runs, long and
+single-word documents — driven through the text-analysis oracle pairs most
+exposed to engine-semantic divergence (regex dialects, length() units,
+NFC normalization, the numpy winnowing kernel's utf-32 path).
+
+Each example materializes a parquet documents table, runs the Spark query
+and its DuckDB twin, and requires row-identical results (floats to 1e-9).
+Example count is small (Spark jobs are slow) but every example covers many
+documents, and failures shrink to a minimal corpus.
+"""
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_spark.operators import textops
+
+# mixed-script alphabet: ascii, digits, punctuation the quality regex
+# counts, accents in composed AND decomposed form, CJK, an astral emoji
+# (code-point-count semantics must agree across Python/Spark/DuckDB)
+_CHARS = (
+    "abcdez019.,!?;:'-"
+    "éüñ"          # é ü ñ precomposed
+    "é"                     # e + combining acute (decomposed)
+    "東京안녕"    # 東京안녕
+    "\U0001f600"                  # astral emoji
+)
+
+_word = st.text(alphabet=_CHARS, min_size=1, max_size=8).filter(
+    lambda w: " " not in w
+)
+_text = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+_corpus = st.lists(_text, min_size=3, max_size=12)
+
+PAIRS = [
+    (textops.q_quality_score, textops.SQL_QUALITY_SCORE),
+    (textops.q_token_count, textops.SQL_TOKEN_COUNT),
+    (textops.q_normalize_text, textops.SQL_NORMALIZE_TEXT),
+    (textops.q_pii_scrub, textops.SQL_PII_SCRUB),
+    (textops.q_fingerprint_winnow, textops.SQL_FINGERPRINT_WINNOW),
+]
+
+
+def _norm(row):
+    out = []
+    for v in row:
+        if isinstance(v, float):
+            out.append(round(v, 9) if not math.isnan(v) else "NaN")
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS, ids=[p[0].__name__ for p in PAIRS])
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_generated_corpus_parity(spark, tmp_path_factory, fn, sql, texts):
+    # guarantee one document past every operator's minimum (winnowing emits
+    # zero rows for sub-k-gram docs — correctly, on BOTH engines; the
+    # non-empty guard below needs at least one fingerprintable doc)
+    texts = list(texts) + ["the quick brown fox 東京 jumps über 01234 lazy dogs"]
+    sf = tmp_path_factory.mktemp("gencorpus") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
+    assert srows
