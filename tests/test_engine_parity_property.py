@@ -97,3 +97,55 @@ def test_generated_corpus_parity(spark, tmp_path_factory, fn, sql, texts):
         f"diff={set(srows) ^ set(orows)}"
     )
     assert srows
+
+
+# Second group: ordering- and float-sensitive pairs. Ties (top_terms
+# saliency), libm logs (ccnet), interpolated percentiles
+# (host_length_quantiles), bit votes (simhash) are exactly where two
+# engines drift on inputs the fixed testdata never explores.
+from pdf_extraction_spark.operators import corpusops, dedup  # noqa: E402
+
+PAIRS2 = [
+    (textops.q_top_terms, textops.SQL_TOP_TERMS),
+    (corpusops.q_repetition_score, corpusops.SQL_REPETITION_SCORE),
+    (corpusops.q_span_dup_fraction, corpusops.SQL_SPAN_DUP_FRACTION),
+    (corpusops.q_ccnet_perplexity, corpusops.SQL_CCNET_PERPLEXITY),
+    (corpusops.q_host_length_quantiles, corpusops.SQL_HOST_LENGTH_QUANTILES),
+    (corpusops.q_url_dedup, corpusops.SQL_URL_DEDUP),
+    (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
+    (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS2, ids=[p[0].__name__ for p in PAIRS2])
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_generated_corpus_parity_ranked(spark, tmp_path_factory, fn, sql, texts):
+    texts = list(texts) + ["the quick brown fox 東京 jumps über 01234 lazy dogs"]
+    sf = tmp_path_factory.mktemp("gencorpus2") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en" if i % 2 else "de" for i in range(len(texts))],
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
+    assert srows
