@@ -117,10 +117,16 @@ def _bucket_expr_spark(emb_col: str):
     bits = []
     for p in range(LSH_PLANES):
         signs = F.array(*[F.lit(s) for s in _PLANE_SIGNS[p]])
+        # zip_with pads the shorter array with NULLs; an embedding with
+        # fewer dims than the plane constants would NULL-poison the whole
+        # fold (dot = NULL -> every bit 0 -> one giant bucket). Coalescing
+        # each product to 0 sums exactly the dims both sides have — the
+        # same semantics as the oracle's list_sum, which skips NULLs —
+        # and is bit-identical on full-width embeddings (no NULL arises).
         dot = F.aggregate(
             F.zip_with(F.col(emb_col), signs, lambda v, s: v.cast("double") * s),
             F.lit(0.0),
-            lambda acc, x: acc + x,
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
         )
         bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]

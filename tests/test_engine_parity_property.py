@@ -149,3 +149,60 @@ def test_generated_corpus_parity_ranked(spark, tmp_path_factory, fn, sql, texts)
         f"diff={set(srows) ^ set(orows)}"
     )
     assert srows
+
+
+# Third group: embeddings-table pairs. Float accumulation ORDER is the
+# classic cross-engine divergence; these queries claim order-independent
+# (dimension-sequential) arithmetic, which random vectors stress far
+# harder than the smooth fixture embeddings.
+import numpy as np  # noqa: E402
+
+from pdf_extraction_spark.operators import similarity  # noqa: E402
+
+_component = st.integers(min_value=-1000, max_value=1000).map(lambda i: i / 512.0)
+_vectors = st.lists(
+    st.lists(_component, min_size=8, max_size=8),
+    min_size=20, max_size=40,
+)
+
+PAIRS3 = [
+    (similarity.q_ann_topk_cosine, similarity.SQL_ANN_TOPK_COSINE),
+    (similarity.q_embedding_cosine_pairs, similarity.SQL_EMBEDDING_COSINE_PAIRS),
+    (similarity.q_ann_lsh_bucketed, similarity.SQL_ANN_LSH_BUCKETED),
+    (similarity.q_ann_ivf, similarity.SQL_ANN_IVF),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS3, ids=[p[0].__name__ for p in PAIRS3])
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vectors)
+def test_generated_embeddings_parity(spark, tmp_path_factory, fn, sql, vecs):
+    # a zero vector would make cosine undefined; nudge any all-zero row
+    arr = [v if any(v) else v[:-1] + [1 / 512.0] for v in vecs]
+    sf = tmp_path_factory.mktemp("genembed") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": list(range(len(arr))),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in arr],
+                pa.list_(pa.float32()),
+            ),
+            "label": [i % 4 for i in range(len(arr))],
+        }),
+        sf / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
