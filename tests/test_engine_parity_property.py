@@ -206,3 +206,67 @@ def test_generated_embeddings_parity(spark, tmp_path_factory, fn, sql, vecs):
         f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff={set(srows) ^ set(orows)}"
     )
+
+
+# Fourth group: events-table relational pairs. Tie-breaks (duplicate
+# (user, t) pairs resolved by event_id), the sessionization gap's exact
+# boundary, epoch flooring of microsecond timestamps, and NULL-feature
+# normalization are the semantics a fixed fixture barely brushes.
+import datetime as _dt  # noqa: E402
+
+from pdf_extraction_spark.operators import relational  # noqa: E402
+
+_EPOCH0 = _dt.datetime(2024, 1, 1)
+_event = st.tuples(
+    st.integers(min_value=1, max_value=5),                    # user_id
+    st.integers(min_value=0, max_value=3000),                 # whole seconds
+    st.sampled_from([0, 1, 123456, 999999]),                  # microseconds
+    st.sampled_from(["view", "purchase", "click", "signup", "error"]),
+    st.integers(min_value=0, max_value=40000).map(lambda c: c / 100.0),
+)
+_events = st.lists(_event, min_size=10, max_size=60)
+
+PAIRS4 = [
+    (relational.q_sessionize_events, relational.SQL_SESSIONIZE_EVENTS),
+    (relational.q_band_join, relational.SQL_BAND_JOIN),
+    (relational.q_asof_nearest_prior, relational.SQL_ASOF_NEAREST_PRIOR),
+    (relational.q_interval_overlap_dedup, relational.SQL_INTERVAL_OVERLAP_DEDUP),
+    (relational.q_evidence_classifier, relational.SQL_EVIDENCE_CLASSIFIER),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS4, ids=[p[0].__name__ for p in PAIRS4])
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(evs=_events)
+def test_generated_events_parity(spark, tmp_path_factory, fn, sql, evs):
+    sf = tmp_path_factory.mktemp("genevents") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": list(range(len(evs))),
+            "ts": pa.array(
+                [_EPOCH0 + _dt.timedelta(seconds=s, microseconds=us)
+                 for _u, s, us, _k, _v in evs],
+                pa.timestamp("us"),
+            ),
+            "user_id": [u for u, *_ in evs],
+            "event_type": [k for _u, _s, _us, k, _v in evs],
+            "value": [v for *_x, v in evs],
+            "props": ['{"k": 1}'] * len(evs),
+        }),
+        sf / "events.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
