@@ -270,3 +270,83 @@ def test_generated_events_parity(spark, tmp_path_factory, fn, sql, evs):
         f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff={set(srows) ^ set(orows)}"
     )
+
+
+# Fifth group: generated orders/lineitem (FK-consistent). Interpolated
+# group medians on even/tied samples, the top-10 LIMIT boundary under
+# price ties, ROLLUP levels, double-sum rounding at 2dp, and the
+# shipdate boundary predicate.
+_li_row = st.tuples(
+    st.integers(min_value=1, max_value=8),                    # l_orderkey
+    st.integers(min_value=1, max_value=50),                   # l_quantity
+    st.sampled_from(["A", "N", "R"]),                         # l_returnflag
+    st.sampled_from(["F", "O"]),                              # l_linestatus
+    st.integers(min_value=100, max_value=500000).map(lambda c: c / 100.0),
+    st.integers(min_value=0, max_value=10).map(lambda c: c / 100.0),
+    st.integers(min_value=-40, max_value=40),                 # days around boundary
+)
+_lineitem = st.lists(_li_row, min_size=15, max_size=60)
+_ord_row = st.tuples(
+    st.sampled_from(["O", "F", "P"]),
+    # coarse prices force ties at the top-10 boundary
+    st.integers(min_value=1, max_value=6).map(lambda c: c * 50000.0),
+)
+_orders = st.lists(_ord_row, min_size=8, max_size=15)
+
+PAIRS5 = [
+    (relational.q_pricing_summary, relational.SQL_PRICING_SUMMARY),
+    (relational.q_group_median, relational.SQL_GROUP_MEDIAN),
+    (relational.q_theta_selfjoin, relational.SQL_THETA_SELFJOIN),
+    (relational.q_semi_join_validation, relational.SQL_SEMI_JOIN_VALIDATION),
+    (relational.q_top_orders, relational.SQL_TOP_ORDERS),
+    (relational.q_rollup_counts, relational.SQL_ROLLUP_COUNTS),
+]
+
+_SHIP0 = _dt.datetime(1998, 9, 2)
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS5, ids=[p[0].__name__ for p in PAIRS5])
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lis=_lineitem, ords=_orders)
+def test_generated_tpch_parity(spark, tmp_path_factory, fn, sql, lis, ords):
+    sf = tmp_path_factory.mktemp("gentpch") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "l_orderkey": [r[0] for r in lis],
+            # unique within the order stream — i keeps pairs i<j total
+            "l_linenumber": list(range(1, len(lis) + 1)),
+            "l_quantity": [float(r[1]) for r in lis],
+            "l_returnflag": [r[2] for r in lis],
+            "l_linestatus": [r[3] for r in lis],
+            "l_extendedprice": [r[4] for r in lis],
+            "l_discount": [r[5] for r in lis],
+            "l_shipdate": pa.array(
+                [_SHIP0 + _dt.timedelta(days=r[6]) for r in lis], pa.timestamp("us")
+            ),
+        }),
+        sf / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": list(range(1, len(ords) + 1)),
+            "o_orderstatus": [s for s, _p in ords],
+            "o_totalprice": [p for _s, p in ords],
+        }),
+        sf / "orders.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
