@@ -350,3 +350,70 @@ def test_generated_tpch_parity(spark, tmp_path_factory, fn, sql, lis, ords):
         f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff={set(srows) ^ set(orows)}"
     )
+
+
+# Sixth group: the dedup family, corpus curation, and retrieval — toward
+# full-registry coverage. The corpus gets explicit duplicate structure
+# (verbatim and one-word-mutated copies) so MinHash/Jaccard/components
+# exercise real collision paths, not just the no-pair fast path.
+PAIRS6 = [
+    (dedup.q_dedup_minhash_lsh, dedup.SQL_DEDUP_MINHASH_LSH),
+    (dedup.q_dedup_ngram_jaccard, dedup.SQL_DEDUP_NGRAM_JACCARD),
+    (dedup.q_dedup_components, dedup.SQL_DEDUP_COMPONENTS),
+    (dedup.q_dedup_keep_best, dedup.SQL_DEDUP_KEEP_BEST),
+    (corpusops.q_paragraph_dedup, corpusops.SQL_PARAGRAPH_DEDUP),
+    (corpusops.q_decontaminate, corpusops.SQL_DECONTAMINATE),
+    (corpusops.q_domain_cap, corpusops.SQL_DOMAIN_CAP),
+    (corpusops.q_stratified_sample, corpusops.SQL_STRATIFIED_SAMPLE),
+    (corpusops.q_indexable_filter, corpusops.SQL_INDEXABLE_FILTER),
+    (corpusops.q_filter_funnel, corpusops.SQL_FILTER_FUNNEL),
+    (corpusops.q_host_quality, corpusops.SQL_HOST_QUALITY),
+    (corpusops.q_dup_span_extract, corpusops.SQL_DUP_SPAN_EXTRACT),
+    (textops.q_lang_id_stopwords, textops.SQL_LANG_ID_STOPWORDS),
+    (textops.q_regex_counts, textops.SQL_REGEX_COUNTS),
+    (textops.q_chunk_split, textops.SQL_CHUNK_SPLIT),
+    (textops.q_chunk_split_recursive, textops.SQL_CHUNK_SPLIT_RECURSIVE),
+    (textops.q_rag_retrieval, textops.SQL_RAG_RETRIEVAL),
+    (textops.q_bm25_retrieval, textops.SQL_BM25_RETRIEVAL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS6, ids=[p[0].__name__ for p in PAIRS6])
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_generated_corpus_parity_dedup_retrieval(
+    spark, tmp_path_factory, fn, sql, texts
+):
+    base = list(texts) + [
+        "the quick brown fox 東京 jumps über 01234 lazy dogs and keeps running"
+    ]
+    # duplicate structure: one verbatim clone + one single-word mutant of
+    # the guaranteed-long document
+    long = base[-1]
+    texts = base + [long, long.replace("fox", "wolf", 1)]
+    sf = tmp_path_factory.mktemp("gencorpus6") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en" if i % 2 else "ja" for i in range(len(texts))],
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
