@@ -95,30 +95,52 @@ FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + linear score
     (the evidence-weighted scoring pattern of table_figure_classifier.py:17-24
-    applied to text quality)."""
+    applied to text quality).
+
+    The three rounded columns are INTEGER-EXACT (the bm25/pagerank
+    discipline): each is the half-away-from-zero rounding of an exact
+    rational computed in BIGINT micro-units (1e4), then divided by 10000.0
+    once. Rounding a double instead is fragile at decimal midpoints — a
+    hypothesis-generated corpus found a quality value whose two engine
+    doubles sat an ulp apart across the .00005 boundary and rounded to
+    different 4dp values (the fixed driver corpus never lands there, but
+    the argmax in dedup_keep_best would inherit the same coin-flip).
+    quality = min(nw,100)/200 + 2·sh/nw − pc/nc over denominator nw·nc."""
     docs = tbl(spark, sf_dir, "documents")
     en = STOPWORDS["en"]
     toks = F.split(F.col("text"), " ")
-    n_words = F.size(toks)
-    n_chars = F.length("text")
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
-    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
-    avg_word = (n_chars - (n_words - F.lit(1))) / n_words
-    stop_ratio = stop_hits / n_words
-    punct_ratio = punct / n_chars
-    score = (
-        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
-        + stop_ratio * 2.0
-        - punct_ratio * 1.0
-    )
-    return docs.select(
+    feats = docs.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        F.round(avg_word, 4).alias("avg_word_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality"),
+        F.length("text").cast("long").alias("nc"),
+        F.size(toks).cast("long").alias("nw"),
+        F.size(F.filter(toks, lambda t: t.isin(en))).cast("long").alias("sh"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
+        .cast("long")
+        .alias("pc"),
     )
+    return feats.select(
+        "doc_id",
+        F.col("nc").cast("int").alias("n_chars"),
+        F.col("nw").cast("int").alias("n_words"),
+        (F.expr(_HALF_AWAY_DIV.format(t="10000 * (nc - nw + 1)", d="nw"))
+         / 10000.0).alias("avg_word_len"),
+        (F.expr(_HALF_AWAY_DIV.format(t="10000 * sh", d="nw"))
+         / 10000.0).alias("stop_ratio"),
+        (F.expr(_HALF_AWAY_DIV.format(
+            t="50 * least(nw, 100L) * nw * nc + 20000 * sh * nc - 10000 * pc * nw",
+            d="nw * nc",
+        )) / 10000.0).alias("quality"),
+    )
+
+
+# half-away-from-zero integer rounding of the rational t/d in micro-units:
+# identical BIGINT arithmetic on both engines, so the division by 10000.0
+# yields the SAME double everywhere. Guarded for d = 0 (empty text).
+_HALF_AWAY_DIV = (
+    "CASE WHEN ({d}) = 0 THEN NULL"
+    " WHEN ({t}) >= 0 THEN (2 * ({t}) + ({d})) DIV (2 * ({d}))"
+    " ELSE -((2 * (-({t})) + ({d})) DIV (2 * ({d}))) END"
+)
 
 
 _EN_STOPWORDS_SQL = ",".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -129,27 +151,50 @@ _EN_STOPWORDS_SQL = ",".join(f"'{w}'" for w in STOPWORDS["en"])
 # (corpusops.SQL_HOST_QUALITY, dedup.SQL_DEDUP_KEEP_BEST) embed this same
 # fragment, and the stopword list is generated from the STOPWORDS table
 # the Spark side reads — a weight or stopword change now reaches all three
-# comparisons or none.
-QUALITY_EXPR_SQL = f"""round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
-             + (len(list_filter(string_split(text, ' '),
-                    t -> t IN ({_EN_STOPWORDS_SQL})))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
-             - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                / CAST(length(text) AS DOUBLE)) * 1.0, 4)"""
+# comparisons or none. Integer-exact like the Spark side (see
+# q_quality_score's docstring): the rational is rounded half-away in
+# BIGINT micro-units, so both engines divide the SAME integer by 10000.0.
+
+
+def _sql_half_away(t: str, d: str) -> str:
+    """DuckDB twin of ``_HALF_AWAY_DIV`` (// is integer division; operands
+    are kept non-negative in each branch so truncation == floor)."""
+    return (
+        f"CASE WHEN ({d}) = 0 THEN NULL"
+        f" WHEN ({t}) >= 0 THEN (2 * ({t}) + ({d})) // (2 * ({d}))"
+        f" ELSE -((2 * (-({t})) + ({d})) // (2 * ({d}))) END"
+    )
+
+
+_NW_SQL = "len(string_split(text, ' '))"
+_NC_SQL = "length(text)"
+_SH_SQL = (
+    f"len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOPWORDS_SQL})))"
+)
+_PC_SQL = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+
+QUALITY_EXPR_SQL = (
+    _sql_half_away(
+        f"50 * least({_NW_SQL}, 100) * {_NW_SQL} * {_NC_SQL}"
+        f" + 20000 * {_SH_SQL} * {_NC_SQL}"
+        f" - 10000 * {_PC_SQL} * {_NW_SQL}",
+        f"{_NW_SQL} * {_NC_SQL}",
+    )
+    + " / 10000.0"
+)
 
 SQL_QUALITY_SCORE = f"""
 WITH f AS (
   SELECT doc_id, text,
-         length(text) AS n_chars,
-         len(string_split(text, ' ')) AS n_words,
-         len(list_filter(string_split(text, ' '),
-             t -> t IN ({_EN_STOPWORDS_SQL}))) AS stop_hits
+         CAST({_NC_SQL} AS INT) AS n_chars,
+         CAST({_NW_SQL} AS INT) AS n_words,
+         {_sql_half_away(f"10000 * ({_NC_SQL} - {_NW_SQL} + 1)", _NW_SQL)}
+             / 10000.0 AS avg_word_len,
+         {_sql_half_away(f"10000 * {_SH_SQL}", _NW_SQL)} / 10000.0 AS stop_ratio,
+         {QUALITY_EXPR_SQL} AS quality
   FROM documents
 )
-SELECT doc_id, n_chars, n_words,
-       round((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
-       round(stop_hits / CAST(n_words AS DOUBLE), 4) AS stop_ratio,
-       {QUALITY_EXPR_SQL} AS quality
+SELECT doc_id, n_chars, n_words, avg_word_len, stop_ratio, quality
 FROM f
 """
 

@@ -395,3 +395,35 @@ def test_decontaminate_tail_parity_on_short_benchmark_docs(spark, tmp_path):
     assert srows == orows, srows ^ orows
     # the mutant spliced from the SHORT benchmark tail exists on both sides
     assert any(r[0] == 63 + corpusops.DECON_OFFSET for r in srows)
+
+
+def test_quality_score_exact_at_decimal_midpoint(spark, tmp_path):
+    """The quality score must be integer-exact at 4dp decimal midpoints.
+    A 32-char single word with one punctuation char puts the true rational
+    at exactly -262.5 micro-units (min(1,100)/200 - 1/32 = -0.02625);
+    rounding the double representation instead left the two engines one
+    ulp apart across the boundary (hypothesis finding). Half-away-from-
+    zero rounding of the exact BIGINT rational gives -0.0263 on BOTH."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.operators import textops
+
+    text = "a" * 31 + "."
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": [text], "lang": ["en"],
+                  "source": ["s"], "n_chars": [len(text)]}),
+        sf / "documents.parquet",
+    )
+    srow = textops.q_quality_score(spark, str(sf)).collect()[0]
+    assert srow["quality"] == -0.0263
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    orow = con.execute(textops.SQL_QUALITY_SCORE).fetchall()[0]
+    assert orow[-1] == -0.0263
+    assert tuple(srow) == orow

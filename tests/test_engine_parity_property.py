@@ -417,3 +417,111 @@ def test_generated_corpus_parity_dedup_retrieval(
         f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff={set(srows) ^ set(orows)}"
     )
+
+
+# Seventh group: link-graph and export-layout pairs — these synthesize
+# HTML corpora / URL sets from the documents table, so random text flows
+# through anchor extraction, URL resolution, PageRank's integer
+# arithmetic, SURT keying, and md5 sharding.
+from pdf_extraction_spark.operators import links  # noqa: E402
+
+PAIRS7 = [
+    (links.q_extract_outlinks, links.SQL_EXTRACT_OUTLINKS),
+    (links.q_link_host_degree, links.SQL_LINK_HOST_DEGREE),
+    (links.q_host_pagerank, links.SQL_HOST_PAGERANK),
+    (links.q_cdx_index, links.SQL_CDX_INDEX),
+    (corpusops.q_shard_balance, corpusops.SQL_SHARD_BALANCE),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS7, ids=[p[0].__name__ for p in PAIRS7])
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_generated_corpus_parity_links(spark, tmp_path_factory, fn, sql, texts):
+    texts = list(texts) + ["the quick brown fox 東京 jumps über 01234 lazy dogs"]
+    sf = tmp_path_factory.mktemp("gencorpus7") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff={set(srows) ^ set(orows)}"
+    )
+
+
+# Eighth group: the extraction suite itself on generated text — random
+# unicode flows through the article template, the full HTML boilerplate
+# stripper, the deterministic PDF WRITER and the from-scratch PDF PARSER
+# (font-variant lanes rotate by doc_id), the span tiler, and the WET
+# sink/source cycle; every byte must come back equal to documents.text.
+from pdf_extraction_spark.operators import extraction  # noqa: E402
+
+PAIRS8 = [
+    (extraction.q_extraction_suite, extraction.SQL_EXTRACTION_SUITE),
+]
+
+# The byte-identity invariant is defined over documents that pass the
+# extractor's content gates — hypothesis immediately found the boundary:
+# a lone paragraph under MIN_CONTENT_CHARS (10, the boilerplate gate
+# kernels/html_extract.py:560) is chrome-ambiguous BY DESIGN and falls to
+# the all-chrome fallback ('0' and '0 1 2 3 4' both shrink there).
+# Generate documents shaped like the north rule's domain: >=5 words, each
+# with an alnum, >=12 chars total.
+_word8 = _word.filter(lambda w: any(c.isalnum() for c in w))
+_text8 = (
+    st.lists(_word8, min_size=5, max_size=30)
+    .map(" ".join)
+    .filter(lambda t: len(t) >= 12)
+)
+_corpus8 = st.lists(_text8, min_size=3, max_size=10)
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS8, ids=["extraction_suite"])
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus8)
+def test_generated_corpus_extraction_suite(spark, tmp_path_factory, fn, sql, texts):
+    texts = list(texts) + ["the quick brown fox 東京 jumps über 01234 lazy dogs"]
+    sf = tmp_path_factory.mktemp("gencorpus8") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"extraction_suite: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff sample={list(set(srows) ^ set(orows))[:6]}"
+    )
