@@ -271,7 +271,13 @@ def q_opengraph_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
-                w = first_words(text, 2)
+                # attribute content: escape so a quote in a word cannot
+                # truncate the attribute (same fix as image_alt_pairs; the
+                # kernel decodes entities back to the raw words)
+                w = [
+                    x.replace("&", "&amp;").replace("'", "&#39;").replace("<", "&lt;")
+                    for x in first_words(text, 2)
+                ]
                 html = (
                     "<html><head>"
                     f"<meta property='og:title' content='{w[0]} {w[1]}'>"
@@ -355,12 +361,14 @@ def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PDF_ATTACHMENTS = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, CAST(0 AS INT) AS pos, 'a.txt' AS filename,
-       CAST(length(coalesce(w[1], 'pad')) AS BIGINT) AS size,
+       -- strlen: attachment size is the UTF-8 BYTE length the builder
+       -- embeds, not the char count (equal only on ASCII words)
+       CAST(strlen(coalesce(w[1], 'pad')) AS BIGINT) AS size,
        coalesce(w[1], 'pad') AS content
 FROM w
 UNION ALL
 SELECT doc_id, CAST(1 AS INT), 'b.txt',
-       CAST(length(coalesce(w[2], 'pad')) AS BIGINT), coalesce(w[2], 'pad')
+       CAST(strlen(coalesce(w[2], 'pad')) AS BIGINT), coalesce(w[2], 'pad')
 FROM w
 """
 
@@ -460,7 +468,19 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
                 codec, phrase = _SNIFF_VARIANTS[i % 7]
-                para = phrase + " " + " ".join(str(text).split(" ")[:4])
+                # the appended words must be encodable in EVERY lane codec
+                # (a non-ASCII word would crash the whole Arrow batch on
+                # e.g. cp949); keep their ASCII subset, drop words that
+                # become empty — identity on the ASCII driver corpus, and
+                # the oracle applies the same transform in SQL
+                words = [
+                    s for s in (
+                        "".join(c for c in x if ord(c) < 128)
+                        for x in str(text).split(" ")[:4]
+                    )
+                    if s
+                ]
+                para = (phrase + " " + " ".join(words)).rstrip()
                 page = ("<html><body><main><p>" + para
                         + "</p></main></body></html>")
                 payload = page.encode(_SNIFF_ENCODE.get(codec, codec))
@@ -489,7 +509,12 @@ SELECT doc_id,
          WHEN 4 THEN '日本語のページ本文ですかな文字データれい'
          WHEN 5 THEN 'にほんごのてすとぶんしょうですよろしく'
          ELSE '東京都議会議員選挙結果速報経済産業省統計資料' END
-       || ' ' || array_to_string(w[1:4], ' ') AS extracted
+       -- coalesce: DuckDB array_to_string([]) is NULL, not '' — an
+       -- all-non-ASCII word list must yield the bare phrase, not NULL
+       || rtrim(' ' || coalesce(array_to_string(
+              list_filter(list_transform(w[1:4],
+                  t -> regexp_replace(t, '[^\\x00-\\x7f]', '', 'g')),
+                  t -> t <> ''), ' '), '')) AS extracted
 FROM w
 """
 

@@ -171,7 +171,16 @@ def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             pdf["source"]):
                 i = int(doc_id)
                 url = f"https://{source}.example.com/doc/{i}"
-                w0 = str(text).split(" ", 1)[0]
+                # the word lands in a URL PATH: keep only unreserved chars
+                # (RFC 3986) so URL-structural bytes can't change the
+                # parse — a trailing '?' is an empty query real resolution
+                # drops, ';'/''' would need quoting. Identity on the
+                # alnum driver corpus; the oracle mirrors the strip.
+                w0 = _re.sub(r"[^A-Za-z0-9._~-]", "", str(text).split(" ", 1)[0])
+                if w0 and set(w0) == {"."}:
+                    # '.'/'..' are RFC 3986 dot-segments and would be
+                    # normalized away (or climb a level) during resolution
+                    w0 = ""
                 frag = (
                     "" if i % 4 == 0 else
                     f"<meta http-equiv='refresh' content='{i % 7};url=/next/{w0}'>"
@@ -196,7 +205,13 @@ def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_META_REFRESH = """
 SELECT doc_id,
        CAST(doc_id % 7 AS INT) AS delay_s,
-       'https://' || source || '.example.com/next/' || string_split(text, ' ')[1] AS target
+       'https://' || source || '.example.com/next/'
+           || CASE WHEN regexp_matches(
+                    regexp_replace(string_split(text, ' ')[1],
+                                   '[^A-Za-z0-9._~-]', '', 'g'), '^\\.+$')
+                   THEN ''
+                   ELSE regexp_replace(string_split(text, ' ')[1],
+                                       '[^A-Za-z0-9._~-]', '', 'g') END AS target
 FROM documents
 WHERE doc_id % 4 <> 0
 """
@@ -225,7 +240,14 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             pdf["source"]):
                 i = int(doc_id)
                 url = f"https://{source}.example.com/doc/{i}"
-                w = first_words(text, 4)
+                # words are ATTRIBUTE content: escape &/'/< so a word
+                # containing the quote delimiter cannot truncate the
+                # attribute (the kernel decodes entities back, so the
+                # parsed alt equals the raw words — what the oracle emits)
+                w = [
+                    x.replace("&", "&amp;").replace("'", "&#39;").replace("<", "&lt;")
+                    for x in first_words(text, 4)
+                ]
                 html = (
                     "<html><body>"
                     "<nav><img src='/logo.png' alt='logo'></nav>"

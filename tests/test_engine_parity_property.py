@@ -525,3 +525,50 @@ def test_generated_corpus_extraction_suite(spark, tmp_path_factory, fn, sql, tex
         f"extraction_suite: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff sample={list(set(srows) ^ set(orows))[:6]}"
     )
+
+
+# Ninth group: the docmeta and crawl suites end-to-end on generated text.
+# Random words flow through the PDF writer's outline/attachment/form
+# lanes, JSON-LD and OpenGraph head builders, container codecs, the
+# charset lanes, sitemap/robots/feed XML builders AND their parsers, the
+# frontier composition, and the new canonical/redirect parts — every
+# value cell checked against the generated DuckDB twin.
+from pdf_extraction_spark.operators import suites  # noqa: E402
+
+PAIRS9 = [
+    (suites.q_docmeta_suite, suites.SQL_DOCMETA_SUITE),
+    (suites.q_crawl_suite, suites.SQL_CRAWL_SUITE),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS9, ids=["docmeta_suite", "crawl_suite"])
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus8)
+def test_generated_corpus_suites_parity(spark, tmp_path_factory, fn, sql, texts):
+    texts = list(texts) + ["the quick brown fox 東京 jumps über 01234 lazy dogs"]
+    sf = tmp_path_factory.mktemp("gencorpus9") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff sample={list(set(srows) ^ set(orows))[:6]}"
+    )
