@@ -572,3 +572,164 @@ def test_generated_corpus_suites_parity(spark, tmp_path_factory, fn, sql, texts)
         f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff sample={list(set(srows) ^ set(orows))[:6]}"
     )
+
+
+# Tenth group: the element-layer queries — generated words drive the PDF
+# writer's table/figure/caption layouts and the HTML table builder, then
+# the from-scratch parsers reconstruct cells, reading order, spatial
+# relations, hierarchy, and the confidence gate; invariant rows are
+# value-checked against the generated twins.
+from pdf_extraction_spark.operators import elements  # noqa: E402
+
+PAIRS10 = [
+    (elements.q_table_cells, elements.SQL_TABLE_CELLS),
+    (elements.q_html_table_cells, elements.SQL_HTML_TABLE_CELLS),
+    (elements.q_reading_order, elements.SQL_ELEMENTS_READING_ORDER),
+    (elements.q_spatial_relations, elements.SQL_ELEMENTS_SPATIAL_RELATIONS),
+    (elements.q_element_hierarchy, elements.SQL_ELEMENT_HIERARCHY),
+    (elements.q_confidence_gate, elements.SQL_CONFIDENCE_GATE),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS10, ids=[p[0].__name__ for p in PAIRS10])
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus8)
+def test_generated_corpus_elements_parity(spark, tmp_path_factory, fn, sql, texts):
+    texts = list(texts) + ["the quick brown fox 東京 jumps über 01234 lazy dogs"]
+    sf = tmp_path_factory.mktemp("gencorpus10") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{fn.__name__}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff sample={list(set(srows) ^ set(orows))[:6]}"
+    )
+
+
+# Eleventh group: the full relational suite (13 parts) plus its dimension
+# joins over a COMPLETE generated mini-TPC-H (region→nation→customer FK
+# chain, part sizes for 1-D clustering, orders/lineitem, events) — every
+# unpivoted cell of every part checked in one shot.
+PAIRS11 = [
+    (suites.q_relational_suite, suites.SQL_RELATIONAL_SUITE),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PAIRS11, ids=["relational_suite"])
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lis=_lineitem, ords=_orders, evs=_events, data=st.data())
+def test_generated_tpch_relational_suite(
+    spark, tmp_path_factory, fn, sql, lis, ords, evs, data
+):
+    n_cust = data.draw(st.integers(min_value=5, max_value=20))
+    sizes = data.draw(
+        st.lists(st.tuples(st.integers(min_value=1, max_value=4),
+                           st.integers(min_value=1, max_value=30)),
+                 min_size=5, max_size=25)
+    )
+    sf = tmp_path_factory.mktemp("gentpch11") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"r_regionkey": [0, 1], "r_name": ["EAST", "WEST"]}),
+        sf / "region.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": list(range(4)),
+            "n_name": [f"N{i}" for i in range(4)],
+            "n_regionkey": [i % 2 for i in range(4)],
+        }),
+        sf / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "c_custkey": list(range(n_cust)),
+            "c_name": [f"C{i}" for i in range(n_cust)],
+            "c_nationkey": [i % 4 for i in range(n_cust)],
+            "c_acctbal": [round(i * 137.91 % 5000, 2) for i in range(n_cust)],
+            "c_mktsegment": ["BUILDING" if i % 2 else "AUTO" for i in range(n_cust)],
+        }),
+        sf / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "p_partkey": list(range(len(sizes))),
+            "p_name": [f"P{i}" for i in range(len(sizes))],
+            "p_brand": [f"Brand#{b}" for b, _s in sizes],
+            "p_type": ["STANDARD"] * len(sizes),
+            "p_size": [s for _b, s in sizes],
+            "p_retailprice": [100.0 + i for i in range(len(sizes))],
+        }),
+        sf / "part.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": [r[0] for r in lis],
+            "l_linenumber": list(range(1, len(lis) + 1)),
+            "l_quantity": [float(r[1]) for r in lis],
+            "l_returnflag": [r[2] for r in lis],
+            "l_linestatus": [r[3] for r in lis],
+            "l_extendedprice": [r[4] for r in lis],
+            "l_discount": [r[5] for r in lis],
+            "l_shipdate": pa.array(
+                [_SHIP0 + _dt.timedelta(days=r[6]) for r in lis], pa.timestamp("us")
+            ),
+        }),
+        sf / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": list(range(1, len(ords) + 1)),
+            "o_orderstatus": [s for s, _p in ords],
+            "o_totalprice": [p for _s, p in ords],
+        }),
+        sf / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "event_id": list(range(len(evs))),
+            "ts": pa.array(
+                [_EPOCH0 + _dt.timedelta(seconds=s, microseconds=us)
+                 for _u, s, us, _k, _v in evs],
+                pa.timestamp("us"),
+            ),
+            "user_id": [u for u, *_ in evs],
+            "event_type": [k for _u, _s, _us, k, _v in evs],
+            "value": [v for *_x, v in evs],
+            "props": ['{"k": 1}'] * len(evs),
+        }),
+        sf / "events.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "part", "lineitem", "orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"relational_suite: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff sample={list(set(srows) ^ set(orows))[:8]}"
+    )
