@@ -426,7 +426,15 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
                                             pdf["source"]):
                 i = int(doc_id)
-                w = first_words(text, 2)
+                # words land in XML text AND the Atom href ATTRIBUTE: a
+                # quote in a word truncated the single-quoted href (the
+                # 300-doc parity soak caught it); entity-escape &/'/< —
+                # the parser decodes them back, so parsed values equal
+                # the raw words the oracle emits
+                w = [
+                    x.replace("&", "&amp;").replace("'", "&#39;").replace("<", "&lt;")
+                    for x in first_words(text, 2)
+                ]
                 base = f"https://{source}.example.com"
                 if i % 2 == 0:
                     xml = (
