@@ -733,3 +733,60 @@ def test_generated_tpch_relational_suite(
         f"relational_suite: {len(srows)} spark vs {len(orows)} oracle rows; "
         f"diff sample={list(set(srows) ^ set(orows))[:8]}"
     )
+
+
+# Deterministic large-corpus soak: one seeded 150-document random corpus
+# through the three end-to-end suites. The per-example hypothesis corpora
+# are small (<=13 docs); this catches the collision/edge mass that only
+# shows up at scale (a 300-doc ad-hoc soak found the Atom-href quote
+# truncation the small examples never hit). Seeded -> CI-stable.
+import random as _random  # noqa: E402
+
+from pdf_extraction_spark.operators import extraction as _extraction  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (_extraction.q_extraction_suite, _extraction.SQL_EXTRACTION_SUITE),
+        (suites.q_docmeta_suite, suites.SQL_DOCMETA_SUITE),
+        (suites.q_crawl_suite, suites.SQL_CRAWL_SUITE),
+    ],
+    ids=["extraction_suite", "docmeta_suite", "crawl_suite"],
+)
+def test_seeded_soak_suites(spark, tmp_path_factory, fn, sql):
+    rng = _random.Random(20260821)
+
+    def word():
+        return "".join(rng.choice(_CHARS) for _ in range(rng.randint(1, 8)))
+
+    def text():
+        while True:
+            t = " ".join(word() for _ in range(rng.randint(5, 40)))
+            if len(t) >= 12 and any(c.isalnum() for c in t):
+                return t
+
+    texts = [text() for _ in range(150)]
+    sf = tmp_path_factory.mktemp("soak") / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 5}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }),
+        sf / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    srows = sorted(_norm(tuple(r)) for r in fn(spark, str(sf)).collect())
+    orows = sorted(_norm(tuple(r)) for r in con.execute(sql).fetchall())
+    assert srows == orows, (
+        f"{len(srows)} spark vs {len(orows)} oracle rows; "
+        f"diff sample={list(set(srows) ^ set(orows))[:6]}"
+    )
+    assert len(srows) > 1000
