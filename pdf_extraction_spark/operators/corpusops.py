@@ -894,18 +894,33 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     to drop whole low-quality domains before per-doc filtering (host
     blocklists, FineWeb-style domain priors). One combinable groupBy whose
     key space is the host vocabulary, sub-linear in corpus size."""
-    from .textops import q_quality_score
+    from .textops import _HALF_AWAY_DIV, q_quality_score
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    q = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    # per-doc quality is integer-exact micro-units / 10000.0 (see
+    # q_quality_score); recover the integers (round is exact here) and
+    # average THEM, so the mean is an order-independent BIGINT sum + one
+    # exact rounding — round(avg(double),4) would reintroduce the decimal
+    # -midpoint fragility at the aggregate level. dup_fraction is a single
+    # correctly-rounded division of small exact ints, safe as a double.
+    q = q_quality_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("quality") * 10000).cast("long").alias("q_u")
+    )
     j = docs.join(q, "doc_id")
     dup = F.count(F.lit(1)) - F.countDistinct(F.md5("text"))
     return (
         j.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("quality"), 4).alias("mean_quality"),
+            F.sum("q_u").alias("sum_qu"),
             F.round(dup / F.count(F.lit(1)), 4).alias("dup_fraction"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.expr(_HALF_AWAY_DIV.format(t="sum_qu", d="n_docs")) / 10000.0)
+            .alias("mean_quality"),
+            "dup_fraction",
         )
     )
 
@@ -917,7 +932,9 @@ WITH q AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(quality), 4) AS mean_quality,
+       -- integer-exact mean: sum the per-doc micro-units (order-free
+       -- BIGINT) and round the rational once, like the Spark side
+       CASE WHEN (count(*)) = 0 THEN NULL WHEN (sum(CAST(round(quality * 10000) AS BIGINT))) >= 0 THEN (2 * (sum(CAST(round(quality * 10000) AS BIGINT))) + (count(*))) // (2 * (count(*))) ELSE -((2 * (-(sum(CAST(round(quality * 10000) AS BIGINT)))) + (count(*))) // (2 * (count(*)))) END / 10000.0 AS mean_quality,
        round((count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
 FROM q
 GROUP BY source
