@@ -717,13 +717,32 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     freq = words.groupBy("word").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
+    from .textops import _HALF_AWAY_DIV
+
+    # the bm25 libm discipline: -ln(p) is the only libm call, pre-rounded
+    # to 1e6 micro-nats PER TOKEN (one value per distinct word — a 1-ulp
+    # libm difference between engines vanishes in the rounding), then the
+    # per-doc mean is an order-independent BIGINT sum with one exact 4dp
+    # rounding. avg(double)+round was the quality_score fragility class.
     scored = (
         words.join(freq, "word")
         .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("total")) * 1_000_000)
+            .cast("long")
+            .alias("nll_u"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias("nll"),
+            F.sum("nll_u").alias("s_u"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            (F.expr(_HALF_AWAY_DIV.format(t="s_u", d="100 * n_words"))
+             / 10000.0).alias("nll"),
         )
     )
     return scored.select(
@@ -748,9 +767,10 @@ freq AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
 total AS (SELECT sum(c) AS total FROM freq)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
-       round(avg(-ln(c / CAST(total AS DOUBLE))), 4) AS nll,
-       CASE WHEN round(avg(-ln(c / CAST(total AS DOUBLE))), 4) < 6.0 THEN 'head'
-            WHEN round(avg(-ln(c / CAST(total AS DOUBLE))), 4) < 7.0 THEN 'middle'
+       -- per-token micro-nat pre-rounding + integer mean (see Spark side)
+       CASE WHEN (100 * count(*)) = 0 THEN NULL WHEN (sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT))) >= 0 THEN (2 * (sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT))) + (100 * count(*))) // (2 * (100 * count(*))) ELSE -((2 * (-(sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)))) + (100 * count(*))) // (2 * (100 * count(*)))) END / 10000.0 AS nll,
+       CASE WHEN CASE WHEN (100 * count(*)) = 0 THEN NULL WHEN (sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT))) >= 0 THEN (2 * (sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT))) + (100 * count(*))) // (2 * (100 * count(*))) ELSE -((2 * (-(sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)))) + (100 * count(*))) // (2 * (100 * count(*)))) END / 10000.0 < 6.0 THEN 'head'
+            WHEN CASE WHEN (100 * count(*)) = 0 THEN NULL WHEN (sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT))) >= 0 THEN (2 * (sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT))) + (100 * count(*))) // (2 * (100 * count(*))) ELSE -((2 * (-(sum(CAST(round(-ln(c / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)))) + (100 * count(*))) // (2 * (100 * count(*)))) END / 10000.0 < 7.0 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM words JOIN freq USING (word) CROSS JOIN total
 GROUP BY doc_id

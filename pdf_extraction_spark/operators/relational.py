@@ -25,29 +25,66 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped rollup (A3/A4 count rollups:
     hybrid_docling_gpt4_processor.py:511-516). Map-side combine does the
     partial aggregation automatically."""
+    from .textops import _HALF_AWAY_DIV
+
     li = tbl(spark, sf_dir, "lineitem")
+    # money/discount columns are fixed-decimal (cents / percent): recover
+    # the integers (round is exact) and sum THOSE — BIGINT sums are
+    # order-independent across partitionings and engines, where a double
+    # sum's last-ulp depends on accumulation order and can flip the
+    # rounded cent at a .005 midpoint (the quality_score fragility class)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_p"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(F.col("price_c") * (100 - F.col("disc_p"))).alias("rev_u"),
+            F.sum("disc_p").alias("disc_sum"),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty",
+            # rev_u is in 1e-4 dollars; round to cents exactly
+            (F.expr(_HALF_AWAY_DIV.format(t="rev_u", d="100")) / 100.0)
+            .alias("revenue"),
+            # avg_disc at 4dp: 1e4 * (disc_sum/100) / n = 100*disc_sum / n
+            (F.expr(_HALF_AWAY_DIV.format(t="100 * disc_sum", d="n_rows"))
+             / 10000.0).alias("avg_disc"),
+            "n_rows",
         )
     )
 
 
-SQL_PRICING_SUMMARY = """
+def _sql_money(t: str, d: str, scale: str) -> str:
+    """DuckDB twin of the integer money rounding above."""
+    from .textops import _sql_half_away
+
+    return f"{_sql_half_away(t, d)} / {scale}"
+
+
+def _pricing_sql() -> str:
+    return f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(avg(l_discount), 4) AS avg_disc,
+       {_sql_money("sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                   " * (100 - CAST(round(l_discount * 100) AS BIGINT)))",
+                   "100", "100.0")} AS revenue,
+       {_sql_money("100 * sum(CAST(round(l_discount * 100) AS BIGINT))",
+                   "count(*)", "10000.0")} AS avg_disc,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+SQL_PRICING_SUMMARY = _pricing_sql()
 
 
 # -- A1: median aggregation --------------------------------------------------------------
@@ -183,7 +220,13 @@ def q_semi_join_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         validated.unionByName(high_conf)
         .dropDuplicates(["o_orderkey"])
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            # integer-cent sum: exact and order-independent (see
+            # q_pricing_summary), displayed in dollars
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+            .alias("total"),
+        )
     )
 
 
@@ -194,7 +237,8 @@ WITH kept AS (
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
      OR o.o_totalprice > 300000
 )
-SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM kept GROUP BY o_orderstatus
 """
 
@@ -412,13 +456,16 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            # integer-cent sum (see q_pricing_summary)
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0)
+            .alias("total_balance"),
         )
     )
 
 
 SQL_BROADCAST_DIM_JOIN = """
-SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+SELECT r_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_balance
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
